@@ -1,0 +1,52 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Access to the driver-generated parquet tables (see /root/repo/TESTDATA.md).
+  *
+  * All operators read through here so that schema quirks are handled in one
+  * place. Reads are plain `spark.read.parquet` so Catalyst keeps predicate
+  * pushdown / column pruning on the scans.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS); Spark has no
+    * nanosecond timestamp type. We read it via the long-nanos escape hatch and
+    * normalize to a microsecond TimestampType column so every downstream
+    * operator sees a plain timestamp.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType)) {
+      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    } else df
+
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      try normalizeTs(spark.read.parquet(path))
+      catch {
+        case _: Exception =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          normalizeTs(spark.read.parquet(path))
+      }
+    } else spark.read.parquet(path)
+  }
+
+  private val registered = TrieMap.empty[(Int, String), Boolean]
+
+  /** Register all tables as temp views (idempotent per session+dir) so that
+    * SQL-text operators can refer to them by name.
+    */
+  def views(spark: SparkSession, sfDir: String): Unit =
+    registered.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+      true
+    })
+}
