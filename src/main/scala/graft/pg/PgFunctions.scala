@@ -1,0 +1,33 @@
+package graft.pg
+
+import org.apache.spark.sql.SparkSession
+
+/** The 16 PG system functions clients call during metadata discovery,
+  * registered through the public `spark.udf.register` API (semantics mirror
+  * reference catalog.scala:223-245).
+  */
+object PgFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("array_to_string",
+      (ar: Seq[String], delim: String) => if (ar != null) ar.mkString(delim) else "")
+    u.register("array_in", () => "array_in")
+    u.register("format_type",
+      (oid: Int, _: String) => PgCatalog.typeNameOf(oid))
+    u.register("obj_description", (_: Int, _: String) => "")
+    u.register("current_schemas", (_: Boolean) => Seq(PgCatalog.defaultNamespace))
+    u.register("pg_encoding_to_char", (enc: Int) => if (enc == 6) "UTF8" else "")
+    u.register("pg_get_userbyid", (_: Int) => "spark-user")
+    u.register("pg_get_expr", (_: String, _: Int) => "")
+    u.register("pg_table_is_visible", (_: Int) => true)
+    u.register("pg_function_is_visible", (_: Int) => true)
+    u.register("array_upper", (ar: Seq[String], _: Int) => if (ar != null) ar.size else 0)
+    u.register("pg_get_function_arguments", (_: Int) => "")
+    u.register("pg_get_function_result", (_: Int) => "")
+    u.register("oidvectortypes",
+      (oids: Seq[Int]) => if (oids != null) oids.map(PgCatalog.typeNameOf).mkString(", ") else "")
+    u.register("ANY", (ar: Seq[String]) => if (ar != null && ar.nonEmpty) ar.head else "")
+    u.register("regtype", (oid: Int) => PgCatalog.typeNameOf(oid))
+  }
+}

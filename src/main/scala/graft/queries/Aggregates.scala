@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation surface: GROUP BY / HAVING / DISTINCT aggs / ROLLUP / CUBE /
+  * GROUPING SETS / min_by-max_by / approx_count_distinct / PIVOT / UDAF
+  * (reference sites AstBuilder.scala:844-914,1556-1700). All aggregation is
+  * hash-based with map-side partial aggregation — Catalyst plans partial +
+  * final automatically, which is exactly what survives a 1000-executor shuffle.
+  */
+object Aggregates {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Exact weighted average as a typed UDAF: scaled-long sums (both inputs are
+    * 2-decimal), so partial aggregation is associative and exact; the single
+    * final division happens once on the driver-side merge result.
+    */
+  object WeightedAvg extends Aggregator[(Double, Double), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) = {
+      val p = math.round(a._1 * 100) // price cents
+      val q = math.round(a._2 * 100) // qty hundredths
+      (b._1 + p * q, b._2 + q)
+    }
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) = (x._1 + y._1, x._2 + y._2)
+    // Both scaled sums stay < 2^53 (6e5 rows * 5e10 max term = 3e16 is the
+    // 100x bound; per-group at bench sf it is ~7.5e15), so toDouble is exact
+    // and each division rounds once — bit-identical to the oracle's
+    // CAST(decimal-sum AS DOUBLE) / CAST(decimal-sum AS DOUBLE).
+    def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else (r._1.toDouble / 1e4) / (r._2.toDouble / 1e2)
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val entries: Seq[QE] = Seq(
+    // GROUP BY + HAVING (post-aggregate filter).
+    QE("q20_group_having", Some(s"""
+      SELECT l_suppkey, ${Q.oSum("l_quantity")} AS total_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 14000
+      ORDER BY l_suppkey"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(Q.dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Q.dec)).as("_hsum"))
+        .filter(col("_hsum") > 14000)
+        .drop("_hsum")
+        .orderBy("l_suppkey")),
+
+    // DISTINCT aggregates (count + sum over distinct values).
+    QE("q21_distinct_agg", Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dq
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          sum_distinct(col("l_quantity").cast(Q.dec)).cast(DoubleType).as("sum_dq"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP with grouping() indicator.
+    QE("q22_rollup", Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             ${Q.oSum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
+          Q.dsum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty")
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // CUBE over two dims.
+    QE("q23_cube", Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // GROUPING SETS (SQL-text form; reference grammar G:560-563).
+    QE("q24_grouping_sets", Some(s"""
+      SELECT l_returnflag, l_linestatus, ${Q.oSum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+                  FROM lineitem
+                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                  ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      }),
+
+    // FIRST/LAST-style deterministic extremes: min_by / max_by (arg_min/arg_max).
+    QE("q25_min_max_by", Some("""
+      SELECT o_orderstatus,
+             min_by(o_orderkey, o_totalprice) AS cheapest_key,
+             max_by(o_orderkey, o_totalprice) AS priciest_key,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_key"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")),
+
+    // HLL approximate distinct; small cardinalities stay in the exact sparse
+    // regime so the DuckDB exact COUNT(DISTINCT) is a valid oracle here.
+    QE("q26_approx_distinct", Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS approx_supp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_suppkey"), 0.005).as("approx_supp"))
+        .orderBy("l_returnflag")),
+
+    // PIVOT (explicit value list so output columns are static).
+    QE("q27_pivot", Some(s"""
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Q.dsum(col("l_quantity")))
+        .orderBy("l_returnflag")),
+
+    // Custom typed UDAF (Aggregator) — exact weighted average price by qty.
+    QE("q28_udaf_weighted_avg", Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => {
+        val wavg = udaf(WeightedAvg)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+          .orderBy("l_returnflag")
+      }))
+}

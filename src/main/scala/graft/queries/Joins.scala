@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join surface: all join types the reference parser exposes
+  * (AstBuilder.scala:945-976, grammar SqlBase.g4:598-616), re-expressed with
+  * the DataFrame API. Dimension tables (region/nation/customer/supplier) are
+  * explicitly broadcast — at 100 TB the fact side (lineitem/orders) must
+  * never shuffle against a dimension that fits in memory.
+  */
+object Joins {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val entries: Seq[QE] = Seq(
+    // TPC-H Q5 shape: 5-way inner join, dims broadcast, agg on nation.
+    QE("q10_join_5way", Some(s"""
+      SELECT n_name, ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1999-01-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
+    // LEFT OUTER join keeping customers with zero orders (Q13 shape).
+    QE("q11_join_left", Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS spend
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus = 'F'
+      GROUP BY c_custkey ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast(Q.dec)), lit(0)).cast(DoubleType).as("spend"))
+        .orderBy("c_custkey")),
+
+    // RIGHT OUTER join (mirror of left; exercises the right-side planner path).
+    QE("q12_join_right", Some("""
+      SELECT c_custkey, c_name, o_orderkey
+      FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      ORDER BY c_custkey, o_orderkey NULLS FIRST"""),
+      (s, d) => t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    // FULL OUTER join over two disjointly-filtered sides.
+    QE("q13_join_full", Some("""
+      SELECT f.o_orderkey AS f_key, o.o_orderkey AS o_key
+      FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 200) f
+      FULL JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 200) o
+        ON f.o_orderkey = o.o_orderkey
+      ORDER BY f_key NULLS LAST, o_key NULLS LAST"""),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val f = o.filter(col("o_orderstatus") === "F" && col("o_orderkey") < 200)
+          .select(col("o_orderkey").as("f_key"))
+        val oo = o.filter(col("o_orderstatus") === "O" && col("o_orderkey") < 200)
+          .select(col("o_orderkey").as("o_key"))
+        f.join(oo, col("f_key") === col("o_key"), "full_outer")
+          .orderBy(col("f_key").asc_nulls_last, col("o_key").asc_nulls_last)
+      }),
+
+    // LEFT SEMI join (EXISTS shape).
+    QE("q14_join_semi", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // LEFT ANTI join (NOT EXISTS shape).
+    QE("q15_join_anti", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // CROSS join of the two tiny dims (both sides broadcast-sized).
+    QE("q16_join_cross", Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name"""),
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // USING join (shared column name folded to one output column).
+    QE("q17_join_using", Some("""
+      SELECT custkey, c_name, COUNT(*) AS n
+      FROM (SELECT c_custkey AS custkey, c_name FROM customer)
+      JOIN (SELECT o_custkey AS custkey FROM orders) USING (custkey)
+      GROUP BY custkey, c_name ORDER BY custkey"""),
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+        .join(t(s, d, "orders").select(col("o_custkey").as("custkey")), Seq("custkey"))
+        .groupBy("custkey", "c_name").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")),
+
+    // Theta join: equi key + non-equi residual (supplier richer than customer
+    // in the same nation). Small side broadcast.
+    QE("q18_join_theta", Some("""
+      SELECT s_suppkey, c_custkey FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      WHERE c_custkey < 300
+      ORDER BY s_suppkey, c_custkey"""),
+      (s, d) => broadcast(t(s, d, "supplier"))
+        .join(t(s, d, "customer").filter(col("c_custkey") < 300),
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")),
+
+    // Broadcast join hint via SQL-text hint syntax (reference AB:871-882).
+    QE("q19_join_hint", Some("""
+      SELECT n_name, COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT /*+ BROADCAST(nation) */ n_name, COUNT(*) AS n_cust
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 GROUP BY n_name ORDER BY n_name""")
+      }))
+}

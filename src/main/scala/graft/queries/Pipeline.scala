@@ -1,0 +1,400 @@
+package graft.queries
+
+import graft.{QE, Tables}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale training-data pipeline operators over `documents` and
+  * `embeddings`: dedup (exact, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis (tokens, quality,
+  * lang-ID, fingerprints) and multimodal binary handling.
+  *
+  * Scale posture: nothing here ever does an all-pairs comparison on the full
+  * corpus — near-dup candidates come from banded LSH bucket joins, ANN from
+  * hyperplane buckets with a small broadcast query side. No collect(), no
+  * crossJoin on two large sides.
+  */
+object Pipeline {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  // ---- shared text helpers (expression-level, codegen-friendly) ----
+
+  /** whitespace tokens */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** distinct 3-token shingles; empty when the doc has <3 tokens */
+  private def shingles(ts: Column): Column =
+    when(size(ts) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ts) - 2),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  // MinHash: h_j(x) = (a_j * x31 + b_j) mod P over 31-bit shingle hashes, so
+  // every product stays < 2^62 (ANSI-mode safe). Seeds fixed for determinism.
+  private val MinhashP = 2147483647L // 2^31 - 1, prime
+  private val NumHashes = 64
+  private val BandRows = 2 // 32 bands x 2 rows: P(miss | j=0.8) ~ 6e-15
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 64-element MinHash signature of a shingle array. */
+  private def minhash(sh: Column): Column = {
+    val x31 = transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
+    array((0 until NumHashes).map { j =>
+      array_min(transform(x31, x => pmod(x * hashA(j) + hashB(j), lit(MinhashP))))
+    }: _*)
+  }
+
+  /** DuckDB SQL for exact shingle-set Jaccard over all pairs >= threshold —
+    * the oracle for the MinHash path (banding miss probability ~1e-14, so the
+    * LSH output equals the exact answer).
+    */
+  private def jaccardOracle(thresh: Double): String = s"""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thresh
+    ORDER BY da, db"""
+
+  /** Ordered-fold dot product of two double-cast float arrays: both engines
+    * fold left-to-right over identical element products -> bit-identical.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB spelling of the same ordered fold. */
+  private def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  // Random-hyperplane LSH: 4 tables x 8 planes, deterministic seed.
+  private val LshTables = 4
+  private val LshPlanes = 8
+  private val EmbDim = 64
+  private val lshPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(LshTables, LshPlanes, EmbDim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id of an embedding in LSH table `t`: 8 sign bits packed. */
+  private def lshBucket(emb: Column, table: Int): Column = {
+    val bits = (0 until LshPlanes).map { p =>
+      val plane = array(lshPlanes(table)(p).map(lit): _*)
+      when(dot(emb, plane) > 0, 1 << p).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  private val stop = Seq("the", "a")
+  // Arbitrary-but-fixed per-language marker words for the stopword-ratio
+  // heuristic (the synthetic corpus shares one vocabulary, so the mechanics —
+  // score + argmax — are what's exercised, not real language ID).
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "key", "merge"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "sort"),
+    "fr" -> Seq("table", "join", "line"),
+    "zh" -> Seq("batch", "spark", "big"))
+
+  val entries: Seq[QE] = Seq(
+    // Exact dedup by content hash: first doc_id per sha256(text) survives.
+    QE("p01_dedup_exact", Some("""
+      SELECT doc_id, sha256(text) AS h FROM documents
+      QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .orderBy("doc_id")
+      }),
+
+    // Normalized dedup: lowercase + collapse whitespace before hashing.
+    QE("p02_dedup_normalized", Some("""
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                                 ORDER BY doc_id) = 1
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val norm = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), norm.as("h"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .orderBy("doc_id")
+      }),
+
+    // MinHash-LSH near-dup detection: signature -> banded buckets -> bucket
+    // join for candidates -> exact Jaccard verify. Never all-pairs.
+    QE("p03_minhash_neardup", Some(jaccardOracle(0.8)),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigs = docs.select(col("doc_id"), col("sh"), minhash(col("sh")).as("mh"))
+        val bands = sigs.select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
+            b => concat_ws(":",
+              element_at(col("mh"), b * BandRows + 1),
+              element_at(col("mh"), b * BandRows + 2)))).as(Seq("band", "key")))
+        val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val sh = docs.select(col("doc_id"), col("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+          .select(col("da"), col("db"),
+            (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+              size(array_union(col("sha"), col("shb")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("da", "db")
+      }),
+
+    // SimHash fingerprints (engine-specific 64-bit hashing -> rows-only
+    // check; the planted near-dup property is asserted in SimHashSpec).
+    QE("p04_simhash", None,
+      (s, d) => {
+        val hashes = transform(toks(col("text")), tk => xxhash64(tk))
+        val sim = (0 until 64).map { i =>
+          val bitSum = aggregate(hashes, lit(0L),
+            (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          when(bitSum > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _)
+        t(s, d, "documents")
+          .select(col("doc_id"), sim.as("simhash"))
+          .orderBy("doc_id")
+      }),
+
+    // Character-trigram Jaccard similarity on a bounded doc subset — the
+    // n-gram dedup primitive with an exact cross-engine oracle.
+    QE("p05_ngram_jaccard", Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+      g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(text)-2),
+              i -> substr(text, i, 3))) AS gs FROM d),
+      ex AS (SELECT doc_id, unnest(gs) AS s FROM g),
+      sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS sim
+      FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      ORDER BY da, db"""),
+      (s, d) => {
+        val g = t(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3)))).as("gs"))
+        g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            (size(array_intersect(col("x.gs"), col("y.gs"))).cast(DoubleType) /
+              size(array_union(col("x.gs"), col("y.gs")))).as("sim"))
+          .filter(col("sim") >= 0.5)
+          .orderBy("da", "db")
+      }),
+
+    // Brute-force cosine top-k: small broadcast query side x full corpus,
+    // ordered-fold arithmetic so the oracle matches bit-for-bit.
+    QE("p06_ann_bruteforce", Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      scored AS (SELECT qid, vec_id, ${oDot("qe", "embedding")} /
+                   (sqrt(${oDot("qe", "qe")}) * sqrt(${oDot("embedding", "embedding")})) AS cos
+                 FROM q, embeddings WHERE qid <> vec_id)
+      SELECT qid, vec_id, cos FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 3
+      ORDER BY qid, cos DESC, vec_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        broadcast(q).join(e, col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 3).drop("_rn")
+          .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      }),
+
+    // LSH-bucketed ANN: hyperplane sign buckets per table, candidates from
+    // bucket equality only, exact rerank inside buckets. Rows-only check;
+    // recall vs brute force is asserted in AnnLshSpec.
+    QE("p07_ann_lsh", None,
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val buckets = (0 until LshTables).map { tb =>
+          e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
+            lshBucket(col("embedding"), tb).as("bucket"))
+        }.reduce(_ unionAll _)
+        val q = buckets.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("tbl"), col("bucket"))
+        val cand = broadcast(q).join(buckets, Seq("tbl", "bucket"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
+          .distinct()
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        cand.select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 3).drop("_rn")
+          .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata, decode
+    // stubbed as a deterministic byte-level feature (real decode would swap
+    // into MediaDecode.decodeStub; schema/partitioning/batching are real).
+    QE("p08_multimodal", Some("""
+      SELECT doc_id,
+             CAST(n_chars AS INT) AS byte_len,
+             CAST(list_reduce(list_transform(generate_series(1, 16),
+                    i -> ord(substr(text, i, 1))), (a, b) -> a + b) % 256 AS INT) AS ascii_sum,
+             CAST(list_reduce(list_transform(generate_series(1, 16),
+                    i -> ord(substr(text, i, 1))), (a, b) -> a + b) % 256 AS DOUBLE) / 255.0 AS brightness
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => MediaDecode.run(s, t(s, d, "documents"))),
+
+    // Text quality scoring: token counts, type-token ratio, mean token
+    // length, stopword ratio, and a composite keep/drop flag.
+    QE("p09_text_quality", Some(s"""
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS ttr,
+             CAST(list_reduce(list_transform(str_split(text, ' '), tk -> len(tk)), (a, b) -> a + b) AS DOUBLE)
+               / len(str_split(text, ' ')) AS mean_tok_len,
+             CAST(len(list_filter(str_split(text, ' '), tk -> tk IN ('the', 'a'))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS stopword_ratio,
+             (len(str_split(text, ' ')) BETWEEN 10 AND 2000) AND
+               (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) > 0.1)
+               AS keep
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val ts = toks(col("text"))
+        val n = size(ts)
+        val ttr = size(array_distinct(ts)).cast(DoubleType) / n
+        t(s, d, "documents").select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          ttr.as("ttr"),
+          (aggregate(ts, lit(0), (a, tk) => a + length(tk)).cast(DoubleType) / n).as("mean_tok_len"),
+          (size(filter(ts, tk => tk.isin(stop: _*))).cast(DoubleType) / n).as("stopword_ratio"),
+          (n.between(10, 2000) && ttr > 0.1).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // Language-ID heuristic: per-language marker-word hit counts + argmax
+    // with alphabetical tie-break.
+    QE("p10_lang_id", Some {
+      val scores = langMarkers.map { case (l, ws) =>
+        s"CAST(len(list_filter(str_split(text, ' '), tk -> tk IN (${ws.map("'" + _ + "'").mkString(",")}))) AS INT) AS s_$l"
+      }.mkString(",\n             ")
+      val langs = langMarkers.map(_._1)
+      val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN s_$l = $greatest THEN '$l'").mkString(" ")
+      s"""
+      WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+      SELECT doc_id, lang, ${langs.map("s_" + _).mkString(", ")},
+             CASE $caseChain END AS pred,
+             (CASE $caseChain END = lang) AS hit
+      FROM scored ORDER BY doc_id"""
+    },
+      (s, d) => {
+        val ts = toks(col("text"))
+        val scored = t(s, d, "documents").select(
+          (Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ws) =>
+            size(filter(ts, tk => tk.isin(ws: _*))).as(s"s_$l")
+          }): _*)
+        val langs = langMarkers.map(_._1)
+        val top = greatest(langs.map(l => col(s"s_$l")): _*)
+        val pred = langs.tail.foldLeft(
+          when(col(s"s_${langs.head}") === top, langs.head)) {
+          case (acc, l) => acc.when(col(s"s_$l") === top, l)
+        }
+        scored.select((Seq(col("doc_id"), col("lang")) ++ langs.map(l => col(s"s_$l")) ++
+          Seq(pred.as("pred"), (pred === col("lang")).as("hit"))): _*)
+          .orderBy("doc_id")
+      }),
+
+    // Corpus token histogram: explode -> count -> top 20 (partial aggregation
+    // makes the explode-shuffle carry only (token, count) pairs).
+    QE("p11_token_hist", Some("""
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+      GROUP BY t ORDER BY cnt DESC, token LIMIT 20"""),
+      (s, d) => t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    // Document fingerprint: md5 over the sorted distinct token set (a
+    // shift/reorder-invariant content signature).
+    QE("p12_fingerprint", Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(array_distinct(toks(col("text")))))).as("fp"))
+        .orderBy("doc_id")),
+
+    // BPE-ish token counting via regex word classes.
+    QE("p13_token_regex", Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_word,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_word"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))
+        .orderBy("doc_id")))
+}
+
+/** Multimodal decode plumbing: documents -> opaque binary payload + typed
+  * metadata struct, "decoded" per-partition over a typed Dataset. The decode
+  * itself is a deterministic stub (no image/audio libs in this environment);
+  * the Spark-side schema, batching and partition-parallel execution are real.
+  */
+object MediaDecode {
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], n_chars: Long)
+  final case class MediaFeat(doc_id: Long, byte_len: Int, ascii_sum: Int, brightness: Double)
+
+  /** Stub for a real media decoder (resize / frame-sample / spectrogram …).
+    * Deterministic byte-level feature so correctness is oracle-checkable.
+    */
+  def decodeStub(m: MediaRow): MediaFeat = {
+    val ascii = m.payload.take(16).map(_ & 0xff).sum % 256
+    MediaFeat(m.doc_id, m.payload.length, ascii, ascii.toDouble / 255.0)
+  }
+
+  def run(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("n_chars"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** Bridge to `private[sql]` Spark internals the engine needs: executing a
+  * hand-built LogicalPlan (the reference does this via Dataset.ofRows,
+  * ExecutorImpl.scala:135) and registering expression-level functions.
+  * Lives under org.apache.spark.sql so scalac grants package access; kept
+  * minimal on purpose.
+  */
+object Internals {
+  private def classic(spark: SparkSession): CSparkSession =
+    spark.asInstanceOf[CSparkSession]
+
+  /** Execute an (unanalyzed or analyzed) LogicalPlan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(classic(spark), plan)
+
+  /** The session's own SQL parser (dialect parsers delegate to this). */
+  def sessionParser(spark: SparkSession): ParserInterface =
+    classic(spark).sessionState.sqlParser
+
+  /** Register an expression-building function (beyond what udf.register can
+    * express, e.g. zero-arg or plan-time expressions).
+    */
+  def registerExprFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    classic(spark).sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
