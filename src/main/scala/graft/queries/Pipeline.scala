@@ -84,9 +84,11 @@ object Pipeline {
     s"""list_reduce(list_transform(generate_series(1, len($a)),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
-  // Random-hyperplane LSH: 4 tables x 8 planes, deterministic seed.
-  private val LshTables = 4
-  private val LshPlanes = 8
+  // Random-hyperplane LSH: 8 tables x 6 planes, deterministic seed. More
+  // tables / fewer planes trades candidate-set size for recall; 64-dim
+  // near-orthogonal embeddings need the larger multi-probe union.
+  private val LshTables = 8
+  private val LshPlanes = 6
   private val EmbDim = 64
   private val lshPlanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)

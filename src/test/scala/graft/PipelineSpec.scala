@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the approximate pipeline operators (the ones without
+  * a SQL oracle): SimHash locality and LSH-ANN recall vs brute force.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("minhash near-dup finds pairs and they all verify >= 0.8 jaccard") {
+    val pairs = SparkEntry.queries("p03_minhash_neardup")(spark, sf).collect()
+    assert(pairs.nonEmpty, "sf0.001 documents contain planted near-dups")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, random pairs large") {
+    val sim = SparkEntry.queries("p04_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDups = SparkEntry.queries("p03_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupDist = nearDups.map { case (a, b) => hamming(sim(a), sim(b)) }
+    val rnd = new scala.util.Random(1)
+    val ids = sim.keys.toArray
+    val randDist = Seq.fill(200) {
+      val (a, b) = (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+      hamming(sim(a), sim(b))
+    }
+    assert(dupDist.max < 16, s"near-dup hamming too large: ${dupDist.toSeq}")
+    assert(randDist.sum.toDouble / randDist.size > dupDist.sum.toDouble / dupDist.size,
+      "random pairs should be farther apart than near-dups on average")
+  }
+
+  test("LSH ANN: deterministic, reranked, recall vs brute force") {
+    val brute = SparkEntry.queries("p06_ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh1 = SparkEntry.queries("p07_ann_lsh")(spark, sf).collect()
+    val lsh2 = SparkEntry.queries("p07_ann_lsh")(spark, sf).collect()
+    assert(lsh1.map(_.toString).toSeq === lsh2.map(_.toString).toSeq, "must be deterministic")
+    // per-query cosine must be non-increasing (reranked)
+    lsh1.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+    val hits = lsh1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"LSH recall vs brute force too low: $hits/${brute.size}")
+  }
+
+  test("multimodal decode stub: byte lengths and brightness bounds hold") {
+    val out = SparkEntry.queries("p08_multimodal")(spark, sf)
+    val expect = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("expect"))
+    val mismatches = out.select("doc_id", "byte_len")
+      .join(expect, "doc_id")
+      .filter(col("byte_len") =!= col("expect")).count()
+    assert(mismatches === 0, "ascii text: byte length == char length")
+    assert(out.filter(col("brightness") < 0 || col("brightness") > 1).count() === 0)
+  }
+}

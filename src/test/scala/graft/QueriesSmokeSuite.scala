@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs every SparkEntry operator at sf0.001: non-empty schema, successful
+  * execution, and rows > 0 for the entries where the data guarantees output.
+  */
+class QueriesSmokeSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // Entries that may legitimately return zero rows at sf0.001.
+  private val mayBeEmpty = Set(
+    "q13_join_full", "q15_join_anti", "q20_group_having", "q54_except",
+    "q55_except_all", "q60_in_subquery", "q84_pg_params", "p03_minhash_neardup",
+    "p05_ngram_jaccard")
+
+  SparkEntry.all.foreach { q =>
+    test(q.name) {
+      val df = q.fn(spark, TestSpark.sfDir)
+      assert(df.schema.nonEmpty, "schema must be non-empty")
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key matches a query key") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("scale guards: no crossJoin/collect in pipeline operator plans") {
+    for (name <- Seq("p03_minhash_neardup", "p07_ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Cartesian"), s"$name must not plan a cartesian product")
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.pg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure string-level tests of the dialect rewriter (no Spark session). */
+class PgRewriteSpec extends AnyFunSuite {
+
+  test("$n params become pg_param calls") {
+    assert(PgRewrite("SELECT * FROM t WHERE a > $1 AND b = $23") ===
+      "SELECT * FROM t WHERE a > pg_param(1) AND b = pg_param(23)")
+  }
+
+  test("$n inside string literals is untouched") {
+    assert(PgRewrite("SELECT 'costs $1' WHERE x = $2") ===
+      "SELECT 'costs $1' WHERE x = pg_param(2)")
+  }
+
+  test("binary ~ becomes RLIKE; unary ~ is preserved") {
+    assert(PgRewrite("SELECT a ~ 'x.*' FROM t") === "SELECT a  RLIKE  'x.*' FROM t")
+    assert(PgRewrite("SELECT ~5") === "SELECT ~5")
+    assert(PgRewrite("SELECT (~5)") === "SELECT (~5)")
+  }
+
+  test("!~ becomes NOT RLIKE") {
+    assert(PgRewrite("SELECT a !~ 'p' FROM t") === "SELECT a  NOT RLIKE  'p' FROM t")
+  }
+
+  test("~ inside quoted identifier or literal untouched") {
+    assert(PgRewrite("SELECT \"we~ird\" FROM t") === "SELECT \"we~ird\" FROM t")
+    assert(PgRewrite("SELECT 'a ~ b' FROM t") === "SELECT 'a ~ b' FROM t")
+  }
+
+  test("::text maps to ::string, other casts pass through") {
+    assert(PgRewrite("SELECT a::text FROM t") === "SELECT a::string FROM t")
+    assert(PgRewrite("SELECT a::int FROM t") === "SELECT a::int FROM t")
+  }
+
+  test("generate_series becomes an inclusive range subquery") {
+    assert(PgRewrite("SELECT * FROM generate_series(1, 5)") ===
+      "SELECT * FROM (SELECT id AS generate_series FROM range(1, (5)+1))")
+  }
+
+  test("generate_series with step and table/column alias") {
+    assert(PgRewrite("SELECT i FROM generate_series(0, 10, 2) AS s(i)") ===
+      "SELECT i FROM (SELECT id AS i FROM range(0, (10)+1, 2)) AS s")
+    assert(PgRewrite("SELECT * FROM generate_series(1, 3) t") ===
+      "SELECT * FROM (SELECT id AS generate_series FROM range(1, (3)+1)) AS t")
+  }
+
+  test("generate_series alias is not stolen from a following keyword") {
+    assert(PgRewrite("SELECT * FROM generate_series(1, 3) WHERE 1 = 1") ===
+      "SELECT * FROM (SELECT id AS generate_series FROM range(1, (3)+1)) WHERE 1 = 1")
+  }
+
+  test("substring from/for forms") {
+    assert(PgRewrite("SELECT substring('hello' from 2 for 3)") ===
+      "SELECT substring('hello', 2, 3)")
+    assert(PgRewrite("SELECT substring(x from 4) FROM t") ===
+      "SELECT substring(x, 4) FROM t")
+    assert(PgRewrite("SELECT substring(x, 1, 2) FROM t") ===
+      "SELECT substring(x, 1, 2) FROM t")
+  }
+
+  test("nested dialect constructs rewrite recursively") {
+    assert(PgRewrite("SELECT substring(a::text from $1)") ===
+      "SELECT substring(a::string, pg_param(1))")
+  }
+
+  test("comments are preserved verbatim") {
+    assert(PgRewrite("SELECT 1 -- a ~ b $1\n, 2") === "SELECT 1 -- a ~ b $1\n, 2")
+    assert(PgRewrite("SELECT /* $1 ~ */ 2") === "SELECT /* $1 ~ */ 2")
+  }
+}
