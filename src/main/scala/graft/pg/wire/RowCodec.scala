@@ -1,0 +1,173 @@
+package graft.pg.wire
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PostgreSQL V3 DataRow field writers: one per (Catalyst type, format).
+  * Layout per field: int32 byte-length then the payload, length -1 for NULL
+  * (reference converters.scala:131-151). Binary values are big-endian;
+  * date/timestamp shift to the PG epoch (see [[PgTypes.PG_EPOCH_DAYS]]).
+  */
+object RowCodec {
+
+  type FieldWriter = (InternalRow, ByteBuffer) => Unit
+
+  private val NULL_LEN = -1
+
+  /** Build per-column writers for a schema; `binary(i)` selects the wire
+    * format of column i (reference converters.scala:107-126).
+    */
+  def rowWriter(schema: StructType, binary: Seq[Boolean]): (InternalRow, ByteBuffer) => Unit = {
+    require(schema.length == binary.length, "format flags must match schema arity")
+    val writers = schema.fields.zipWithIndex.map { case (f, i) =>
+      fieldWriter(f.dataType, i, binary(i))
+    }
+    (row, buf) => {
+      var i = 0
+      while (i < writers.length) {
+        if (row.isNullAt(i)) buf.putInt(NULL_LEN) else writers(i)(row, buf)
+        i += 1
+      }
+    }
+  }
+
+  private def putBytes(buf: ByteBuffer, b: Array[Byte]): Unit = {
+    buf.putInt(b.length); buf.put(b)
+  }
+  private def putText(buf: ByteBuffer, s: String): Unit = putBytes(buf, s.getBytes(UTF_8))
+
+  private val tsFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss")
+
+  /** PG-style timestamp text: micros with trailing zeros trimmed, no
+    * fractional dot when zero (PG timestamp_out behavior; the reference used
+    * java.sql.Timestamp.toString which always emits ".0" — we match PG).
+    */
+  def timestampText(micros: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    val base = tsFmt.format(ldt)
+    val frac = Math.floorMod(micros, 1000000L)
+    if (frac == 0) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  def dateText(days: Int): String = LocalDate.ofEpochDay(days.toLong).toString
+
+  def fieldWriter(dt: DataType, i: Int, binary: Boolean): FieldWriter = (dt, binary) match {
+    // ---- binary mode ----
+    case (BooleanType, true) => (r, b) => { b.putInt(1); b.put(if (r.getBoolean(i)) 1.toByte else 0.toByte) }
+    case (ByteType, true) => (r, b) => { b.putInt(1); b.put(r.getByte(i)) }
+    case (ShortType, true) => (r, b) => { b.putInt(2); b.putShort(r.getShort(i)) }
+    case (IntegerType, true) => (r, b) => { b.putInt(4); b.putInt(r.getInt(i)) }
+    case (LongType, true) => (r, b) => { b.putInt(8); b.putLong(r.getLong(i)) }
+    case (FloatType, true) => (r, b) => { b.putInt(4); b.putFloat(r.getFloat(i)) }
+    case (DoubleType, true) => (r, b) => { b.putInt(8); b.putDouble(r.getDouble(i)) }
+    case (DateType, true) => (r, b) => { b.putInt(4); b.putInt(r.getInt(i) - PgTypes.PG_EPOCH_DAYS) }
+    case (TimestampType, true) => (r, b) => { b.putInt(8); b.putLong(r.getLong(i) - PgTypes.PG_EPOCH_MICROS) }
+    case (CalendarIntervalType, true) => (r, b) => {
+      val iv = r.getInterval(i)
+      b.putInt(16); b.putInt(iv.months); b.putInt(iv.days); b.putLong(iv.microseconds)
+    }
+    case (StringType, _) => (r, b) => {
+      val s = r.getUTF8String(i)
+      b.putInt(s.numBytes()); s.writeTo(b)
+    }
+    case (BinaryType, _) => (r, b) => putBytes(b, r.getBinary(i))
+
+    // ---- text mode ----
+    case (BooleanType, false) => (r, b) => { b.putInt(1); b.put(if (r.getBoolean(i)) 't'.toByte else 'f'.toByte) }
+    case (DateType, false) => (r, b) => putText(b, dateText(r.getInt(i)))
+    case (TimestampType, false) => (r, b) => putText(b, timestampText(r.getLong(i)))
+    case (d: DecimalType, false) => (r, b) => putText(b, r.getDecimal(i, d.precision, d.scale).toString)
+    case (at: ArrayType, false) => (r, b) => putText(b, pgArrayText(r.getArray(i), at.elementType))
+    case (mt: MapType, false) => (r, b) => putText(b, jsonValue(r.getMap(i), mt))
+    case (st: StructType, false) => (r, b) => putText(b, jsonValue(r.getStruct(i, st.length), st))
+    case (ByteType, false) => (r, b) => putText(b, r.getByte(i).toString)
+    case (ShortType, false) => (r, b) => putText(b, r.getShort(i).toString)
+    case (IntegerType, false) => (r, b) => putText(b, r.getInt(i).toString)
+    case (LongType, false) => (r, b) => putText(b, r.getLong(i).toString)
+    case (FloatType, false) => (r, b) => putText(b, r.getFloat(i).toString)
+    case (DoubleType, false) => (r, b) => putText(b, r.getDouble(i).toString)
+    case (CalendarIntervalType, false) => (r, b) => putText(b, r.getInterval(i).toString)
+    case (other, false) => (r, b) => putText(b, String.valueOf(r.get(i, other)))
+    case (other, true) =>
+      throw new IllegalArgumentException(s"binary format unsupported for $other")
+  }
+
+  /** PG array literal: `{1,2,3}` / `{"a","b"}` (reference renders via JSON
+    * then re-braces, converters.scala:370-388 — same output, built directly).
+    */
+  def pgArrayText(arr: ArrayData, elem: DataType): String = {
+    val sb = new StringBuilder("{")
+    var k = 0
+    while (k < arr.numElements()) {
+      if (k > 0) sb.append(',')
+      if (arr.isNullAt(k)) sb.append("null")
+      else sb.append(scalarText(arr.get(k, elem), elem))
+      k += 1
+    }
+    sb.append('}').toString
+  }
+
+  private def scalarText(v: Any, dt: DataType): String = dt match {
+    case StringType => jsonString(v.asInstanceOf[UTF8String].toString)
+    case TimestampType => jsonString(timestampText(v.asInstanceOf[Long]))
+    case DateType => jsonString(dateText(v.asInstanceOf[Int]))
+    case BooleanType => v.toString
+    case at: ArrayType => pgArrayText(v.asInstanceOf[ArrayData], at.elementType)
+    case _ => v.toString
+  }
+
+  /** Minimal JSON rendering for map/struct text mode (reference uses
+    * catalyst's JacksonGenerator; output shape matches).
+    */
+  def jsonValue(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "null"
+    case (m: MapData, mt: MapType) =>
+      val keys = m.keyArray(); val vals = m.valueArray()
+      (0 until m.numElements()).map { k =>
+        val key = keys.get(k, mt.keyType) match {
+          case s: UTF8String => jsonString(s.toString)
+          case other => jsonString(String.valueOf(other))
+        }
+        val value =
+          if (vals.isNullAt(k)) "null" else jsonValue(vals.get(k, mt.valueType), mt.valueType)
+        s"$key:$value"
+      }.mkString("{", ",", "}")
+    case (row: InternalRow, st: StructType) =>
+      st.fields.zipWithIndex.map { case (f, k) =>
+        val value = if (row.isNullAt(k)) "null" else jsonValue(row.get(k, f.dataType), f.dataType)
+        s"${jsonString(f.name)}:$value"
+      }.mkString("{", ",", "}")
+    case (a: ArrayData, at: ArrayType) =>
+      (0 until a.numElements()).map { k =>
+        if (a.isNullAt(k)) "null" else jsonValue(a.get(k, at.elementType), at.elementType)
+      }.mkString("[", ",", "]")
+    case (s: UTF8String, _) => jsonString(s.toString)
+    case (ts: Long, TimestampType) => jsonString(timestampText(ts))
+    case (d: Int, DateType) => jsonString(dateText(d))
+    case (other, _) => other.toString
+  }
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

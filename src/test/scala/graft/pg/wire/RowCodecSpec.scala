@@ -1,0 +1,171 @@
+package graft.pg.wire
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-byte tests for the V3 field writers, mirroring the reference's
+  * PgRowConvertersSuite.scala:75-330 (plus the PG-epoch values the PG docs
+  * fix: 2000-01-01 == day 0 == microsecond 0).
+  */
+class RowCodecSpec extends AnyFunSuite {
+
+  private def write(dt: DataType, v: Any, binary: Boolean): Array[Byte] = {
+    val row = new GenericInternalRow(1)
+    row.update(0, v)
+    val buf = ByteBuffer.allocate(1024)
+    RowCodec.rowWriter(StructType(Seq(StructField("a", dt))), Seq(binary))(row, buf)
+    buf.flip()
+    val out = new Array[Byte](buf.remaining())
+    buf.get(out)
+    out
+  }
+
+  private def payload(b: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.wrap(b)
+    val len = buf.getInt
+    assert(len == b.length - 4, "length header must cover the payload")
+    b.drop(4)
+  }
+
+  test("primitive text encodings") {
+    assert(new String(payload(write(IntegerType, 813, binary = false)), UTF_8) === "813")
+    assert(new String(payload(write(LongType, 18923L, binary = false)), UTF_8) === "18923")
+    assert(new String(payload(write(DoubleType, 8.0, binary = false)), UTF_8) === "8.0")
+    assert(new String(payload(write(FloatType, 1.0f, binary = false)), UTF_8) === "1.0")
+    assert(new String(payload(write(ShortType, 2392.toShort, binary = false)), UTF_8) === "2392")
+    assert(new String(payload(write(ByteType, 13.toByte, binary = false)), UTF_8) === "13")
+  }
+
+  test("bool text is t/f, binary is 1/0") {
+    assert(payload(write(BooleanType, true, binary = false)) === Array('t'.toByte))
+    assert(payload(write(BooleanType, false, binary = false)) === Array('f'.toByte))
+    assert(payload(write(BooleanType, true, binary = true)) === Array(1.toByte))
+    assert(payload(write(BooleanType, false, binary = true)) === Array(0.toByte))
+  }
+
+  test("primitive binary encodings are big-endian") {
+    assert(ByteBuffer.wrap(payload(write(IntegerType, 813, binary = true))).getInt === 813)
+    assert(ByteBuffer.wrap(payload(write(LongType, 18923L, binary = true))).getLong === 18923L)
+    assert(ByteBuffer.wrap(payload(write(ShortType, 2392.toShort, binary = true))).getShort === 2392)
+    assert(ByteBuffer.wrap(payload(write(FloatType, 1.5f, binary = true))).getFloat === 1.5f)
+    assert(ByteBuffer.wrap(payload(write(DoubleType, -2.25, binary = true))).getDouble === -2.25)
+    // explicit golden bytes: int4 813 = 0x0000032D
+    assert(payload(write(IntegerType, 813, binary = true)) ===
+      Array[Byte](0x00, 0x00, 0x03, 0x2d))
+  }
+
+  test("NULL writes length -1 and no payload") {
+    val row = new GenericInternalRow(1)
+    row.update(0, null)
+    val buf = ByteBuffer.allocate(8)
+    RowCodec.rowWriter(StructType(Seq(StructField("a", IntegerType))), Seq(true))(row, buf)
+    buf.flip()
+    assert(buf.getInt === -1)
+    assert(!buf.hasRemaining)
+  }
+
+  test("date binary: days since PG epoch 2000-01-01") {
+    val d20000101 = java.time.LocalDate.of(2000, 1, 1).toEpochDay.toInt
+    assert(ByteBuffer.wrap(payload(write(DateType, d20000101, binary = true))).getInt === 0)
+    val d20240115 = java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt
+    assert(ByteBuffer.wrap(payload(write(DateType, d20240115, binary = true))).getInt === 8780)
+    val d19700101 = 0
+    assert(ByteBuffer.wrap(payload(write(DateType, d19700101, binary = true))).getInt === -10957)
+  }
+
+  test("date text is ISO") {
+    val days = java.time.LocalDate.of(1999, 12, 31).toEpochDay.toInt
+    assert(new String(payload(write(DateType, days, binary = false)), UTF_8) === "1999-12-31")
+  }
+
+  test("timestamp binary: micros since PG epoch") {
+    assert(ByteBuffer.wrap(
+      payload(write(TimestampType, PgTypes.PG_EPOCH_MICROS, binary = true))).getLong === 0L)
+    assert(ByteBuffer.wrap(
+      payload(write(TimestampType, PgTypes.PG_EPOCH_MICROS + 1234567L, binary = true)))
+      .getLong === 1234567L)
+  }
+
+  test("timestamp text trims trailing fraction zeros like PG") {
+    def micros(s: String): Long =
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000L
+    assert(new String(payload(write(TimestampType,
+      micros("2024-01-15T12:34:56"), binary = false)), UTF_8) === "2024-01-15 12:34:56")
+    assert(new String(payload(write(TimestampType,
+      micros("2024-01-15T12:34:56.120"), binary = false)), UTF_8) === "2024-01-15 12:34:56.12")
+    assert(new String(payload(write(TimestampType,
+      micros("2024-01-15T12:34:56") + 123456L, binary = false)), UTF_8) ===
+      "2024-01-15 12:34:56.123456")
+  }
+
+  test("interval binary: months, days, micros (4+4+8 bytes)") {
+    val b = payload(write(CalendarIntervalType,
+      new CalendarInterval(1, 3, 0L), binary = true))
+    val buf = ByteBuffer.wrap(b)
+    assert((buf.getInt, buf.getInt, buf.getLong) === ((1, 3, 0L)))
+  }
+
+  test("string and bytea pass through as raw bytes") {
+    assert(new String(payload(
+      write(StringType, UTF8String.fromString("héllo"), binary = false)), UTF_8) === "héllo")
+    assert(payload(write(BinaryType, Array[Byte](1, 2, 3), binary = true)) ===
+      Array[Byte](1, 2, 3))
+  }
+
+  test("decimal text") {
+    assert(new String(payload(write(DecimalType(10, 2),
+      Decimal(BigDecimal("1234.56"), 10, 2), binary = false)), UTF_8) === "1234.56")
+  }
+
+  test("array text renders the PG literal form") {
+    assert(new String(payload(write(ArrayType(IntegerType),
+      ArrayData.toArrayData(Array(0, 1, 2, 3, 4)), binary = false)), UTF_8) === "{0,1,2,3,4}")
+    assert(new String(payload(write(ArrayType(StringType),
+      ArrayData.toArrayData(Array(UTF8String.fromString("ab"), UTF8String.fromString("c\"d"))),
+      binary = false)), UTF_8) === """{"ab","c\"d"}""")
+  }
+
+  test("map and struct text render as JSON") {
+    val m = ArrayBasedMapData(
+      Array[Any](UTF8String.fromString("k")), Array[Any](7))
+    assert(new String(payload(write(MapType(StringType, IntegerType), m, binary = false)),
+      UTF_8) === """{"k":7}""")
+    val st = StructType(Seq(StructField("x", IntegerType), StructField("y", StringType)))
+    val inner: InternalRow = InternalRow(5, UTF8String.fromString("z"))
+    assert(new String(payload(write(st, inner, binary = false)), UTF_8) === """{"x":5,"y":"z"}""")
+  }
+
+  test("param decode round-trips against the writers") {
+    assert(ParamCodec.decode("813".getBytes(UTF_8), PgTypes.INT4, 0).value === 813)
+    assert(ParamCodec.decode(Array[Byte](0, 0, 3, 0x2d), PgTypes.INT4, 1).value === 813)
+    assert(ParamCodec.decode("t".getBytes(UTF_8), PgTypes.BOOL, 0).value === true)
+    assert(ParamCodec.decode(Array[Byte](1), PgTypes.BOOL, 1).value === true)
+    assert(ParamCodec.decode("3.5".getBytes(UTF_8), PgTypes.FLOAT8, 0).value === 3.5)
+    assert(ParamCodec.decode("abc".getBytes(UTF_8), PgTypes.VARCHAR, 0).value ===
+      UTF8String.fromString("abc"))
+    // date binary: PG day 8780 == 2024-01-15
+    val lit = ParamCodec.decode(ByteBuffer.allocate(4).putInt(8780).array(), PgTypes.DATE, 1)
+    assert(lit.value === java.time.LocalDate.of(2024, 1, 15).toEpochDay.toInt)
+    intercept[IllegalArgumentException] {
+      ParamCodec.decode(Array[Byte](0), PgTypes.UNSPECIFIED, 0)
+    }
+  }
+
+  test("oid mapping covers the bridge table") {
+    assert(PgTypes.oidOf(IntegerType) === 23)
+    assert(PgTypes.oidOf(StringType) === 1043)
+    assert(PgTypes.oidOf(ArrayType(DoubleType)) === 1022)
+    assert(PgTypes.oidOf(MapType(StringType, IntegerType)) === 6201)
+    assert(PgTypes.oidOf(DayTimeIntervalType()) === 1186)
+    assert(PgTypes.binaryCapable(TimestampType))
+    assert(!PgTypes.binaryCapable(DecimalType(10, 2)))
+  }
+}
