@@ -78,11 +78,17 @@ object PgDialect {
     * [[ParameterPlaceHolder]] exactly like the reference's forked grammar
     * does (predicates.scala:26-34).
     */
-  def parse(spark: SparkSession, text: String): LogicalPlan = {
+  /** Make `pg_param(n)` analyze to a [[ParameterPlaceHolder]] on this
+    * session (idempotent).
+    */
+  def registerParamFunction(spark: SparkSession): Unit =
     Internals.registerExprFunction(spark, "pg_param", {
       case Seq(Literal(v, _)) => ParameterPlaceHolder(v.toString.toInt)
       case args => throw new IllegalArgumentException(s"pg_param expects a literal id, got $args")
     })
+
+  def parse(spark: SparkSession, text: String): LogicalPlan = {
+    registerParamFunction(spark)
     new PgParserInterface(Internals.sessionParser(spark)).parsePlan(text)
   }
 

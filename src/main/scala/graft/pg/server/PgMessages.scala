@@ -1,0 +1,82 @@
+package graft.pg.server
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.pg.wire.PgTypes
+
+import io.netty.buffer.ByteBuf
+import org.apache.spark.sql.types.StructType
+
+/** Server-side PostgreSQL V3 message encoders (reference
+  * protocol.scala:66-300). Each writes [type:1][len:4][payload] onto a
+  * Netty buffer; `len` covers itself plus the payload.
+  */
+object PgMessages {
+
+  private def msg(buf: ByteBuf, tpe: Char)(body: ByteBuf => Unit): Unit = {
+    buf.writeByte(tpe)
+    val lenAt = buf.writerIndex()
+    buf.writeInt(0)
+    body(buf)
+    buf.setInt(lenAt, buf.writerIndex() - lenAt)
+  }
+
+  private def cstr(buf: ByteBuf, s: String): Unit = {
+    buf.writeBytes(s.getBytes(UTF_8)); buf.writeByte(0)
+  }
+
+  def authenticationOk(buf: ByteBuf): Unit = msg(buf, 'R')(_.writeInt(0))
+
+  def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
+    msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
+
+  def backendKeyData(buf: ByteBuf, pid: Int, secret: Int): Unit =
+    msg(buf, 'K') { b => b.writeInt(pid); b.writeInt(secret) }
+
+  /** status: 'I' idle, 'T' in transaction, 'E' failed transaction */
+  def readyForQuery(buf: ByteBuf, status: Char = 'I'): Unit =
+    msg(buf, 'Z')(_.writeByte(status))
+
+  def parseComplete(buf: ByteBuf): Unit = msg(buf, '1')(_ => ())
+  def bindComplete(buf: ByteBuf): Unit = msg(buf, '2')(_ => ())
+  def closeComplete(buf: ByteBuf): Unit = msg(buf, '3')(_ => ())
+  def noData(buf: ByteBuf): Unit = msg(buf, 'n')(_ => ())
+  def emptyQueryResponse(buf: ByteBuf): Unit = msg(buf, 'I')(_ => ())
+  def portalSuspended(buf: ByteBuf): Unit = msg(buf, 's')(_ => ())
+
+  def commandComplete(buf: ByteBuf, tag: String): Unit =
+    msg(buf, 'C')(b => cstr(b, tag))
+
+  /** reference protocol.scala:171-200: name, table oid, attnum, type oid,
+    * typlen, typmod, format code per column.
+    */
+  def rowDescription(buf: ByteBuf, schema: StructType, binary: Seq[Boolean]): Unit =
+    msg(buf, 'T') { b =>
+      b.writeShort(schema.length)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val oid = PgTypes.oidOf(f.dataType)
+        cstr(b, f.name)
+        b.writeInt(0) // table oid (none)
+        b.writeShort(0) // attribute number
+        b.writeInt(oid)
+        b.writeShort(PgTypes.typeLenOf(oid))
+        b.writeInt(-1) // typmod
+        b.writeShort(if (binary(i)) 1 else 0)
+      }
+    }
+
+  def parameterDescription(buf: ByteBuf, oids: Seq[Int]): Unit =
+    msg(buf, 't') { b =>
+      b.writeShort(oids.length)
+      oids.foreach(b.writeInt)
+    }
+
+  /** severity + SQLSTATE + message (reference protocol.scala:250-262). */
+  def errorResponse(buf: ByteBuf, message: String, sqlState: String = "XX000"): Unit =
+    msg(buf, 'E') { b =>
+      b.writeByte('S'); cstr(b, "ERROR")
+      b.writeByte('C'); cstr(b, sqlState)
+      b.writeByte('M'); cstr(b, if (message == null) "unknown error" else message)
+      b.writeByte(0)
+    }
+}

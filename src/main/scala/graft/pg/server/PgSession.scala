@@ -1,0 +1,87 @@
+package graft.pg.server
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StructType
+
+/** A named prepared statement ('P' message): unanalyzed plan + the schema
+  * captured eagerly so Describe can answer before Bind (reference
+  * protocol.scala:559-582, QueryState protocol.scala:994-1008).
+  */
+final case class Prepared(
+    name: String,
+    sql: String,
+    plan: LogicalPlan,
+    paramIds: Seq[Int],
+    schema: StructType)
+
+/** A bound portal ('B'): statement + bound plan + result formats + the
+  * cursor position across Execute calls (reference PortalState
+  * protocol.scala:1010-1014, cursor fetch :437-504).
+  */
+final class Portal(
+    val name: String,
+    val stmt: Prepared,
+    val bound: LogicalPlan,
+    val formats: Seq[Boolean]) {
+  var schema: StructType = stmt.schema
+  var rows: Iterator[InternalRow] = _
+  var rowCount: Long = 0L
+  def started: Boolean = rows != null
+}
+
+/** Per-connection session: an isolated SparkSession (shared SparkContext,
+  * own temp views/conf — reference SparkSQLServiceManager.scala:112-117),
+  * prepared statements, portals, and the cancel key.
+  */
+final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
+  val statements = mutable.Map.empty[String, Prepared]
+  val portals = mutable.Map.empty[String, Portal]
+  private val stmtCounter = new AtomicInteger(0)
+
+  /** job-group id for the next statement; cancellation targets the group
+    * (reference ExecutorImpl.scala:68-84).
+    */
+  def nextJobGroup(): String = s"pg-$pid-${stmtCounter.incrementAndGet()}"
+  @volatile var activeJobGroup: String = _
+
+  def cancel(): Unit = {
+    val g = activeJobGroup
+    if (g != null) spark.sparkContext.cancelJobGroup(g)
+  }
+
+  def close(): Unit = {
+    statements.clear()
+    portals.clear()
+    SessionRegistry.unregister(pid)
+  }
+}
+
+/** pid -> session map for out-of-band CancelRequest routing (reference
+  * protocol.scala:1168-1184).
+  */
+object SessionRegistry {
+  private val sessions = new ConcurrentHashMap[Int, PgSession]()
+  private val pids = new AtomicInteger(1000)
+  private val rnd = new java.security.SecureRandom()
+
+  def create(base: SparkSession): PgSession = {
+    val s = new PgSession(pids.incrementAndGet(), rnd.nextInt(), base.newSession())
+    // clients scan raw parquet incl. TIMESTAMP(NANOS) columns
+    s.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    sessions.put(s.pid, s)
+    s
+  }
+  def cancel(pid: Int, secret: Int): Unit = {
+    val s = sessions.get(pid)
+    if (s != null && s.secret == secret) s.cancel()
+  }
+  def unregister(pid: Int): Unit = sessions.remove(pid)
+}

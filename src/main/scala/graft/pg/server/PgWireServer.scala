@@ -1,0 +1,434 @@
+package graft.pg.server
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import graft.pg.{PgBeginCommand, PgCatalog, PgDialect, PgParserInterface, ParameterPlaceHolder}
+import graft.pg.wire.{ParamCodec, PgTypes, RowCodec}
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.ByteBuf
+import io.netty.channel._
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.ByteToMessageDecoder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graft.Internals
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** PostgreSQL V3 wire-protocol server over Spark SQL: the reference's
+  * raison d'être (protocol.scala:59-65), rebuilt on public Spark 4 APIs.
+  * Supports the startup/SSL-negotiate/cancel handshakes, the simple 'Q'
+  * flow, the extended P/B/D/E/S/C flow with portal suspension, per-connection
+  * isolated sessions, and out-of-band cancellation.
+  */
+class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4) {
+  private val boss = new NioEventLoopGroup(1)
+  private val workers = new NioEventLoopGroup(workerThreads)
+  @volatile private var channel: Channel = _
+
+  /** Bound port after start (use port=0 for an ephemeral port in tests). */
+  @volatile var boundPort: Int = -1
+
+  def start(): Unit = {
+    base.conf.set("spark.sql.crossJoin.enabled", "true")
+    val b = new ServerBootstrap()
+      .group(boss, workers)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline().addLast(new PgFrameDecoder, new PgConnectionHandler(base))
+      })
+    channel = b.bind(port).sync().channel()
+    boundPort = channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+  }
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+  }
+}
+
+/** One decoded client message: startup variants or a typed V3 frame. */
+private sealed trait PgClientMsg
+private case object SslRequest extends PgClientMsg
+private final case class CancelReq(pid: Int, secret: Int) extends PgClientMsg
+private final case class Startup(params: Map[String, String]) extends PgClientMsg
+private final case class Typed(tpe: Byte, payload: Array[Byte]) extends PgClientMsg
+
+/** Reassembles TCP fragments into whole V3 messages; handles the unframed
+  * startup phase (reference protocol.scala:1238-1274,1153-1184).
+  */
+private class PgFrameDecoder extends ByteToMessageDecoder {
+  private var startupDone = false
+
+  override def decode(ctx: ChannelHandlerContext, in: ByteBuf,
+      out: java.util.List[AnyRef]): Unit = {
+    if (!startupDone) {
+      if (in.readableBytes() < 8) return
+      val len = in.getInt(in.readerIndex())
+      val code = in.getInt(in.readerIndex() + 4)
+      if (len == 8 && code == 80877103) { // SSLRequest
+        in.skipBytes(8)
+        out.add(SslRequest)
+      } else if (len == 16 && code == 80877102) { // CancelRequest
+        if (in.readableBytes() < 16) return
+        in.skipBytes(8)
+        out.add(CancelReq(in.readInt(), in.readInt()))
+      } else if (code == 196608) { // protocol 3.0 StartupMessage
+        if (in.readableBytes() < len) return
+        in.skipBytes(8)
+        val body = new Array[Byte](len - 8)
+        in.readBytes(body)
+        // body is k\0v\0...\0 pairs
+        val kv = new String(body, UTF_8).split('\u0000').filter(_.nonEmpty)
+        out.add(Startup(kv.grouped(2).collect { case Array(k, v) => k -> v }.toMap))
+        startupDone = true
+      } else {
+        throw new IllegalStateException(s"Unsupported startup: len=$len code=$code")
+      }
+    } else {
+      if (in.readableBytes() < 5) return
+      val len = in.getInt(in.readerIndex() + 1)
+      if (in.readableBytes() < 1 + len) return
+      val tpe = in.readByte()
+      in.skipBytes(4)
+      val payload = new Array[Byte](len - 4)
+      in.readBytes(payload)
+      out.add(Typed(tpe, payload))
+    }
+  }
+}
+
+private class PgConnectionHandler(base: SparkSession)
+    extends SimpleChannelInboundHandler[PgClientMsg] {
+
+  import PgMessages._
+
+  private var session: PgSession = _
+
+  override def channelRead0(ctx: ChannelHandlerContext, m: PgClientMsg): Unit = m match {
+    case SslRequest =>
+      val b = ctx.alloc().buffer(1)
+      b.writeByte('N') // no SSL; client retries in clear (reference protocol.scala:1190-1196)
+      ctx.writeAndFlush(b)
+
+    case CancelReq(pid, secret) =>
+      SessionRegistry.cancel(pid, secret)
+      ctx.close()
+
+    case Startup(_) =>
+      session = SessionRegistry.create(base)
+      PgCatalog.register(session.spark)
+      val out = ctx.alloc().buffer()
+      authenticationOk(out)
+      Seq(
+        "server_version" -> "9.6.0",
+        "server_encoding" -> "UTF8",
+        "client_encoding" -> "UTF8",
+        "DateStyle" -> "ISO",
+        "integer_datetimes" -> "on",
+        "standard_conforming_strings" -> "on",
+        "TimeZone" -> session.spark.conf.get("spark.sql.session.timeZone", "UTC")
+      ).foreach { case (k, v) => parameterStatus(out, k, v) }
+      backendKeyData(out, session.pid, session.secret)
+      readyForQuery(out)
+      ctx.writeAndFlush(out)
+
+    case Typed(tpe, payload) =>
+      val out = ctx.alloc().buffer()
+      try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
+      catch {
+        case NonFatal(e) =>
+          errorResponse(out, Option(e.getMessage).getOrElse(e.toString))
+          if (tpe.toChar == 'Q') readyForQuery(out)
+      }
+      ctx.writeAndFlush(out)
+      if (tpe.toChar == 'X') ctx.close()
+  }
+
+  override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+    if (session != null) session.close()
+    super.channelInactive(ctx)
+  }
+
+  // ---- V3 message dispatch (reference extractClientMessageProcessor,
+  // protocol.scala:307-730) ----
+
+  private def handleTyped(tpe: Char, in: ByteBuffer, out: ByteBuf): Unit = tpe match {
+    case 'Q' => simpleQuery(readCStr(in), out)
+    case 'P' => parse(in, out)
+    case 'B' => bind(in, out)
+    case 'D' => describe(in, out)
+    case 'E' => execute(in, out)
+    case 'C' => closeMsg(in, out)
+    case 'S' => readyForQuery(out) // Sync
+    case 'H' => () // Flush — we always flush per message
+    case 'X' => () // Terminate; channel closed by caller
+    case other => throw new IllegalArgumentException(s"Unsupported message type: $other")
+  }
+
+  private def readCStr(b: ByteBuffer): String = {
+    val sb = new ArrayBuffer[Byte]()
+    var c = b.get()
+    while (c != 0) { sb += c; c = b.get() }
+    new String(sb.toArray, UTF_8)
+  }
+
+  private def parser = new PgParserInterface(Internals.sessionParser(session.spark))
+
+  /** split on top-level semicolons (quote-aware) */
+  private def splitStatements(sql: String): Seq[String] = {
+    val parts = ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var last = 0
+    for (j <- sql.indices) {
+      val c = sql.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ';' if depth == 0 => parts += sql.substring(last, j); last = j + 1
+        case _ =>
+      }
+    }
+    parts += sql.substring(last)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
+    val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+    plan match {
+      case _: PgBeginCommand => "BEGIN"
+      case _ => first match {
+        case "SELECT" | "WITH" | "VALUES" | "TABLE" => s"SELECT $rows"
+        case "SET" | "RESET" => "SET"
+        case "INSERT" => s"INSERT 0 $rows"
+        case "" => "SELECT 0"
+        case other => other
+      }
+    }
+  }
+
+  /** Simple query flow §3.1: parse -> execute -> RowDescription + DataRows +
+    * CommandComplete, always text format (reference protocol.scala:585-660).
+    */
+  private def simpleQuery(sql: String, out: ByteBuf): Unit = {
+    val stmts = splitStatements(sql)
+    if (stmts.isEmpty) {
+      PgMessages.emptyQueryResponse(out)
+      readyForQuery(out)
+      return
+    }
+    stmts.foreach { stmt =>
+      val plan = parser.parsePlan(stmt)
+      val df = runWithJobGroup(Internals.ofRows(session.spark, plan))
+      val schema = df.schema
+      val isSet = plan.getClass.getSimpleName == "SetCommand"
+      if (isSet) {
+        // reference short-circuits SET: apply but emit no rows, tag SET
+        // (protocol.scala:451-459,630-638)
+        df.collect()
+        commandComplete(out, "SET")
+      } else if (schema.nonEmpty) {
+        val formats = Seq.fill(schema.length)(false) // psql simple mode = text
+        rowDescription(out, schema, formats)
+        val n = streamRows(df, schema, formats, out, maxRows = 0)
+        commandComplete(out, commandTag(stmt, plan, n))
+      } else {
+        df.collect() // run the command
+        commandComplete(out, commandTag(stmt, plan, 0))
+      }
+    }
+    readyForQuery(out)
+  }
+
+  /** 'P': parse + eager analysis so Describe can answer (reference
+    * protocol.scala:559-582).
+    */
+  private def parse(in: ByteBuffer, out: ByteBuf): Unit = {
+    val name = readCStr(in)
+    val sql = readCStr(in)
+    val nParams = in.getShort.toInt
+    (0 until nParams).foreach(_ => in.getInt) // declared param oids (unused)
+    PgDialect.registerParamFunction(session.spark)
+    val plan = parser.parsePlan(sql)
+    val schema =
+      if (sql.trim.isEmpty) new StructType()
+      else Internals.analyzedSchema(session.spark, plan)
+    val paramIds = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case ParameterPlaceHolder(id) => id
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if u.nameParts.map(_.toLowerCase) == Seq("pg_param") =>
+          u.arguments.head.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.toString.toInt
+      })
+    }.flatten.distinct.sorted
+    session.statements(name) = Prepared(name, sql, plan, paramIds, schema)
+    parseComplete(out)
+  }
+
+  /** 'B': decode params by (oid,format), substitute, re-analyze, build the
+    * portal (reference protocol.scala:309-373).
+    */
+  private def bind(in: ByteBuffer, out: ByteBuf): Unit = {
+    val portalName = readCStr(in)
+    val stmtName = readCStr(in)
+    val stmt = session.statements.getOrElse(stmtName,
+      throw new IllegalArgumentException(s"unknown prepared statement: '$stmtName'"))
+    val nFmt = in.getShort.toInt
+    val paramFormats = Seq.fill(nFmt)(in.getShort.toInt)
+    val nParams = in.getShort.toInt
+    val params = (0 until nParams).map { _ =>
+      val len = in.getInt
+      if (len == -1) null else { val a = new Array[Byte](len); in.get(a); a }
+    }
+    val nRes = in.getShort.toInt
+    val resFormats = Seq.fill(nRes)(in.getShort.toInt)
+
+    // Without declared oids we infer varchar and let Catalyst coerce —
+    // clients that matter (JDBC) declare types in Parse; text params decode
+    // as varchar like the reference's fallback.
+    val litParams = params.zipWithIndex.collect {
+      case (bytes, i) if bytes != null =>
+        val fmt = if (paramFormats.isEmpty) 0
+          else if (paramFormats.length == 1) paramFormats.head
+          else paramFormats(i)
+        (i + 1) -> ParamCodec.decode(bytes, PgTypes.VARCHAR, fmt).value
+    }.toMap[Int, Any]
+    val bound = PgDialect.bind(stmt.plan, litParams)
+    val schema = if (stmt.sql.trim.isEmpty) new StructType()
+      else Internals.analyzedSchema(session.spark, bound)
+    val formats = schema.fields.zipWithIndex.map { case (f, i) =>
+      val want = if (resFormats.isEmpty) 0
+        else if (resFormats.length == 1) resFormats.head
+        else resFormats(i)
+      want == 1 && PgTypes.binaryCapable(f.dataType) && f.dataType != StringType
+    }.toSeq
+    val portal = new Portal(portalName, stmt, bound, formats)
+    portal.schema = schema
+    session.portals(portalName) = portal
+    bindComplete(out)
+  }
+
+  /** 'D': statement ('S') or portal ('P') description. */
+  private def describe(in: ByteBuffer, out: ByteBuf): Unit = {
+    val kind = in.get().toChar
+    val name = readCStr(in)
+    kind match {
+      case 'S' =>
+        val stmt = session.statements.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown prepared statement: '$name'"))
+        parameterDescription(out, stmt.paramIds.map(_ => PgTypes.VARCHAR))
+        if (stmt.schema.isEmpty) noData(out)
+        else rowDescription(out, stmt.schema, Seq.fill(stmt.schema.length)(false))
+      case 'P' =>
+        val portal = session.portals.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown portal: '$name'"))
+        if (portal.schema.isEmpty) noData(out)
+        else rowDescription(out, portal.schema, portal.formats)
+      case other => throw new IllegalArgumentException(s"bad describe kind: $other")
+    }
+  }
+
+  /** 'E': run or resume the portal cursor; maxRows==0 drains, otherwise
+    * suspend after maxRows (reference protocol.scala:437-504).
+    */
+  private def execute(in: ByteBuffer, out: ByteBuf): Unit = {
+    val name = readCStr(in)
+    val maxRows = in.getInt
+    val portal = session.portals.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown portal: '$name'"))
+    if (portal.schema.isEmpty) {
+      runWithJobGroup(Internals.ofRows(session.spark, portal.bound)).collect()
+      commandComplete(out, commandTag(portal.stmt.sql, portal.bound, 0))
+      return
+    }
+    if (!portal.started) {
+      val df = runWithJobGroup(Internals.ofRows(session.spark, portal.bound))
+      portal.rows = resultIterator(df)
+    }
+    val writer = RowCodec.rowWriter(portal.schema, portal.formats)
+    val scratch = ByteBuffer.allocate(1 << 20)
+    var n = 0L
+    var suspended = false
+    while (portal.rows.hasNext && !suspended) {
+      writeDataRow(out, portal.schema.length, writer, portal.rows.next(), scratch)
+      n += 1
+      portal.rowCount += 1
+      if (maxRows > 0 && n >= maxRows && portal.rows.hasNext) suspended = true
+    }
+    if (suspended) portalSuspended(out)
+    else if (portal.stmt.sql.trim.toUpperCase.startsWith("FETCH")) {
+      commandComplete(out, s"FETCH ${portal.rowCount}")
+    } else {
+      commandComplete(out, commandTag(portal.stmt.sql, portal.bound, portal.rowCount))
+    }
+  }
+
+  /** 'C': free a statement or portal (reference protocol.scala:381-396). */
+  private def closeMsg(in: ByteBuffer, out: ByteBuf): Unit = {
+    val kind = in.get().toChar
+    val name = readCStr(in)
+    kind match {
+      case 'S' => session.statements.remove(name)
+      case 'P' => session.portals.remove(name)
+      case _ =>
+    }
+    closeComplete(out)
+  }
+
+  // ---- execution helpers ----
+
+  private def runWithJobGroup(df: DataFrame): DataFrame = {
+    val group = session.nextJobGroup()
+    session.activeJobGroup = group
+    session.spark.sparkContext.setJobGroup(group, df.toString().take(80), interruptOnCancel = true)
+    df
+  }
+
+  /** Incremental (partition-at-a-time) vs full-collect result iteration
+    * (reference ExecutorImpl.scala:185-215). Incremental is the default:
+    * at 100 TB a full driver collect is fatal; cursor clients stream.
+    */
+  private def resultIterator(df: DataFrame): Iterator[InternalRow] = {
+    val incremental =
+      session.spark.conf.get("spark.graft.incrementalCollect", "true").toBoolean
+    if (incremental) Internals.executeToIterator(df)
+    else Internals.executeCollect(df).iterator
+  }
+
+  private def streamRows(df: DataFrame, schema: StructType, formats: Seq[Boolean],
+      out: ByteBuf, maxRows: Int): Long = {
+    val writer = RowCodec.rowWriter(schema, formats)
+    val scratch = ByteBuffer.allocate(1 << 20)
+    val it = resultIterator(df)
+    var n = 0L
+    while (it.hasNext && (maxRows == 0 || n < maxRows)) {
+      writeDataRow(out, schema.length, writer, it.next(), scratch)
+      n += 1
+    }
+    n
+  }
+
+  /** DataRow 'D': int16 column count then the RowCodec fields. */
+  private def writeDataRow(out: ByteBuf, nCols: Int,
+      writer: (InternalRow, ByteBuffer) => Unit, row: InternalRow,
+      scratch: ByteBuffer): Unit = {
+    scratch.clear()
+    writer(row, scratch)
+    scratch.flip()
+    out.writeByte('D')
+    out.writeInt(4 + 2 + scratch.remaining())
+    out.writeShort(nCols)
+    out.writeBytes(scratch)
+  }
+}

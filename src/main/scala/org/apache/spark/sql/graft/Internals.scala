@@ -33,4 +33,21 @@ object Internals {
       builder: Seq[Expression] => Expression): Unit =
     classic(spark).sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Incremental partition-at-a-time result iterator (the reference's
+    * incremental-collect mode, ExecutorImpl.scala:185-215): rows stream to
+    * the driver per partition instead of one full collect.
+    */
+  def executeToIterator(df: DataFrame): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.executeToIterator()
+
+  /** One-shot collect of InternalRows (cursor-re-entrant mode). */
+  def executeCollect(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan.executeCollect()
+
+  /** Schema of the analyzed plan without executing (Describe-before-Bind). */
+  def analyzedSchema(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.types.StructType =
+    classic(spark).sessionState.executePlan(plan).analyzed.schema
 }

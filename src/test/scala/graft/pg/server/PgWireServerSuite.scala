@@ -1,0 +1,191 @@
+package graft.pg.server
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+import scala.sys.process._
+
+import graft.TestSpark
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end wire-protocol tests: the real `psql` binary for the simple 'Q'
+  * flow (mirrors reference PsqlCommandsSuite) and a raw-socket V3 client for
+  * the extended P/B/D/E/S flow incl. portal suspension (mirrors reference
+  * PgV3ProtocolScenarioSuite.scala:22-68).
+  */
+class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: PgWireServer = _
+  private def port: Int = server.boundPort
+
+  override def beforeAll(): Unit = {
+    server = new PgWireServer(TestSpark.spark, port = 0)
+    server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def psql(sql: String): String =
+    Seq("psql", s"host=127.0.0.1 port=$port dbname=default user=graft sslmode=prefer",
+      "-At", "-c", sql).!!.trim
+
+  test("psql: SELECT constant") {
+    assert(psql("SELECT 1 AS x") === "1")
+  }
+
+  test("psql: expressions, strings, booleans, null") {
+    assert(psql("SELECT 2 + 3") === "5")
+    assert(psql("SELECT 'ab' || 'cd'") === "abcd")
+    assert(psql("SELECT true, false") === "t|f")
+    assert(psql("SELECT NULL") === "")
+  }
+
+  test("psql: PG dialect through the wire (::cast, ~, generate_series)") {
+    assert(psql("SELECT 42::text") === "42")
+    assert(psql("SELECT 'spark' ~ 'sp.*'") === "t")
+    assert(psql("SELECT * FROM generate_series(1, 3)") === "1\n2\n3")
+  }
+
+  test("psql: real parquet scan with aggregation") {
+    val out = psql(
+      "SELECT l_returnflag, count(*) AS n FROM parquet.`/root/testdata/sf0.001/lineitem.parquet` GROUP BY l_returnflag ORDER BY l_returnflag")
+    assert(out.split("\n").length === 3)
+    assert(out.startsWith("A|"))
+  }
+
+  test("psql: timestamps and dates render PG-style") {
+    assert(psql("SELECT TIMESTAMP '2024-01-15 12:34:56.5'") === "2024-01-15 12:34:56.5")
+    assert(psql("SELECT DATE '2024-01-15'") === "2024-01-15")
+  }
+
+  test("psql: BEGIN / SET no-ops complete with their tags") {
+    assert(psql("BEGIN") === "BEGIN")
+    assert(psql("SET spark.sql.shuffle.partitions=8") === "SET")
+  }
+
+  test("psql: pg_catalog visible") {
+    assert(psql("SELECT typname FROM pg_type WHERE oid = 20") === "int8")
+  }
+
+  test("psql: error surfaces as ERROR not disconnect") {
+    val res = Seq("psql", s"host=127.0.0.1 port=$port dbname=default user=graft",
+      "-At", "-c", "SELECT no_such_column").!(ProcessLogger(_ => ()))
+    assert(res != 0) // psql exits nonzero but got a proper ErrorResponse
+    assert(psql("SELECT 7") === "7") // server still healthy
+  }
+
+  test("psql: multi-statement simple query") {
+    assert(psql("SELECT 1; SELECT 2") === "1\n2")
+  }
+
+  // ---- raw V3 client for the extended flow ----
+
+  private class RawClient {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val os = new DataOutputStream(sock.getOutputStream)
+
+    def startup(): Unit = {
+      val body = cstr("user") ++ cstr("graft") ++ cstr("database") ++ cstr("default") :+ 0.toByte
+      os.writeInt(8 + body.length)
+      os.writeInt(196608)
+      os.write(body)
+      os.flush()
+      drainUntilReady()
+    }
+
+    def send(tpe: Char, payload: Array[Byte]): Unit = {
+      os.writeByte(tpe)
+      os.writeInt(4 + payload.length)
+      os.write(payload)
+      os.flush()
+    }
+
+    def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+    /** read messages until ReadyForQuery; returns seq of (type, payload) */
+    def drainUntilReady(): Seq[(Char, Array[Byte])] = {
+      val msgs = mutable.ArrayBuffer.empty[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val tpe = in.readByte().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        msgs += ((tpe, payload))
+        if (tpe == 'Z') done = true
+      }
+      msgs.toSeq
+    }
+
+    def sync(): Seq[(Char, Array[Byte])] = { send('S', Array.empty); drainUntilReady() }
+    def close(): Unit = { send('X', Array.empty); sock.close() }
+  }
+
+  test("extended flow: Parse/Bind/Describe/Execute with $1 parameter") {
+    val c = new RawClient
+    c.startup()
+    // Parse: named statement with a $1 parameter
+    c.send('P', c.cstr("s1") ++ c.cstr("SELECT 10 + $1 AS v") ++ Array[Byte](0, 0))
+    // Bind: text param "32"
+    c.send('B', c.cstr("") ++ c.cstr("s1") ++
+      Array[Byte](0, 0) ++ // no param format codes (default text)
+      Array[Byte](0, 1) ++ // 1 param
+      { val b = "32".getBytes(UTF_8); java.nio.ByteBuffer.allocate(4).putInt(b.length).array() ++ b } ++
+      Array[Byte](0, 0)) // no result format codes
+    c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+    c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+    val msgs = c.sync()
+    val types = msgs.map(_._1).mkString
+    assert(types.contains("1")) // ParseComplete
+    assert(types.contains("2")) // BindComplete
+    assert(types.contains("T")) // RowDescription
+    assert(types.contains("D")) // DataRow
+    assert(types.contains("C")) // CommandComplete
+    val data = msgs.find(_._1 == 'D').get._2
+    // DataRow: int16 ncols, int32 len, payload
+    val buf = java.nio.ByteBuffer.wrap(data)
+    assert(buf.getShort === 1)
+    val n = buf.getInt
+    val v = new Array[Byte](n); buf.get(v)
+    assert(new String(v, UTF_8) === "42")
+    c.close()
+  }
+
+  test("extended flow: portal suspension with maxRows") {
+    val c = new RawClient
+    c.startup()
+    c.send('P', c.cstr("s2") ++ c.cstr("SELECT id FROM range(0, 5) ORDER BY id") ++ Array[Byte](0, 0))
+    c.send('B', c.cstr("p2") ++ c.cstr("s2") ++
+      Array[Byte](0, 0, 0, 0, 0, 0))
+    c.send('E', c.cstr("p2") ++ Array[Byte](0, 0, 0, 2)) // maxRows=2
+    c.send('H', Array.empty)
+    // Execute again to resume, then drain
+    c.send('E', c.cstr("p2") ++ Array[Byte](0, 0, 0, 0))
+    val msgs = c.sync()
+    val types = msgs.map(_._1).mkString
+    // 2 rows then PortalSuspended('s'), then remaining 3 rows + CommandComplete
+    assert(types.count(_ == 'D') === 5)
+    assert(types.contains("s"))
+    val tag = msgs.filter(_._1 == 'C').map(m => new String(m._2, UTF_8).trim).last
+    assert(tag.contains("SELECT 5"), s"tag was $tag")
+    c.close()
+  }
+
+  test("session isolation: temp views do not leak across connections") {
+    val c1 = new RawClient
+    c1.startup()
+    c1.send('Q', c1.cstr("CREATE TEMPORARY VIEW t_iso AS SELECT 1 AS a"))
+    c1.drainUntilReady()
+    val c2 = new RawClient
+    c2.startup()
+    c2.send('Q', c2.cstr("SELECT * FROM t_iso"))
+    val msgs = c2.drainUntilReady()
+    assert(msgs.exists(_._1 == 'E'), "second session must not see the first's temp view")
+    c1.close(); c2.close()
+  }
+}
