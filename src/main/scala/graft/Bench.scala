@@ -17,6 +17,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup so per-query numbers reflect steady state rather
+    // than first-query JIT/codegen/session costs (the reference benchmark
+    // likewise warms up via 5 timed iterations, TPCDSQueryBenchmark.scala:196-200)
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

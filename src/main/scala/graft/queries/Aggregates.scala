@@ -129,7 +129,7 @@ object Aggregates {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_suppkey"), 0.005).as("approx_supp"))
+        .agg(approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supp"))
         .orderBy("l_returnflag")),
 
     // PIVOT (explicit value list so output columns are static).

@@ -25,30 +25,19 @@ object Pipeline {
   /** whitespace tokens */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** distinct 3-token shingles; empty when the doc has <3 tokens */
-  private def shingles(ts: Column): Column =
-    when(size(ts) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ts) - 2),
-        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-
-  // MinHash: h_j(x) = (a_j * x31 + b_j) mod P over 31-bit shingle hashes, so
-  // every product stays < 2^62 (ANSI-mode safe). Seeds fixed for determinism.
-  private val MinhashP = 2147483647L // 2^31 - 1, prime
-  private val NumHashes = 64
-  private val BandRows = 2 // 32 bands x 2 rows: P(miss | j=0.8) ~ 6e-15
-  private val (hashA, hashB) = {
+  // MinHash: h_j(x) = (a_j * x + b_j) mod P over 31-bit shingle hashes.
+  // Seeds fixed for determinism. Signatures are computed in a typed
+  // mapPartitions pass — a single hash per shingle then a tight j-loop —
+  // because the equivalent nested higher-order expressions re-hash every
+  // shingle once per hash function (64x the work; measured 21s -> ~2s at
+  // sf0.1).
+  private[queries] val MinhashP = 2147483647L // 2^31 - 1, prime
+  private[queries] val NumHashes = 64
+  private[queries] val BandRows = 2 // 32 bands x 2 rows: P(miss | j=0.8) ~ 6e-15
+  private[queries] val (hashA, hashB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** 64-element MinHash signature of a shingle array. */
-  private def minhash(sh: Column): Column = {
-    val x31 = transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
-    array((0 until NumHashes).map { j =>
-      array_min(transform(x31, x => pmod(x * hashA(j) + hashB(j), lit(MinhashP))))
-    }: _*)
   }
 
   /** DuckDB SQL for exact shingle-set Jaccard over all pairs >= threshold —
@@ -146,25 +135,24 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
-    // MinHash-LSH near-dup detection: signature -> banded buckets -> bucket
-    // join for candidates -> exact Jaccard verify. Never all-pairs.
+    // MinHash-LSH near-dup detection: typed signature pass -> banded band
+    // keys -> bucket equi-join for candidates -> exact Jaccard verify on the
+    // candidate pairs only. Never all-pairs.
     QE("p03_minhash_neardup", Some(jaccardOracle(0.8)),
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sigs = docs.select(col("doc_id"), col("sh"), minhash(col("sh")).as("mh"))
-        val bands = sigs.select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
-            b => concat_ws(":",
-              element_at(col("mh"), b * BandRows + 1),
-              element_at(col("mh"), b * BandRows + 2)))).as(Seq("band", "key")))
+        import s.implicits._
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            MinHashing.signature(text).map { case (sh, mh) => (id, sh, mh) }
+          })
+          .toDF("doc_id", "sh", "mh")
+        val bands = sigs.select(col("doc_id"), explode(MinHashing.bandKeys(col("mh"))).as("key"))
         val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
           .distinct()
-        val sh = docs.select(col("doc_id"), col("sh"))
+        val sh = sigs.select(col("doc_id"), col("sh"))
         cand
           .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
           .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
@@ -175,18 +163,15 @@ object Pipeline {
           .orderBy("da", "db")
       }),
 
-    // SimHash fingerprints (engine-specific 64-bit hashing -> rows-only
-    // check; the planted near-dup property is asserted in SimHashSpec).
+    // SimHash fingerprints, typed single-pass (engine-specific 64-bit
+    // hashing -> rows-only check; locality asserted in PipelineSpec).
     QE("p04_simhash", None,
       (s, d) => {
-        val hashes = transform(toks(col("text")), tk => xxhash64(tk))
-        val sim = (0 until 64).map { i =>
-          val bitSum = aggregate(hashes, lit(0L),
-            (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          when(bitSum > 0, lit(1L << i)).otherwise(0L)
-        }.reduce(_ + _)
+        import s.implicits._
         t(s, d, "documents")
-          .select(col("doc_id"), sim.as("simhash"))
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) => (id, MinHashing.simhash(text)) })
+          .toDF("doc_id", "simhash")
           .orderBy("doc_id")
       }),
 
@@ -371,6 +356,84 @@ object Pipeline {
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_word"),
           size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))
         .orderBy("doc_id")))
+}
+
+/** Typed MinHash/SimHash kernels used by the pipeline operators: one string
+  * hash per shingle/token, tight per-signature loops, executor-side only.
+  */
+object MinHashing {
+  import Pipeline.{BandRows, MinhashP, NumHashes, hashA, hashB}
+
+  private def hash64(s: String, seed: Long): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** distinct 3-token shingles */
+  def shingleSet(text: String): Array[String] = {
+    val t = text.split(' ')
+    if (t.length < 3) Array.empty
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < t.length) {
+        set.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** (shingles, 64-element minhash signature), or None for <3-token docs. */
+  def signature(text: String): Option[(Array[String], Array[Long])] = {
+    val sh = shingleSet(text)
+    if (sh.isEmpty) None
+    else {
+      val mh = Array.fill(NumHashes)(MinhashP)
+      sh.foreach { s =>
+        val x = java.lang.Math.floorMod(hash64(s, 42L), MinhashP)
+        var j = 0
+        while (j < NumHashes) {
+          val v = (hashA(j) * x + hashB(j)) % MinhashP
+          if (v < mh(j)) mh(j) = v
+          j += 1
+        }
+      }
+      Some((sh, mh))
+    }
+  }
+
+  /** Band keys: xxhash64(band, sig[2b], sig[2b+1]) — one long equi-key per
+    * band for the LSH bucket join. A (vanishingly rare) hash collision only
+    * adds a false candidate, which the exact-verify stage removes.
+    */
+  def bandKeys(mh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, sequence, transform, xxhash64}
+    transform(
+      sequence(lit(0), lit(NumHashes / BandRows - 1)),
+      b => xxhash64(b, element_at(mh, b * BandRows + 1), element_at(mh, b * BandRows + 2)))
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(' ').foreach { tk =>
+      val h = hash64(tk, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
 }
 
 /** Multimodal decode plumbing: documents -> opaque binary payload + typed
