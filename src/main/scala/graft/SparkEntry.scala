@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Aggregates.entries ++
       graft.queries.Windows.entries ++
       graft.queries.SetsSorts.entries ++
-      graft.queries.Subqueries.entries
+      graft.queries.Subqueries.entries ++
+      graft.queries.Extras.entries
 
   private def queries_pipeline: Seq[QE] =
     graft.queries.Pipeline.entries ++

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DDL / metadata / write-path / literal / UDF coverage (reference grammar
+  * G:94-233, SSP:67-357) plus the SQL-text forms of operators already
+  * covered through the DataFrame API.
+  */
+object Extras {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val entries: Seq[QE] = Seq(
+    // Typed literals: DATE / TIMESTAMP / INTERVAL / hex X''.
+    QE("q74_typed_literals", Some("""
+      SELECT DATE '2024-02-29' AS d,
+             TIMESTAMP '2024-01-15 12:00:00' AS ts,
+             CAST(DATE '2024-01-31' + INTERVAL 1 DAY AS TIMESTAMP) AS plus_day,
+             'AB' AS hexs
+      """),
+      (s, d) => s.sql("""
+        SELECT DATE '2024-02-29' AS d,
+               TIMESTAMP '2024-01-15 12:00:00' AS ts,
+               CAST(DATE '2024-01-31' + INTERVAL 1 DAY AS TIMESTAMP) AS plus_day,
+               CAST(x'4142' AS STRING) AS hexs""")),
+
+    // EXTRACT / date_part SQL syntax (reference AB:1579-1589).
+    QE("q75_extract", Some("""
+      SELECT o_orderkey,
+             CAST(extract(YEAR FROM o_orderdate) AS INT) AS y,
+             CAST(extract(QUARTER FROM o_orderdate) AS INT) AS q,
+             CAST(extract(DOW FROM o_orderdate) AS INT) AS dow
+      FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderkey,
+                 CAST(extract(YEAR FROM o_orderdate) AS INT) AS y,
+                 CAST(extract(QUARTER FROM o_orderdate) AS INT) AS q,
+                 CAST(dayofweek(o_orderdate) - 1 AS INT) AS dow
+          FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""")
+      }),
+
+    // LATERAL VIEW explode SQL form (reference AB:916-936).
+    QE("q76_lateral_view", Some("""
+      SELECT vec_id, CAST(v AS DOUBLE) AS v
+      FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings WHERE vec_id < 4)
+      ORDER BY vec_id, v"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT vec_id, CAST(v AS DOUBLE) AS v
+          FROM embeddings LATERAL VIEW explode(embedding) ex AS v
+          WHERE vec_id < 4 ORDER BY vec_id, v""")
+      }),
+
+    // Write path: CTAS to parquet + INSERT INTO + read back (reference
+    // AB:237-356, SSP:186-235). Oracle reads the equivalent rows from the
+    // source table, so the round-trip through the sink is verified.
+    QE("q77_insert_roundtrip", Some("""
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 10
+      ) ORDER BY o_orderkey, o_totalprice"""),
+      (s, d) => {
+        Tables.views(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft_ins").toString
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ins_src AS
+                  SELECT o_orderkey, o_totalprice FROM orders""")
+        s.sql(s"DROP TABLE IF EXISTS graft_ins_t")
+        s.sql(s"CREATE TABLE graft_ins_t USING parquet LOCATION '$dir' AS " +
+          "SELECT * FROM ins_src WHERE o_totalprice > 400000")
+        s.sql("INSERT INTO graft_ins_t SELECT * FROM ins_src WHERE o_orderkey < 10")
+        s.table("graft_ins_t").orderBy("o_orderkey", "o_totalprice")
+      }),
+
+    // CACHE TABLE / uncache (reference SSP:119-128): cached scan must return
+    // identical rows.
+    QE("q78_cache", Some("""
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("CACHE TABLE nation")
+        val out = s.sql("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+        out.count() // materialize through the cache
+        s.sql("UNCACHE TABLE nation")
+        out
+      }),
+
+    // Metadata ops: SHOW TABLES / DESCRIBE / EXPLAIN run and return rows
+    // (spark-specific output -> rows-only check).
+    QE("q79_metadata_ops", None,
+      (s, d) => {
+        Tables.views(s, d)
+        val show = s.sql("SHOW TABLES").select(col("tableName")).where(col("tableName") === "nation")
+        val desc = s.sql("DESCRIBE TABLE nation").select(col("col_name"))
+        val expl = s.sql("EXPLAIN SELECT count(*) FROM nation").select(col("plan"))
+        show.unionAll(desc).unionAll(expl.select(substring(col("plan"), 1, 7).as("col_name")))
+      }),
+
+    // Scalar UDF registration + use in SQL (reference catalog.scala:217-221).
+    QE("q85_scalar_udf", Some("""
+      SELECT s_suppkey, (s_acctbal * 2.0 + 1.0) AS boosted
+      FROM supplier ORDER BY s_suppkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.udf.register("graft_boost", (x: Double) => x * 2.0 + 1.0)
+        s.sql("SELECT s_suppkey, graft_boost(s_acctbal) AS boosted FROM supplier ORDER BY s_suppkey")
+      }),
+
+    // Structured Streaming: file-source stream over events with watermark +
+    // tumbling window, memory sink. The batch-equivalent aggregation is the
+    // DuckDB oracle, so the streaming path is value-verified, not rows-only.
+    QE("q95_stream_window", Some("""
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.windowedCounts(s, d)))
+}
