@@ -218,7 +218,8 @@ object Pipeline {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         broadcast(q).join(e, col("qid") =!= col("vec_id"))
-          .select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.CosineSimilarity(s, col("qe"), col("embedding")).as("cos"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= 3).drop("_rn")
           .orderBy(col("qid"), col("cos").desc, col("vec_id"))
@@ -242,7 +243,8 @@ object Pipeline {
           .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
           .distinct()
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-        cand.select(col("qid"), col("vec_id"), cosine(col("qe"), col("embedding")).as("cos"))
+        cand.select(col("qid"), col("vec_id"),
+          graft.functions.CosineSimilarity(s, col("qe"), col("embedding")).as("cos"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= 3).drop("_rn")
           .orderBy(col("qid"), col("cos").desc, col("vec_id"))
