@@ -72,16 +72,9 @@ object PgCatalog {
       .createOrReplaceTempView("pg_user")
     Seq(("default", userRoleOid, 6, "C", "C"))
       .toDF("datname", "datdba", "encoding", "datcollate", "datctype")
+      .withColumn("datacl", org.apache.spark.sql.functions.lit(null)
+        .cast("array<string>"))
       .createOrReplaceTempView("pg_database")
-
-    // Runtime table: current catalog tables as pg_class rows.
-    val tables = spark.catalog.listTables().collect().zipWithIndex.map {
-      case (tbl, idx) =>
-        (10000 + idx, tbl.name, if (tbl.tableType == "VIEW") "v" else "r",
-          defaultNamespaceOid, userRoleOid)
-    }.toSeq
-    tables.toDF("oid", "relname", "relkind", "relnamespace", "relowner")
-      .createOrReplaceTempView("pg_class")
 
     // Static empties the JDBC drivers probe (reference catalog.scala:87-118).
     emptyView(spark, "pg_attrdef", "adrelid INT, adnum SHORT, adbin STRING")
@@ -98,16 +91,80 @@ object PgCatalog {
       "polname STRING, polrelid INT, polcmd STRING, polroles STRING, " +
         "polqual STRING, polwithcheck STRING")
     emptyView(spark, "pg_collation", "oid INT, collname STRING")
-    emptyView(spark, "pg_attribute",
-      "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, " +
-        "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, " +
-        "attidentity STRING, attisdropped BOOLEAN, attcollation INT")
     emptyView(spark, "pg_proc",
       "oid INT, proname STRING, prorettype INT, proargtypes ARRAY<INT>, " +
         "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, proretset BOOLEAN")
 
+    // Runtime tables, populated from the live catalog so psql \d works:
+    // pg_class with the reference's full 21-column schema
+    // (catalog.scala:217-219) and pg_attribute rows per visible column.
+    emptyView(spark, "pg_attribute",
+      "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, " +
+        "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, " +
+        "attidentity STRING, attisdropped BOOLEAN, attcollation INT")
+    val tbls = spark.catalog.listTables().collect()
+    val classRows = tbls.zipWithIndex.map { case (tbl, idx) =>
+      Row(10000 + idx, 0, tbl.name, 0, "p",
+        if (tbl.tableType == "TABLE") "r" else "v",
+        defaultNamespaceOid, userRoleOid, null, 0.toShort, 0,
+        false, false, false, false, false, "d", 0.toShort, false, false, null)
+    }
+    val classSchema = StructType.fromDDL(
+      "oid INT, reltablespace INT, relname STRING, reloftype INT, " +
+        "relpersistence STRING, relkind STRING, relnamespace INT, relowner INT, " +
+        "relacl ARRAY<STRING>, relchecks SHORT, reltoastrelid INT, " +
+        "relhasindex BOOLEAN, relhasrules BOOLEAN, relhastriggers BOOLEAN, " +
+        "relrowsecurity BOOLEAN, relforcerowsecurity BOOLEAN, relreplident STRING, " +
+        "reltriggers SHORT, relhasoids BOOLEAN, relispartition BOOLEAN, relpartbound STRING")
+    spark.createDataFrame(java.util.Arrays.asList(classRows: _*), classSchema)
+      .createOrReplaceTempView("pg_class")
+    val attrRows = tbls.zipWithIndex.flatMap { case (tbl, idx) =>
+      scala.util.Try(spark.catalog.listColumns(tbl.name).collect()).toOption
+        .getOrElse(Array.empty).zipWithIndex.map { case (c, ci) =>
+          val oid = oidOfTypeName(c.dataType)
+          Row(0, 10000 + idx, c.name, oid, !c.nullable, false, -1,
+            typeLenOfOid(oid), ci + 1, "", false, 0)
+        }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(attrRows: _*),
+      StructType.fromDDL(
+        "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, " +
+          "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, " +
+          "attidentity STRING, attisdropped BOOLEAN, attcollation INT"))
+      .createOrReplaceTempView("pg_attribute")
+
     PgFunctions.register(spark)
   }
+
+  /** Spark catalog column dataType string -> PG oid. */
+  def oidOfTypeName(dt: String): Int = {
+    val t = dt.toLowerCase
+    if (t.startsWith("decimal")) 1700
+    else if (t.startsWith("array<string")) 1015
+    else if (t.startsWith("array<float")) 1021
+    else if (t.startsWith("array<double")) 1022
+    else if (t.startsWith("array<int")) 1007
+    else if (t.startsWith("array<bigint")) 1016
+    else if (t.startsWith("array")) 1043
+    else if (t.startsWith("map") || t.startsWith("struct")) 6201
+    else t match {
+      case "int" | "integer" => 23
+      case "bigint" | "long" => 20
+      case "smallint" | "short" => 21
+      case "tinyint" | "byte" => 6200
+      case "double" => 701
+      case "float" | "real" => 700
+      case "string" | "varchar" => 1043
+      case "boolean" => 16
+      case "date" => 1082
+      case "timestamp" | "timestamp_ntz" => 1114
+      case "binary" => 17
+      case "interval" => 1186
+      case _ => 1043
+    }
+  }
+
+  private def typeLenOfOid(oid: Int): Int = graft.pg.wire.PgTypes.typeLenOf(oid)
 
   /** DuckDB oracle for the pg_type scan: the same seed rows as inline VALUES
     * (generated from the same Seq, so consistent by construction).

@@ -76,6 +76,8 @@ object SessionRegistry {
     // clients scan raw parquet incl. TIMESTAMP(NANOS) columns
     s.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    // psql metadata queries alias with double-quoted identifiers
+    s.spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     sessions.put(s.pid, s)
     s
   }

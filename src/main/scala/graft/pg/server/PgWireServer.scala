@@ -144,6 +144,7 @@ private class PgConnectionHandler(base: SparkSession)
 
     case Typed(tpe, payload) =>
       val out = ctx.alloc().buffer()
+      Internals.setActiveSession(session.spark)
       try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
       catch {
         case NonFatal(e) =>

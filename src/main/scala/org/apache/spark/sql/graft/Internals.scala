@@ -50,4 +50,11 @@ object Internals {
   /** Schema of the analyzed plan without executing (Describe-before-Bind). */
   def analyzedSchema(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.types.StructType =
     classic(spark).sessionState.executePlan(plan).analyzed.schema
+
+  /** Make this session the thread's active one so SQLConf.get (used by the
+    * parser and rules) sees its per-session settings — required when serving
+    * many sessions from shared worker threads.
+    */
+  def setActiveSession(spark: SparkSession): Unit =
+    CSparkSession.setActiveSession(classic(spark))
 }

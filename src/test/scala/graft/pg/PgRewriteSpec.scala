@@ -70,4 +70,19 @@ class PgRewriteSpec extends AnyFunSuite {
     assert(PgRewrite("SELECT 1 -- a ~ b $1\n, 2") === "SELECT 1 -- a ~ b $1\n, 2")
     assert(PgRewrite("SELECT /* $1 ~ */ 2") === "SELECT /* $1 ~ */ 2")
   }
+
+  test("psql metadata compat: E-strings, pg_catalog strip, OPERATOR, COLLATE, type aliases") {
+    assert(PgRewrite("SELECT E'a'") === "SELECT 'a'")
+    assert(PgRewrite("SELECT array_to_string(d.datacl, E'\\n')") ===
+      "SELECT array_to_string(d.datacl, '\\n')")
+    assert(PgRewrite("SELECT typname FROM pg_catalog.pg_type") ===
+      "SELECT typname FROM pg_type")
+    assert(PgRewrite("SELECT pg_catalog.format_type(23, NULL)") ===
+      "SELECT format_type(23, NULL)")
+    assert(PgRewrite("WHERE c.relname OPERATOR(pg_catalog.~) '^x$' COLLATE pg_catalog.default AND 1=1") ===
+      "WHERE c.relname  RLIKE  '^x$'  AND 1=1")
+    assert(PgRewrite("SELECT ''::char, 1::int4, x::oid, n::name") ===
+      "SELECT ''::string, 1::int, x::int, n::string")
+    assert(PgRewrite("SELECT 'pg_type'::regclass") === "SELECT 'pg_type'")
+  }
 }
