@@ -16,13 +16,13 @@ object Extras {
   val entries: Seq[QE] = Seq(
     // Typed literals: DATE / TIMESTAMP / INTERVAL / hex X''.
     QE("q74_typed_literals", Some("""
-      SELECT DATE '2024-02-29' AS d,
+      SELECT CAST(DATE '2024-02-29' AS TIMESTAMP) AS d,
              TIMESTAMP '2024-01-15 12:00:00' AS ts,
              CAST(DATE '2024-01-31' + INTERVAL 1 DAY AS TIMESTAMP) AS plus_day,
              'AB' AS hexs
       """),
       (s, d) => s.sql("""
-        SELECT DATE '2024-02-29' AS d,
+        SELECT CAST(DATE '2024-02-29' AS TIMESTAMP) AS d,
                TIMESTAMP '2024-01-15 12:00:00' AS ts,
                CAST(DATE '2024-01-31' + INTERVAL 1 DAY AS TIMESTAMP) AS plus_day,
                CAST(x'4142' AS STRING) AS hexs""")),
@@ -110,6 +110,57 @@ object Extras {
         Tables.views(s, d)
         s.udf.register("graft_boost", (x: Double) => x * 2.0 + 1.0)
         s.sql("SELECT s_suppkey, graft_boost(s_acctbal) AS boosted FROM supplier ORDER BY s_suppkey")
+      }),
+
+    // FIRST/LAST with IGNORE NULLS over derived nulls (reference AB:1556-1570).
+    QE("q37_first_last_ignore_nulls", Some("""
+      SELECT event_id, user_id,
+             first_value(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_big
+      FROM events ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val big = when(col("value") > 50, col("value"))
+        t(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          first(big, ignoreNulls = true).over(w).as("first_big"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    // NATURAL JOIN over derived relations sharing a column name (AB:960-972).
+    QE("q45_natural_join", Some("""
+      SELECT n_name, r_name FROM
+        (SELECT n_name, n_regionkey AS rk FROM nation)
+        NATURAL JOIN
+        (SELECT r_name, r_regionkey AS rk FROM region)
+      ORDER BY n_name"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""SELECT n_name, r_name FROM
+                   (SELECT n_name, n_regionkey AS rk FROM nation)
+                   NATURAL JOIN
+                   (SELECT r_name, r_regionkey AS rk FROM region)
+                 ORDER BY n_name""")
+      }),
+
+    // Skew-resilient two-phase salted aggregation: partial sums per
+    // (key, salt) shrink any hot key's shuffle partition by the salt factor
+    // before the final per-key merge; decimal sums keep both phases exact so
+    // the result equals the direct aggregation (the oracle).
+    QE("p14_salted_agg", Some(s"""
+      SELECT user_id, COUNT(*) AS n, ${Q.oSum("value")} AS total
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => {
+        val salted = t(s, d, "events")
+          .withColumn("_salt", pmod(col("event_id"), lit(16)))
+          .groupBy("user_id", "_salt")
+          .agg(count(lit(1)).as("_n"), sum(col("value").cast(Q.dec)).as("_sum"))
+        salted.groupBy("user_id")
+          .agg(sum(col("_n")).as("n"), sum(col("_sum")).cast(DoubleType).as("total"))
+          .orderBy("user_id")
       }),
 
     // Structured Streaming: file-source stream over events with watermark +

@@ -29,9 +29,9 @@ object Windows {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         t(s, d, "events").select(
           col("event_id"), col("user_id"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          row_number().over(w).as("rn"))
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"),
+          row_number().over(w).cast(LongType).as("rn"))
           .orderBy("user_id", "rn")
       }),
 
@@ -94,7 +94,7 @@ object Windows {
         val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
         t(s, d, "customer").select(
           col("c_custkey"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
           .orderBy("c_custkey")
@@ -129,7 +129,7 @@ object Windows {
       (s, d) => {
         Tables.views(s, d)
         s.sql("""SELECT user_id, event_id,
-                   row_number() OVER w AS rn,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_sum
                  FROM events
                  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)

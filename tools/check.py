@@ -63,7 +63,19 @@ for name in sorted(os.listdir(out)):
                 break
         if bad:
             break
-    # dtype check (loose: numeric kind match)
+    # dtype check: flag kind mismatches (int vs float vs object vs bool)
+    if not bad:
+        for c in scols:
+            sk = sdf[c].dtype
+            ok = odf[c].dtype
+            def kind(d):
+                s = str(d)
+                if 'datetime' in s: return 'ts'
+                if s == 'object': return 'obj'
+                return getattr(d, 'kind', '?')
+            if kind(sk) != kind(ok) or (kind(sk) == 'i' and str(sk) != str(ok)):
+                bad = f'DTYPE col={c} spark={sk} oracle={ok}'
+                break
     results[name] = bad or 'OK'
 
 n_ok = sum(1 for v in results.values() if v == 'OK')
