@@ -1,0 +1,64 @@
+package graft.pg.server
+
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicReference
+
+/** Statement lifecycle: INITIALIZED -> RUNNING -> FINISHED / CANCELED /
+  * ERROR, terminal CLOSED (reference OperationManager.scala:29-97,
+  * ExecutorImpl.scala:68-91). Cancellation propagates through the Spark
+  * job group carried by the owning session.
+  */
+object OpState extends Enumeration {
+  val Initialized, Running, Finished, Canceled, Error, Closed = Value
+}
+
+final class Operation(val session: PgSession, val statement: String) {
+  private val state = new AtomicReference[OpState.Value](OpState.Initialized)
+  val jobGroup: String = session.nextJobGroup()
+  @volatile var startedAt: Long = 0L
+
+  def currentState: OpState.Value = state.get()
+
+  /** Run `body` under this operation's job group with state tracking. */
+  def run[T](body: => T): T = {
+    state.set(OpState.Running)
+    startedAt = System.currentTimeMillis()
+    session.activeJobGroup = jobGroup
+    session.spark.sparkContext.setJobGroup(jobGroup, statement.take(80), interruptOnCancel = true)
+    try {
+      val r = body
+      state.compareAndSet(OpState.Running, OpState.Finished)
+      r
+    } catch {
+      case e: Throwable =>
+        if (state.get() != OpState.Canceled) state.set(OpState.Error)
+        throw e
+    } finally {
+      session.spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  def cancel(): Unit = {
+    if (state.compareAndSet(OpState.Running, OpState.Canceled)) {
+      session.spark.sparkContext.cancelJobGroup(jobGroup)
+    }
+  }
+
+  def close(): Unit = state.set(OpState.Closed)
+}
+
+/** Idle-session reaper (reference SparkSQLServiceManager idle checker,
+  * SparkSQLServiceManager.scala:137-158): sessions quiet longer than the
+  * timeout are closed and unregistered.
+  */
+final class SessionReaper(timeoutMs: Long, periodMs: Long = 10000) {
+  private val exec = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-session-reaper"); t.setDaemon(true); t
+  })
+
+  def start(): Unit =
+    exec.scheduleWithFixedDelay(() => SessionRegistry.reapIdle(timeoutMs),
+      periodMs, periodMs, TimeUnit.MILLISECONDS)
+
+  def stop(): Unit = exec.shutdownNow()
+}

@@ -44,6 +44,9 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
   val statements = mutable.Map.empty[String, Prepared]
   val portals = mutable.Map.empty[String, Portal]
   private val stmtCounter = new AtomicInteger(0)
+  @volatile var lastActivity: Long = System.currentTimeMillis()
+  @volatile var onReap: () => Unit = () => ()
+  def touch(): Unit = lastActivity = System.currentTimeMillis()
 
   /** job-group id for the next statement; cancellation targets the group
     * (reference ExecutorImpl.scala:68-84).
@@ -86,4 +89,20 @@ object SessionRegistry {
     if (s != null && s.secret == secret) s.cancel()
   }
   def unregister(pid: Int): Unit = sessions.remove(pid)
+
+  /** Close sessions idle past the timeout (reference idle reaping,
+    * SparkSQLServiceManager.scala:137-158).
+    */
+  def reapIdle(timeoutMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - timeoutMs
+    sessions.forEach { (_, s) =>
+      if (s.lastActivity < cutoff) {
+        s.cancel()
+        s.onReap()
+        s.close()
+      }
+    }
+  }
+
+  private[server] def activeCount: Int = sessions.size()
 }

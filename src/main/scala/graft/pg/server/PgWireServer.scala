@@ -28,10 +28,13 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * flow, the extended P/B/D/E/S/C flow with portal suspension, per-connection
   * isolated sessions, and out-of-band cancellation.
   */
-class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4) {
+class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
+    sessionIdleTimeoutMs: Long = 0L) {
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(workerThreads)
   @volatile private var channel: Channel = _
+  private val reaper =
+    if (sessionIdleTimeoutMs > 0) Some(new SessionReaper(sessionIdleTimeoutMs, 1000)) else None
 
   /** Bound port after start (use port=0 for an ephemeral port in tests). */
   @volatile var boundPort: Int = -1
@@ -47,9 +50,11 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4)
       })
     channel = b.bind(port).sync().channel()
     boundPort = channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+    reaper.foreach(_.start())
   }
 
   def stop(): Unit = {
+    reaper.foreach(_.stop())
     if (channel != null) channel.close().sync()
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
     workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
@@ -144,6 +149,8 @@ private class PgConnectionHandler(base: SparkSession)
 
     case Typed(tpe, payload) =>
       val out = ctx.alloc().buffer()
+      session.touch()
+      session.onReap = () => ctx.close()
       Internals.setActiveSession(session.spark)
       try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
       catch {
@@ -389,11 +396,12 @@ private class PgConnectionHandler(base: SparkSession)
 
   // ---- execution helpers ----
 
+  /** Attach an [[Operation]] (state-tracked, cancellable job group) to the
+    * statement about to execute (reference ExecutorImpl.scala:111-146).
+    */
   private def runWithJobGroup(df: DataFrame): DataFrame = {
-    val group = session.nextJobGroup()
-    session.activeJobGroup = group
-    session.spark.sparkContext.setJobGroup(group, df.toString().take(80), interruptOnCancel = true)
-    df
+    val op = new Operation(session, df.toString().take(80))
+    op.run(df)
   }
 
   /** Incremental (partition-at-a-time) vs full-collect result iteration

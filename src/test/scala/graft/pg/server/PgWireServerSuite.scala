@@ -89,13 +89,20 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     private val in = new DataInputStream(sock.getInputStream)
     private val os = new DataOutputStream(sock.getOutputStream)
 
-    def startup(): Unit = {
+    def startup(): Unit = { startupKeyData(); () }
+
+    /** run the startup flow, returning (pid, secret) from BackendKeyData */
+    def startupKeyData(): (Int, Int) = {
       val body = cstr("user") ++ cstr("graft") ++ cstr("database") ++ cstr("default") :+ 0.toByte
       os.writeInt(8 + body.length)
       os.writeInt(196608)
       os.write(body)
       os.flush()
-      drainUntilReady()
+      val msgs = drainUntilReady()
+      msgs.find(_._1 == 'K').map { case (_, p) =>
+        val b = java.nio.ByteBuffer.wrap(p)
+        (b.getInt, b.getInt)
+      }.getOrElse((-1, -1))
     }
 
     def send(tpe: Char, payload: Array[Byte]): Unit = {
@@ -174,6 +181,48 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     val tag = msgs.filter(_._1 == 'C').map(m => new String(m._2, UTF_8).trim).last
     assert(tag.contains("SELECT 5"), s"tag was $tag")
     c.close()
+  }
+
+  test("cancel request routes by pid/secret without crashing the server") {
+    val c = new RawClient
+    c.startup()
+    // harvest pid+secret from BackendKeyData of a fresh connection
+    val c2 = new RawClient
+    val (pid, secret) = c2.startupKeyData()
+    // wrong secret: no-op; right secret: cancels (no active op -> no-op)
+    val cancelSock = new Socket("127.0.0.1", port)
+    val os = new DataOutputStream(cancelSock.getOutputStream)
+    os.writeInt(16); os.writeInt(80877102); os.writeInt(pid); os.writeInt(secret)
+    os.flush(); cancelSock.close()
+    Thread.sleep(200)
+    // both sessions still usable
+    c.send('Q', c.cstr("SELECT 5"))
+    assert(c.drainUntilReady().exists(_._1 == 'D'))
+    c2.send('Q', c2.cstr("SELECT 6"))
+    assert(c2.drainUntilReady().exists(_._1 == 'D'))
+    c.close(); c2.close()
+  }
+
+  test("operation lifecycle transitions") {
+    val s = SessionRegistry.create(TestSpark.spark)
+    val op = new Operation(s, "SELECT 1")
+    assert(op.currentState === OpState.Initialized)
+    op.run { assert(op.currentState === OpState.Running); 42 }
+    assert(op.currentState === OpState.Finished)
+    val op2 = new Operation(s, "boom")
+    intercept[RuntimeException](op2.run { throw new RuntimeException("x") })
+    assert(op2.currentState === OpState.Error)
+    s.close()
+  }
+
+  test("idle sessions are reaped") {
+    val before = System.currentTimeMillis()
+    val s = SessionRegistry.create(TestSpark.spark)
+    s.lastActivity = before - 60000
+    var reaped = false
+    s.onReap = () => reaped = true
+    SessionRegistry.reapIdle(30000)
+    assert(reaped, "stale session must be reaped")
   }
 
   test("session isolation: temp views do not leak across connections") {
