@@ -163,6 +163,44 @@ object Extras {
           .orderBy("user_id")
       }),
 
+    // Bucketed co-located join: both sides bucketed by the join key so the
+    // join plans with ZERO shuffle exchanges — the pattern that keeps a
+    // 100 TB fact-fact join off the network. Plan asserted in
+    // QueriesSmokeSuite; values oracle-checked against the plain join.
+    QE("q46_bucketed_join", Some(s"""
+      SELECT o_orderkey, COUNT(*) AS n_items, ${Q.oSum("l_quantity")} AS qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000
+      GROUP BY o_orderkey ORDER BY o_orderkey"""),
+      (s, d) => {
+        if (!s.catalog.tableExists("graft_bl") || !s.catalog.tableExists("graft_bo")) {
+          // the in-memory catalog resets per JVM but spark-warehouse persists:
+          // clear stale table dirs before re-creating the bucketed layout
+          val wh = java.nio.file.Paths.get(new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath)
+          Seq("graft_bl", "graft_bo").foreach { tn =>
+            s.sql(s"DROP TABLE IF EXISTS $tn")
+            val dir = wh.resolve(tn)
+            if (java.nio.file.Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+          t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey").format("parquet").saveAsTable("graft_bl")
+          t(s, d, "orders").select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey").format("parquet").saveAsTable("graft_bo")
+        }
+        s.table("graft_bo").filter(col("o_totalprice") > 450000)
+          .join(s.table("graft_bl"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_items"), Q.dsum(col("l_quantity")).as("qty"))
+          .orderBy("o_orderkey")
+      }),
+
     // Structured Streaming: file-source stream over events with watermark +
     // tumbling window, memory sink. The batch-equivalent aggregation is the
     // DuckDB oracle, so the streaming path is value-verified, not rows-only.

@@ -31,6 +31,19 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("bucketed join plans without a shuffle exchange") {
+    val df = SparkEntry.queries("q46_bucketed_join")(spark, TestSpark.sfDir)
+    df.count() // materialize so AQE finalizes
+    val plan = df.queryExecution.executedPlan.toString
+    val joinRegion = plan.split("HashAggregate").head
+    assert(!plan.contains("CartesianProduct"))
+    // the join itself must read the bucketed layout directly — the only
+    // acceptable exchange is the one AFTER aggregation for the final sort
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findFirstIn(plan).isEmpty &&
+      "Exchange hashpartitioning\\(o_orderkey".r.findFirstIn(plan).isEmpty,
+      s"bucketed join must not shuffle its inputs:\n$plan")
+  }
+
   test("scale guards: no crossJoin/collect in pipeline operator plans") {
     for (name <- Seq("p03_minhash_neardup", "p07_ann_lsh")) {
       val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
