@@ -107,7 +107,7 @@ object Pipeline {
     val buckets = (0 until LshTables).map { tb =>
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
         lshBucket(col("embedding"), tb).as("bucket"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).persist()
     val cand = buckets.as("x").join(buckets.as("y"),
       col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -168,12 +168,16 @@ object Pipeline {
     QE("p03_minhash_neardup", Some(jaccardOracle(0.8)),
       (s, d) => {
         import s.implicits._
+        // signatures feed four plan branches (both band sides + both verify
+        // sides); persist so the typed kernel runs once — at real scale the
+        // signature table would be a checkpointed/stored artifact anyway
         val sigs = t(s, d, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             MinHashing.signature(text).map { case (sh, mh) => (id, sh, mh) }
           })
           .toDF("doc_id", "sh", "mh")
+          .persist()
         val bands = sigs.select(col("doc_id"), explode(MinHashing.bandKeys(col("mh"))).as("key"))
         val cand = bands.as("x").join(bands.as("y"),
           col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
@@ -261,7 +265,7 @@ object Pipeline {
         val buckets = (0 until LshTables).map { tb =>
           e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
             lshBucket(col("embedding"), tb).as("bucket"))
-        }.reduce(_ unionAll _)
+        }.reduce(_ unionAll _).persist()
         val q = buckets.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("tbl"), col("bucket"))
