@@ -163,6 +163,42 @@ object Extras {
           .orderBy("user_id")
       }),
 
+    // IS [NOT] TRUE / FALSE / UNKNOWN boolean predicates (AB:1381-1477).
+    QE("q47_bool_predicates", Some("""
+      SELECT o_orderkey,
+             (o_totalprice > 300000) IS TRUE AS big,
+             (o_totalprice > 300000) IS NOT FALSE AS not_small,
+             (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice > 0 END) IS NULL AS unknown_flag
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderkey,
+                 (o_totalprice > 300000) IS TRUE AS big,
+                 (o_totalprice > 300000) IS NOT FALSE AS not_small,
+                 (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice > 0 END) IS UNKNOWN AS unknown_flag
+          FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""")
+      }),
+
+    // Set-operation precedence: INTERSECT binds tighter than UNION (G:440-446).
+    QE("q48_setop_precedence", Some("""
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9990
+      UNION
+      SELECT s_nationkey AS k FROM supplier
+      INTERSECT
+      SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+      ORDER BY k"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9990
+          UNION
+          SELECT s_nationkey AS k FROM supplier
+          INTERSECT
+          SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+          ORDER BY k""")
+      }),
+
     // Bucketed co-located join: both sides bucketed by the join key so the
     // join plans with ZERO shuffle exchanges — the pattern that keeps a
     // 100 TB fact-fact join off the network. Plan asserted in

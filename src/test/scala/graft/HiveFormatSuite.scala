@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-format table support (reference SSP:359-657 visitCreateHiveTable):
+  * the server boots Hive-enabled in the reference; here we prove the same
+  * capability on Spark 4 with a local derby metastore — CREATE TABLE
+  * STORED AS, INSERT, partitioned writes, read-back.
+  */
+class HiveFormatSuite extends AnyFunSuite {
+
+  private lazy val hive: Option[SparkSession] =
+    try {
+      // getOrCreate would reuse the suite-wide in-memory-catalog session;
+      // clear the defaults so the builder creates a fresh SparkSession (and
+      // SharedState) with the hive catalog on the shared context.
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val wh = java.nio.file.Files.createTempDirectory("graft_hive_wh").toString
+      val s =
+        try SparkSession.builder()
+          .master("local[4]")
+          .appName("graft-hive")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.warehouse.dir", wh)
+          .config("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+          .config("spark.ui.enabled", "false")
+          .enableHiveSupport()
+          .getOrCreate()
+        finally {
+          prevDefault.foreach(SparkSession.setDefaultSession)
+          prevActive.foreach(SparkSession.setActiveSession)
+        }
+      s.sql("SELECT 1").collect() // force session init
+      assume(s.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive")
+      Some(s)
+    } catch { case _: Throwable => None }
+
+  test("CREATE TABLE ... STORED AS PARQUET + INSERT + read back") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("DROP TABLE IF EXISTS hfmt")
+    s.sql("CREATE TABLE hfmt (k INT, v STRING) STORED AS PARQUET")
+    s.sql("INSERT INTO hfmt VALUES (1, 'a'), (2, 'b')")
+    val rows = s.sql("SELECT k, v FROM hfmt ORDER BY k").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (2, "b")))
+  }
+
+  test("partitioned Hive table with static partition insert") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("DROP TABLE IF EXISTS hpart")
+    s.sql("CREATE TABLE hpart (v STRING) PARTITIONED BY (day STRING) STORED AS PARQUET")
+    s.sql("INSERT INTO hpart PARTITION (day='2024-01-01') VALUES ('x')")
+    s.sql("INSERT INTO hpart PARTITION (day='2024-01-02') VALUES ('y')")
+    assert(s.sql("SHOW PARTITIONS hpart").count() === 2)
+    // partition pruning: only one partition scanned
+    val one = s.sql("SELECT v FROM hpart WHERE day = '2024-01-02'")
+    assert(one.collect().map(_.getString(0)).toSeq === Seq("y"))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(!scan.contains("2024-01-01"), "pruned partition must not appear in the scan")
+  }
+}

@@ -183,6 +183,24 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("extended flow: binary result format round-trips int8") {
+    val c = new RawClient
+    c.startup()
+    c.send('P', c.cstr("sb") ++ c.cstr("SELECT CAST(4242 AS BIGINT) AS v") ++ Array[Byte](0, 0))
+    c.send('B', c.cstr("") ++ c.cstr("sb") ++
+      Array[Byte](0, 0) ++ // no param formats
+      Array[Byte](0, 0) ++ // no params
+      Array[Byte](0, 1, 0, 1)) // one result format code: binary
+    c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+    val msgs = c.sync()
+    val data = msgs.find(_._1 == 'D').get._2
+    val buf = java.nio.ByteBuffer.wrap(data)
+    assert(buf.getShort === 1)
+    assert(buf.getInt === 8) // 8-byte binary int8
+    assert(buf.getLong === 4242L)
+    c.close()
+  }
+
   test("cancel request routes by pid/secret without crashing the server") {
     val c = new RawClient
     c.startup()
