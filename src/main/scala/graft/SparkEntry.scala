@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Windows.entries ++
       graft.queries.SetsSorts.entries ++
       graft.queries.Subqueries.entries ++
-      graft.queries.Extras.entries
+      graft.queries.Extras.entries ++
+      graft.queries.TpchShapes.entries
 
   private def queries_pipeline: Seq[QE] =
     graft.queries.Pipeline.entries ++

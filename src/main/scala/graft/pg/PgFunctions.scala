@@ -35,5 +35,7 @@ object PgFunctions {
     u.register("set_config", (_: String, v: String, _: Boolean) => v)
     u.register("current_schema", () => PgCatalog.defaultNamespace)
     u.register("pg_backend_pid", () => 0)
+    // server observability (reference SQLServerListener counters)
+    u.register("graft_stat", (name: String) => graft.pg.server.ServerStats.get(name))
   }
 }

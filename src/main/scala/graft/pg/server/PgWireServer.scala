@@ -130,6 +130,7 @@ private class PgConnectionHandler(base: SparkSession)
       ctx.close()
 
     case Startup(_) =>
+      ServerStats.sessionsOpened.incrementAndGet()
       session = SessionRegistry.create(base)
       PgCatalog.register(session.spark)
       val out = ctx.alloc().buffer()
@@ -152,9 +153,12 @@ private class PgConnectionHandler(base: SparkSession)
       session.touch()
       session.onReap = () => ctx.close()
       Internals.setActiveSession(session.spark)
-      try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
-      catch {
+      try {
+        handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
+        if (tpe.toChar == 'Q' || tpe.toChar == 'E') ServerStats.statementsRun.incrementAndGet()
+      } catch {
         case NonFatal(e) =>
+          ServerStats.statementsFailed.incrementAndGet()
           errorResponse(out, Option(e.getMessage).getOrElse(e.toString))
           if (tpe.toChar == 'Q') readyForQuery(out)
       }
@@ -163,7 +167,7 @@ private class PgConnectionHandler(base: SparkSession)
   }
 
   override def channelInactive(ctx: ChannelHandlerContext): Unit = {
-    if (session != null) session.close()
+    if (session != null) { session.close(); ServerStats.sessionsClosed.incrementAndGet() }
     super.channelInactive(ctx)
   }
 
@@ -425,6 +429,7 @@ private class PgConnectionHandler(base: SparkSession)
       writeDataRow(out, schema.length, writer, it.next(), scratch)
       n += 1
     }
+    ServerStats.rowsStreamed.addAndGet(n)
     n
   }
 

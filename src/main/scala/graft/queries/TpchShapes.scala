@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Classic TPC-H query shapes adapted to the driver schema — multi-join +
+  * aggregate + top-k workloads that exercise the optimizer end-to-end
+  * (join reorder, broadcast selection, partial aggregation, top-k via
+  * TakeOrderedAndProject).
+  */
+object TpchShapes {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val entries: Seq[QE] = Seq(
+    // Q3 shape: shipping priority — segment filter, date-bracketed 3-way
+    // join, revenue agg, top 10.
+    QE("q100_tpch_q3", Some(s"""
+      SELECT l_orderkey, ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""),
+      (s, d) => broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1999-03-15").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-03-15").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)),
+
+    // Q4 shape: order priority checking — EXISTS semi-join + count by
+    // priority.
+    QE("q101_tpch_q4", Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      }),
+
+    // Q10 shape: returned-item reporting — 4-way join, revenue per customer,
+    // top 20.
+    QE("q102_tpch_q10", Some(s"""
+      SELECT c_custkey, c_name, ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue,
+             n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Q18 shape: large-volume customers — HAVING-filtered subquery feeding
+    // an IN, then 3-way join + group.
+    QE("q103_tpch_q18", Some(s"""
+      SELECT c_custkey, o_orderkey, o_totalprice, ${Q.oSum("l_quantity")} AS total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+      GROUP BY c_custkey, o_orderkey, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql(s"""
+          SELECT c_custkey, o_orderkey, o_totalprice,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+          GROUP BY c_custkey, o_orderkey, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
+      }))
+}

@@ -221,6 +221,14 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     c.close(); c2.close()
   }
 
+  test("server stats track sessions and statements") {
+    val before = psql("SELECT graft_stat('statements_run')").toLong
+    psql("SELECT 1")
+    val after = psql("SELECT graft_stat('statements_run')").toLong
+    assert(after > before)
+    assert(psql("SELECT graft_stat('sessions_opened')").toLong > 0)
+  }
+
   test("operation lifecycle transitions") {
     val s = SessionRegistry.create(TestSpark.spark)
     val op = new Operation(s, "SELECT 1")
