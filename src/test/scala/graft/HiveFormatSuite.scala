@@ -51,6 +51,43 @@ class HiveFormatSuite extends AnyFunSuite {
     assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (2, "b")))
   }
 
+  test("Hive UDTF via CREATE TEMPORARY FUNCTION + LATERAL VIEW") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION explode_words AS " +
+      "'graft.functions.ExplodeWordsUDTF'")
+    val rows = s.sql(
+      "SELECT w FROM (SELECT 'spark sql server' AS t) LATERAL VIEW explode_words(t) e AS w ORDER BY w")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("server", "spark", "sql"))
+  }
+
+  test("TRUNCATE TABLE empties a managed table") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("DROP TABLE IF EXISTS htrunc")
+    s.sql("CREATE TABLE htrunc (k INT) STORED AS PARQUET")
+    s.sql("INSERT INTO htrunc VALUES (1), (2)")
+    assert(s.table("htrunc").count() === 2)
+    s.sql("TRUNCATE TABLE htrunc")
+    assert(s.table("htrunc").count() === 0)
+  }
+
+  test("FROM-first multi-insert writes two tables in one statement") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("DROP TABLE IF EXISTS mi_a")
+    s.sql("DROP TABLE IF EXISTS mi_b")
+    s.sql("CREATE TABLE mi_a (k INT) STORED AS PARQUET")
+    s.sql("CREATE TABLE mi_b (k INT) STORED AS PARQUET")
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW mi_src AS SELECT explode(sequence(1, 10)) AS k")
+    s.sql("""FROM mi_src
+             INSERT INTO mi_a SELECT k WHERE k <= 3
+             INSERT INTO mi_b SELECT k WHERE k > 8""")
+    assert(s.table("mi_a").count() === 3)
+    assert(s.table("mi_b").count() === 2)
+  }
+
   test("partitioned Hive table with static partition insert") {
     assume(hive.isDefined, "hive support unavailable in this environment")
     val s = hive.get
