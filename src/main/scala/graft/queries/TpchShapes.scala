@@ -101,16 +101,22 @@ object TpchShapes {
       GROUP BY c_custkey, o_orderkey, o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"""),
       (s, d) => {
-        Tables.views(s, d)
-        s.sql(s"""
-          SELECT c_custkey, o_orderkey, o_totalprice,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-          FROM customer JOIN orders ON c_custkey = o_custkey
-          JOIN lineitem ON l_orderkey = o_orderkey
-          WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
-          GROUP BY c_custkey, o_orderkey, o_totalprice
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")
+        // compute the qualifying-order key set ONCE and broadcast it —
+        // the SQL IN form duplicates the HAVING aggregation into both join
+        // branches (no common-subplan reuse) and, at scale, semi-joining
+        // each fact against a small key set beats re-aggregating
+        val l = t(s, d, "lineitem")
+        val bigOrders = l.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(Q.dec)).as("_q"))
+          .filter(col("_q") > 120)
+          .select(col("l_orderkey").as("_bok"))
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(bigOrders), col("o_orderkey") === col("_bok"), "left_semi")
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+          .agg(Q.dsum(col("l_quantity")).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(50)
       }))
 }
