@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -38,14 +36,20 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
-  private val registered = TrieMap.empty[(SparkSession, String), Boolean]
+  // weak keys: long-lived servers create a session per connection — a
+  // strong map would pin every closed session's state in memory forever
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** Register all tables as temp views (idempotent per session+dir) so that
     * SQL-text operators can refer to them by name.
     */
-  def views(spark: SparkSession, sfDir: String): Unit =
-    registered.getOrElseUpdate((spark, sfDir), {
+  def views(spark: SparkSession, sfDir: String): Unit = {
+    val dirs = registered.computeIfAbsent(spark,
+      _ => java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
+    if (dirs.add(sfDir)) {
       all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
-      true
-    })
+    }
+  }
 }

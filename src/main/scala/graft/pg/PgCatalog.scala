@@ -98,10 +98,6 @@ object PgCatalog {
     // Runtime tables, populated from the live catalog so psql \d works:
     // pg_class with the reference's full 21-column schema
     // (catalog.scala:217-219) and pg_attribute rows per visible column.
-    emptyView(spark, "pg_attribute",
-      "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, " +
-        "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, " +
-        "attidentity STRING, attisdropped BOOLEAN, attcollation INT")
     val tbls = spark.catalog.listTables().collect()
     val classRows = tbls.zipWithIndex.map { case (tbl, idx) =>
       Row(10000 + idx, 0, tbl.name, 0, "p",

@@ -58,19 +58,24 @@ object PgDialect {
   /** Substitute bound `$n` parameters; unbound ones become analyzable
     * [[ParameterPlaceHolder]]s (reference ParamBinder.scala:31-47).
     */
-  def bind(plan: LogicalPlan, params: Map[Int, Any]): LogicalPlan =
-    plan.transformAllExpressions {
+  def bind(plan: LogicalPlan, params: Map[Int, Any]): LogicalPlan = {
+    def lit(v: Any): Literal = if (v == null) Literal(null) else Literal(v)
+    // transformAllExpressionsWithSubqueries: `$n` inside IN/EXISTS/scalar
+    // subqueries lives in nested plans that plain transformAllExpressions
+    // would skip
+    plan.transformAllExpressionsWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if u.nameParts.map(_.toLowerCase) == Seq("pg_param") =>
         u.arguments match {
           case Seq(Literal(id, _)) =>
             val pid = id.toString.toInt
-            params.get(pid).map(Literal(_)).getOrElse(ParameterPlaceHolder(pid))
+            if (params.contains(pid)) lit(params(pid)) else ParameterPlaceHolder(pid)
           case _ => u
         }
       case p: ParameterPlaceHolder if params.contains(p.id) =>
-        Literal(params(p.id))
+        lit(params(p.id))
     }
+  }
 
   /** Parse PG-dialect SQL without executing (prepared-statement analysis:
     * unbound `$n` stay as analyzable placeholders). Registers the `pg_param`
@@ -98,7 +103,7 @@ object PgDialect {
     */
   def sql(spark: SparkSession, text: String, params: Map[Int, Any] = Map.empty): DataFrame = {
     val bound = bind(parse(spark, text), params)
-    val unbound = bound.collect {
+    val unbound = bound.collectWithSubqueries {
       case p => p.expressions.flatMap(_.collect { case ParameterPlaceHolder(id) => id })
     }.flatten.distinct.sorted
     if (unbound.nonEmpty) {

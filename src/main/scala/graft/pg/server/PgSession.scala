@@ -19,7 +19,8 @@ final case class Prepared(
     sql: String,
     plan: LogicalPlan,
     paramIds: Seq[Int],
-    schema: StructType)
+    schema: StructType,
+    paramOids: Seq[Int] = Seq.empty)
 
 /** A bound portal ('B'): statement + bound plan + result formats + the
   * cursor position across Execute calls (reference PortalState

@@ -118,6 +118,9 @@ private class PgConnectionHandler(base: SparkSession)
   import PgMessages._
 
   private var session: PgSession = _
+  private var ctxRef: ChannelHandlerContext = _
+  /** flush threshold while streaming rows: bounds buffered result bytes */
+  private val ChunkBytes = 1 << 20
 
   override def channelRead0(ctx: ChannelHandlerContext, m: PgClientMsg): Unit = m match {
     case SslRequest =>
@@ -149,20 +152,31 @@ private class PgConnectionHandler(base: SparkSession)
       ctx.writeAndFlush(out)
 
     case Typed(tpe, payload) =>
+      if (session == null) { // typed frame before Startup: protocol violation
+        val err = ctx.alloc().buffer()
+        errorResponse(err, "protocol violation: message before startup", "08P01")
+        ctx.writeAndFlush(err)
+        ctx.close()
+        return
+      }
       val out = ctx.alloc().buffer()
+      ctxRef = ctx
       session.touch()
       session.onReap = () => ctx.close()
       Internals.setActiveSession(session.spark)
+      // streaming handlers may flush full chunks and continue on a fresh
+      // buffer; always write the final one they hand back
+      var fin = out
       try {
-        handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
+        fin = handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
         if (tpe.toChar == 'Q' || tpe.toChar == 'E') ServerStats.statementsRun.incrementAndGet()
       } catch {
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
-          errorResponse(out, Option(e.getMessage).getOrElse(e.toString))
-          if (tpe.toChar == 'Q') readyForQuery(out)
+          errorResponse(fin, Option(e.getMessage).getOrElse(e.toString))
+          if (tpe.toChar == 'Q') readyForQuery(fin)
       }
-      ctx.writeAndFlush(out)
+      ctx.writeAndFlush(fin)
       if (tpe.toChar == 'X') ctx.close()
   }
 
@@ -174,16 +188,17 @@ private class PgConnectionHandler(base: SparkSession)
   // ---- V3 message dispatch (reference extractClientMessageProcessor,
   // protocol.scala:307-730) ----
 
-  private def handleTyped(tpe: Char, in: ByteBuffer, out: ByteBuf): Unit = tpe match {
+  /** returns the buffer holding the (remaining) response bytes */
+  private def handleTyped(tpe: Char, in: ByteBuffer, out: ByteBuf): ByteBuf = tpe match {
     case 'Q' => simpleQuery(readCStr(in), out)
-    case 'P' => parse(in, out)
-    case 'B' => bind(in, out)
-    case 'D' => describe(in, out)
+    case 'P' => parse(in, out); out
+    case 'B' => bind(in, out); out
+    case 'D' => describe(in, out); out
     case 'E' => execute(in, out)
-    case 'C' => closeMsg(in, out)
-    case 'S' => readyForQuery(out) // Sync
-    case 'H' => () // Flush — we always flush per message
-    case 'X' => () // Terminate; channel closed by caller
+    case 'C' => closeMsg(in, out); out
+    case 'S' => readyForQuery(out); out // Sync
+    case 'H' => out // Flush — we always flush per message
+    case 'X' => out // Terminate; channel closed by caller
     case other => throw new IllegalArgumentException(s"Unsupported message type: $other")
   }
 
@@ -196,23 +211,45 @@ private class PgConnectionHandler(base: SparkSession)
 
   private def parser = new PgParserInterface(Internals.sessionParser(session.spark))
 
-  /** split on top-level semicolons (quote-aware) */
+  /** split on top-level semicolons (quote-, ident- and comment-aware);
+    * parts that contain only comments/whitespace are dropped
+    */
   private def splitStatements(sql: String): Seq[String] = {
     val parts = ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var last = 0
-    for (j <- sql.indices) {
-      val c = sql.charAt(j)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ';' if depth == 0 => parts += sql.substring(last, j); last = j + 1
-        case _ =>
+    var depth = 0; var last = 0; var j = 0
+    val n = sql.length
+    var sawToken = false
+    def flush(end: Int): Unit = {
+      val part = sql.substring(last, end).trim
+      if (part.nonEmpty && sawToken) parts += part
+      sawToken = false
+    }
+    while (j < n) {
+      sql.charAt(j) match {
+        case '\'' =>
+          sawToken = true; j += 1
+          while (j < n && sql.charAt(j) != '\'') j += 1
+          j += 1
+        case '"' =>
+          sawToken = true; j += 1
+          while (j < n && sql.charAt(j) != '"') j += 1
+          j += 1
+        case '-' if j + 1 < n && sql.charAt(j + 1) == '-' =>
+          while (j < n && sql.charAt(j) != '\n') j += 1
+        case '/' if j + 1 < n && sql.charAt(j + 1) == '*' =>
+          j += 2
+          while (j + 1 < n && !(sql.charAt(j) == '*' && sql.charAt(j + 1) == '/')) j += 1
+          j = math.min(j + 2, n)
+        case '(' => sawToken = true; depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case ';' if depth == 0 => flush(j); last = j + 1; j += 1
+        case c =>
+          if (!c.isWhitespace) sawToken = true
+          j += 1
       }
     }
-    parts += sql.substring(last)
-    parts.map(_.trim).filter(_.nonEmpty).toSeq
+    flush(n)
+    parts.toSeq
   }
 
   private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
@@ -232,34 +269,39 @@ private class PgConnectionHandler(base: SparkSession)
   /** Simple query flow §3.1: parse -> execute -> RowDescription + DataRows +
     * CommandComplete, always text format (reference protocol.scala:585-660).
     */
-  private def simpleQuery(sql: String, out: ByteBuf): Unit = {
+  private def simpleQuery(sql: String, out: ByteBuf): ByteBuf = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) {
       PgMessages.emptyQueryResponse(out)
       readyForQuery(out)
-      return
+      return out
     }
+    var buf = out
     stmts.foreach { stmt =>
       val plan = parser.parsePlan(stmt)
-      val df = runWithJobGroup(Internals.ofRows(session.spark, plan))
-      val schema = df.schema
-      val isSet = plan.getClass.getSimpleName == "SetCommand"
-      if (isSet) {
-        // reference short-circuits SET: apply but emit no rows, tag SET
-        // (protocol.scala:451-459,630-638)
-        df.collect()
-        commandComplete(out, "SET")
-      } else if (schema.nonEmpty) {
-        val formats = Seq.fill(schema.length)(false) // psql simple mode = text
-        rowDescription(out, schema, formats)
-        val n = streamRows(df, schema, formats, out, maxRows = 0)
-        commandComplete(out, commandTag(stmt, plan, n))
-      } else {
-        df.collect() // run the command
-        commandComplete(out, commandTag(stmt, plan, 0))
+      withOperation(stmt.take(80)) {
+        val df = Internals.ofRows(session.spark, plan)
+        val schema = df.schema
+        val isSet = plan.getClass.getSimpleName == "SetCommand"
+        if (isSet) {
+          // reference short-circuits SET: apply but emit no rows, tag SET
+          // (protocol.scala:451-459,630-638)
+          df.collect()
+          commandComplete(buf, "SET")
+        } else if (schema.nonEmpty) {
+          val formats = Seq.fill(schema.length)(false) // psql simple mode = text
+          rowDescription(buf, schema, formats)
+          val (n, cont) = streamRows(df, schema, formats, buf, maxRows = 0)
+          buf = cont
+          commandComplete(buf, commandTag(stmt, plan, n))
+        } else {
+          df.collect() // run the command
+          commandComplete(buf, commandTag(stmt, plan, 0))
+        }
       }
     }
-    readyForQuery(out)
+    readyForQuery(buf)
+    buf
   }
 
   /** 'P': parse + eager analysis so Describe can answer (reference
@@ -269,7 +311,7 @@ private class PgConnectionHandler(base: SparkSession)
     val name = readCStr(in)
     val sql = readCStr(in)
     val nParams = in.getShort.toInt
-    (0 until nParams).foreach(_ => in.getInt) // declared param oids (unused)
+    val declaredOids = (0 until nParams).map(_ => in.getInt)
     PgDialect.registerParamFunction(session.spark)
     val plan = parser.parsePlan(sql)
     val schema =
@@ -284,7 +326,7 @@ private class PgConnectionHandler(base: SparkSession)
             .value.toString.toInt
       })
     }.flatten.distinct.sorted
-    session.statements(name) = Prepared(name, sql, plan, paramIds, schema)
+    session.statements(name) = Prepared(name, sql, plan, paramIds, schema, declaredOids)
     parseComplete(out)
   }
 
@@ -306,15 +348,16 @@ private class PgConnectionHandler(base: SparkSession)
     val nRes = in.getShort.toInt
     val resFormats = Seq.fill(nRes)(in.getShort.toInt)
 
-    // Without declared oids we infer varchar and let Catalyst coerce —
-    // clients that matter (JDBC) declare types in Parse; text params decode
-    // as varchar like the reference's fallback.
-    val litParams = params.zipWithIndex.collect {
-      case (bytes, i) if bytes != null =>
-        val fmt = if (paramFormats.isEmpty) 0
-          else if (paramFormats.length == 1) paramFormats.head
-          else paramFormats(i)
-        (i + 1) -> ParamCodec.decode(bytes, PgTypes.VARCHAR, fmt).value
+    // Decode by the oid declared in Parse (falling back to varchar for
+    // undeclared/unspecified); NULL params (len -1) bind a SQL NULL.
+    val litParams = params.zipWithIndex.map { case (bytes, i) =>
+      val fmt = if (paramFormats.isEmpty) 0
+        else if (paramFormats.length == 1) paramFormats.head
+        else paramFormats(i)
+      val oid = stmt.paramOids.lift(i).filter(_ != PgTypes.UNSPECIFIED)
+        .getOrElse(PgTypes.VARCHAR)
+      val value: Any = if (bytes == null) null else ParamCodec.decode(bytes, oid, fmt).value
+      (i + 1) -> value
     }.toMap[Int, Any]
     val bound = PgDialect.bind(stmt.plan, litParams)
     val schema = if (stmt.sql.trim.isEmpty) new StructType()
@@ -354,36 +397,43 @@ private class PgConnectionHandler(base: SparkSession)
   /** 'E': run or resume the portal cursor; maxRows==0 drains, otherwise
     * suspend after maxRows (reference protocol.scala:437-504).
     */
-  private def execute(in: ByteBuffer, out: ByteBuf): Unit = {
+  private def execute(in: ByteBuffer, out: ByteBuf): ByteBuf = {
     val name = readCStr(in)
     val maxRows = in.getInt
     val portal = session.portals.getOrElse(name,
       throw new IllegalArgumentException(s"unknown portal: '$name'"))
     if (portal.schema.isEmpty) {
-      runWithJobGroup(Internals.ofRows(session.spark, portal.bound)).collect()
+      withOperation(portal.stmt.sql.take(80)) {
+        Internals.ofRows(session.spark, portal.bound).collect()
+      }
       commandComplete(out, commandTag(portal.stmt.sql, portal.bound, 0))
-      return
-    }
-    if (!portal.started) {
-      val df = runWithJobGroup(Internals.ofRows(session.spark, portal.bound))
-      portal.rows = resultIterator(df)
+      return out
     }
     val writer = RowCodec.rowWriter(portal.schema, portal.formats)
     val scratch = ByteBuffer.allocate(1 << 20)
     var n = 0L
+    var buf = out
     var suspended = false
-    while (portal.rows.hasNext && !suspended) {
-      writeDataRow(out, portal.schema.length, writer, portal.rows.next(), scratch)
-      n += 1
-      portal.rowCount += 1
-      if (maxRows > 0 && n >= maxRows && portal.rows.hasNext) suspended = true
+    withOperation(portal.stmt.sql.take(80)) {
+      if (!portal.started) {
+        portal.rows = resultIterator(Internals.ofRows(session.spark, portal.bound))
+      }
+      while (portal.rows.hasNext && !suspended) {
+        writeDataRow(buf, portal.schema.length, writer, portal.rows.next(), scratch)
+        buf = maybeFlush(buf)
+        n += 1
+        portal.rowCount += 1
+        if (maxRows > 0 && n >= maxRows && portal.rows.hasNext) suspended = true
+      }
     }
-    if (suspended) portalSuspended(out)
+    ServerStats.rowsStreamed.addAndGet(n)
+    if (suspended) portalSuspended(buf)
     else if (portal.stmt.sql.trim.toUpperCase.startsWith("FETCH")) {
-      commandComplete(out, s"FETCH ${portal.rowCount}")
+      commandComplete(buf, s"FETCH ${portal.rowCount}")
     } else {
-      commandComplete(out, commandTag(portal.stmt.sql, portal.bound, portal.rowCount))
+      commandComplete(buf, commandTag(portal.stmt.sql, portal.bound, portal.rowCount))
     }
+    buf
   }
 
   /** 'C': free a statement or portal (reference protocol.scala:381-396). */
@@ -400,13 +450,12 @@ private class PgConnectionHandler(base: SparkSession)
 
   // ---- execution helpers ----
 
-  /** Attach an [[Operation]] (state-tracked, cancellable job group) to the
-    * statement about to execute (reference ExecutorImpl.scala:111-146).
+  /** Run `body` (plan + row materialization) inside an [[Operation]] so the
+    * cancellable job group covers the Spark jobs actually launched while
+    * streaming results (reference ExecutorImpl.scala:111-146).
     */
-  private def runWithJobGroup(df: DataFrame): DataFrame = {
-    val op = new Operation(session, df.toString().take(80))
-    op.run(df)
-  }
+  private def withOperation[T](label: String)(body: => T): T =
+    new Operation(session, label).run(body)
 
   /** Incremental (partition-at-a-time) vs full-collect result iteration
     * (reference ExecutorImpl.scala:185-215). Incremental is the default:
@@ -419,19 +468,32 @@ private class PgConnectionHandler(base: SparkSession)
     else Internals.executeCollect(df).iterator
   }
 
+  /** returns (rows, buffer to continue writing into): full chunks are
+    * flushed to the socket as they fill so result memory stays bounded
+    * regardless of result size
+    */
   private def streamRows(df: DataFrame, schema: StructType, formats: Seq[Boolean],
-      out: ByteBuf, maxRows: Int): Long = {
+      out: ByteBuf, maxRows: Int): (Long, ByteBuf) = {
     val writer = RowCodec.rowWriter(schema, formats)
     val scratch = ByteBuffer.allocate(1 << 20)
     val it = resultIterator(df)
     var n = 0L
+    var buf = out
     while (it.hasNext && (maxRows == 0 || n < maxRows)) {
-      writeDataRow(out, schema.length, writer, it.next(), scratch)
+      writeDataRow(buf, schema.length, writer, it.next(), scratch)
+      buf = maybeFlush(buf)
       n += 1
     }
     ServerStats.rowsStreamed.addAndGet(n)
-    n
+    (n, buf)
   }
+
+  /** hand a full chunk to the socket and continue on a fresh buffer */
+  private def maybeFlush(buf: ByteBuf): ByteBuf =
+    if (buf.readableBytes() > ChunkBytes && ctxRef != null) {
+      ctxRef.writeAndFlush(buf)
+      ctxRef.alloc().buffer()
+    } else buf
 
   /** DataRow 'D': int16 column count then the RowCodec fields. */
   private def writeDataRow(out: ByteBuf, nCols: Int,

@@ -51,6 +51,22 @@ class PgDialectSuite extends AnyFunSuite {
     assert(rows("SELECT upper($1) AS s", Map(1 -> "abc")) === Seq(Row("ABC")))
   }
 
+  test("$n inside subqueries binds (transform descends into subquery plans)") {
+    graft.Tables.views(spark, graft.TestSpark.sfDir)
+    val df = PgDialect.sql(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > $1)",
+      Map(1 -> 9999.0))
+    assert(df.collect().head.getLong(0) >= 0)
+    val e = intercept[IllegalArgumentException](PgDialect.sql(spark,
+      "SELECT 1 WHERE 1 IN (SELECT 1 WHERE 1 = $1)"))
+    assert(e.getMessage.contains("$1"), "unbound subquery params must be detected too")
+  }
+
+  test("null parameters bind as SQL NULL") {
+    val r = PgDialect.sql(spark, "SELECT $1 IS NULL AS isnull", Map(1 -> null)).collect()
+    assert(r.head.getBoolean(0))
+  }
+
   test("unbound $n raises the reference bind error") {
     val e = intercept[IllegalArgumentException](rows("SELECT $1 AS x"))
     assert(e.getMessage.contains("$1"))

@@ -82,6 +82,53 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SELECT 1; SELECT 2") === "1\n2")
   }
 
+  test("psql: trailing comments and comment-embedded semicolons don't break the split") {
+    assert(psql("SELECT 1; -- done") === "1")
+    assert(psql("SELECT 1 -- note; with semicolon\n + 2") === "3")
+    assert(psql("/* lead; */ SELECT 4") === "4")
+  }
+
+  test("extended flow: binary int4 parameter decodes via the declared oid") {
+    val c = new RawClient
+    c.startup()
+    // Parse declares one int4 (oid 23) parameter
+    c.send('P', c.cstr("sbin") ++ c.cstr("SELECT $1 + 1 AS v") ++
+      Array[Byte](0, 1, 0, 0, 0, 23))
+    // Bind sends the param in binary format: int4 41
+    c.send('B', c.cstr("") ++ c.cstr("sbin") ++
+      Array[Byte](0, 1, 0, 1) ++ // one param format code: binary
+      Array[Byte](0, 1) ++ // 1 param
+      Array[Byte](0, 0, 0, 4, 0, 0, 0, 41) ++ // len=4, int4 41
+      Array[Byte](0, 0))
+    c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+    val msgs = c.sync()
+    val data = msgs.find(_._1 == 'D').get._2
+    val buf = java.nio.ByteBuffer.wrap(data)
+    buf.getShort
+    val len = buf.getInt
+    val v = new Array[Byte](len); buf.get(v)
+    assert(new String(v, UTF_8) === "42")
+    c.close()
+  }
+
+  test("cancel actually interrupts a running query") {
+    val c = new RawClient
+    val (pid, secret) = c.startupKeyData()
+    val t0 = System.currentTimeMillis()
+    // a query that takes >>10s uncancelled
+    c.send('Q', c.cstr("SELECT max(id * 2 + 1) FROM range(200000000000)"))
+    Thread.sleep(1500)
+    val cs = new Socket("127.0.0.1", port)
+    val os = new DataOutputStream(cs.getOutputStream)
+    os.writeInt(16); os.writeInt(80877102); os.writeInt(pid); os.writeInt(secret)
+    os.flush(); cs.close()
+    val msgs = c.drainUntilReady() // error response then ReadyForQuery
+    val elapsed = System.currentTimeMillis() - t0
+    assert(msgs.exists(_._1 == 'E'), "canceled query must surface an error")
+    assert(elapsed < 30000, s"cancellation took too long: ${elapsed}ms")
+    c.close()
+  }
+
   // ---- raw V3 client for the extended flow ----
 
   private class RawClient {
