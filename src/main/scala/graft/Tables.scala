@@ -47,9 +47,13 @@ object Tables {
     */
   def views(spark: SparkSession, sfDir: String): Unit = {
     val dirs = registered.computeIfAbsent(spark,
-      _ => java.util.Collections.synchronizedSet(new java.util.HashSet[String]()))
-    if (dirs.add(sfDir)) {
-      all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+      _ => new java.util.HashSet[String]())
+    // synchronized so a concurrent caller never returns before the winner
+    // has finished creating every view
+    dirs.synchronized {
+      if (dirs.add(sfDir)) {
+        all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+      }
     }
   }
 }

@@ -101,7 +101,8 @@ object PgCatalog {
     val tbls = spark.catalog.listTables().collect()
     val classRows = tbls.zipWithIndex.map { case (tbl, idx) =>
       Row(10000 + idx, 0, tbl.name, 0, "p",
-        if (tbl.tableType == "TABLE") "r" else "v",
+        // Catalog.tableType is MANAGED/EXTERNAL/VIEW/TEMPORARY
+        if (tbl.tableType == "MANAGED" || tbl.tableType == "EXTERNAL") "r" else "v",
         defaultNamespaceOid, userRoleOid, null, 0.toShort, 0,
         false, false, false, false, false, "d", 0.toShort, false, false, null)
     }
@@ -139,8 +140,11 @@ object PgCatalog {
     else if (t.startsWith("array<string")) 1015
     else if (t.startsWith("array<float")) 1021
     else if (t.startsWith("array<double")) 1022
+    else if (t.startsWith("array<interval")) 1187
     else if (t.startsWith("array<int")) 1007
     else if (t.startsWith("array<bigint")) 1016
+    else if (t.startsWith("array<smallint")) 1005
+    // nested/other arrays render as text (reference punt, catalog.scala:206)
     else if (t.startsWith("array")) 1043
     else if (t.startsWith("map") || t.startsWith("struct")) 6201
     else t match {

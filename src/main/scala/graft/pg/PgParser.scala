@@ -59,7 +59,11 @@ object PgDialect {
     * [[ParameterPlaceHolder]]s (reference ParamBinder.scala:31-47).
     */
   def bind(plan: LogicalPlan, params: Map[Int, Any]): LogicalPlan = {
-    def lit(v: Any): Literal = if (v == null) Literal(null) else Literal(v)
+    def lit(v: Any): Literal = v match {
+      case l: Literal => l // already typed (e.g. DateType from the wire codec)
+      case null => Literal(null)
+      case other => Literal(other)
+    }
     // transformAllExpressionsWithSubqueries: `$n` inside IN/EXISTS/scalar
     // subqueries lives in nested plans that plain transformAllExpressions
     // would skip

@@ -23,6 +23,7 @@ final class Operation(val session: PgSession, val statement: String) {
   def run[T](body: => T): T = {
     state.set(OpState.Running)
     startedAt = System.currentTimeMillis()
+    session.busy = true
     session.activeJobGroup = jobGroup
     session.spark.sparkContext.setJobGroup(jobGroup, statement.take(80), interruptOnCancel = true)
     try {
@@ -34,6 +35,8 @@ final class Operation(val session: PgSession, val statement: String) {
         if (state.get() != OpState.Canceled) state.set(OpState.Error)
         throw e
     } finally {
+      session.busy = false
+      session.touch() // a just-finished statement resets the idle clock
       session.spark.sparkContext.clearJobGroup()
     }
   }

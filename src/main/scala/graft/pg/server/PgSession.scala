@@ -46,6 +46,7 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
   val portals = mutable.Map.empty[String, Portal]
   private val stmtCounter = new AtomicInteger(0)
   @volatile var lastActivity: Long = System.currentTimeMillis()
+  @volatile var busy: Boolean = false
   @volatile var onReap: () => Unit = () => ()
   def touch(): Unit = lastActivity = System.currentTimeMillis()
 
@@ -97,7 +98,9 @@ object SessionRegistry {
   def reapIdle(timeoutMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - timeoutMs
     sessions.forEach { (_, s) =>
-      if (s.lastActivity < cutoff) {
+      // a session with a statement mid-flight is not idle, no matter how
+      // long ago its last frame arrived
+      if (s.lastActivity < cutoff && !s.busy) {
         s.cancel()
         s.onReap()
         s.close()

@@ -119,6 +119,8 @@ private class PgConnectionHandler(base: SparkSession)
 
   private var session: PgSession = _
   private var ctxRef: ChannelHandlerContext = _
+  /** the buffer currently being written (replaced when a chunk flushes) */
+  private var currentOut: ByteBuf = _
   /** flush threshold while streaming rows: bounds buffered result bytes */
   private val ChunkBytes = 1 << 20
 
@@ -135,6 +137,7 @@ private class PgConnectionHandler(base: SparkSession)
     case Startup(_) =>
       ServerStats.sessionsOpened.incrementAndGet()
       session = SessionRegistry.create(base)
+      session.onReap = () => ctx.close()
       PgCatalog.register(session.spark)
       val out = ctx.alloc().buffer()
       authenticationOk(out)
@@ -159,24 +162,23 @@ private class PgConnectionHandler(base: SparkSession)
         ctx.close()
         return
       }
-      val out = ctx.alloc().buffer()
       ctxRef = ctx
+      currentOut = ctx.alloc().buffer()
       session.touch()
       session.onReap = () => ctx.close()
       Internals.setActiveSession(session.spark)
       // streaming handlers may flush full chunks and continue on a fresh
-      // buffer; always write the final one they hand back
-      var fin = out
-      try {
-        fin = handleTyped(tpe.toChar, ByteBuffer.wrap(payload), out)
-        if (tpe.toChar == 'Q' || tpe.toChar == 'E') ServerStats.statementsRun.incrementAndGet()
-      } catch {
+      // buffer (maybeFlush swaps currentOut); error handling and the final
+      // write always target the live buffer
+      try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), currentOut)
+      catch {
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
-          errorResponse(fin, Option(e.getMessage).getOrElse(e.toString))
-          if (tpe.toChar == 'Q') readyForQuery(fin)
+          errorResponse(currentOut, Option(e.getMessage).getOrElse(e.toString))
+          if (tpe.toChar == 'Q') readyForQuery(currentOut)
       }
-      ctx.writeAndFlush(fin)
+      ctx.writeAndFlush(currentOut)
+      currentOut = null
       if (tpe.toChar == 'X') ctx.close()
   }
 
@@ -188,17 +190,16 @@ private class PgConnectionHandler(base: SparkSession)
   // ---- V3 message dispatch (reference extractClientMessageProcessor,
   // protocol.scala:307-730) ----
 
-  /** returns the buffer holding the (remaining) response bytes */
-  private def handleTyped(tpe: Char, in: ByteBuffer, out: ByteBuf): ByteBuf = tpe match {
-    case 'Q' => simpleQuery(readCStr(in), out)
-    case 'P' => parse(in, out); out
-    case 'B' => bind(in, out); out
-    case 'D' => describe(in, out); out
-    case 'E' => execute(in, out)
-    case 'C' => closeMsg(in, out); out
-    case 'S' => readyForQuery(out); out // Sync
-    case 'H' => out // Flush — we always flush per message
-    case 'X' => out // Terminate; channel closed by caller
+  private def handleTyped(tpe: Char, in: ByteBuffer, out: ByteBuf): Unit = tpe match {
+    case 'Q' => simpleQuery(readCStr(in))
+    case 'P' => parse(in, out)
+    case 'B' => bind(in, out)
+    case 'D' => describe(in, out)
+    case 'E' => execute(in)
+    case 'C' => closeMsg(in, out)
+    case 'S' => readyForQuery(out) // Sync
+    case 'H' => () // Flush — we always flush per message
+    case 'X' => () // Terminate; channel closed by caller
     case other => throw new IllegalArgumentException(s"Unsupported message type: $other")
   }
 
@@ -269,16 +270,16 @@ private class PgConnectionHandler(base: SparkSession)
   /** Simple query flow §3.1: parse -> execute -> RowDescription + DataRows +
     * CommandComplete, always text format (reference protocol.scala:585-660).
     */
-  private def simpleQuery(sql: String, out: ByteBuf): ByteBuf = {
+  private def simpleQuery(sql: String): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) {
-      PgMessages.emptyQueryResponse(out)
-      readyForQuery(out)
-      return out
+      PgMessages.emptyQueryResponse(currentOut)
+      readyForQuery(currentOut)
+      return
     }
-    var buf = out
     stmts.foreach { stmt =>
       val plan = parser.parsePlan(stmt)
+      ServerStats.statementsRun.incrementAndGet()
       withOperation(stmt.take(80)) {
         val df = Internals.ofRows(session.spark, plan)
         val schema = df.schema
@@ -287,21 +288,19 @@ private class PgConnectionHandler(base: SparkSession)
           // reference short-circuits SET: apply but emit no rows, tag SET
           // (protocol.scala:451-459,630-638)
           df.collect()
-          commandComplete(buf, "SET")
+          commandComplete(currentOut, "SET")
         } else if (schema.nonEmpty) {
           val formats = Seq.fill(schema.length)(false) // psql simple mode = text
-          rowDescription(buf, schema, formats)
-          val (n, cont) = streamRows(df, schema, formats, buf, maxRows = 0)
-          buf = cont
-          commandComplete(buf, commandTag(stmt, plan, n))
+          rowDescription(currentOut, schema, formats)
+          val n = streamRows(df, schema, formats, maxRows = 0)
+          commandComplete(currentOut, commandTag(stmt, plan, n))
         } else {
           df.collect() // run the command
-          commandComplete(buf, commandTag(stmt, plan, 0))
+          commandComplete(currentOut, commandTag(stmt, plan, 0))
         }
       }
     }
-    readyForQuery(buf)
-    buf
+    readyForQuery(currentOut)
   }
 
   /** 'P': parse + eager analysis so Describe can answer (reference
@@ -356,7 +355,14 @@ private class PgConnectionHandler(base: SparkSession)
         else paramFormats(i)
       val oid = stmt.paramOids.lift(i).filter(_ != PgTypes.UNSPECIFIED)
         .getOrElse(PgTypes.VARCHAR)
-      val value: Any = if (bytes == null) null else ParamCodec.decode(bytes, oid, fmt).value
+      // keep the fully-typed Literal (DateType/TimestampType etc. — not just
+      // the raw value); unknown declared oids fall back to text decoding
+      val value: Any =
+        if (bytes == null) null
+        else try ParamCodec.decode(bytes, oid, fmt)
+        catch { case _: IllegalArgumentException if fmt == 0 =>
+          ParamCodec.decode(bytes, PgTypes.VARCHAR, fmt)
+        }
       (i + 1) -> value
     }.toMap[Int, Any]
     val bound = PgDialect.bind(stmt.plan, litParams)
@@ -382,7 +388,10 @@ private class PgConnectionHandler(base: SparkSession)
       case 'S' =>
         val stmt = session.statements.getOrElse(name,
           throw new IllegalArgumentException(s"unknown prepared statement: '$name'"))
-        parameterDescription(out, stmt.paramIds.map(_ => PgTypes.VARCHAR))
+        parameterDescription(out,
+          if (stmt.paramOids.nonEmpty)
+            stmt.paramOids.map(o => if (o == PgTypes.UNSPECIFIED) PgTypes.VARCHAR else o)
+          else stmt.paramIds.map(_ => PgTypes.VARCHAR))
         if (stmt.schema.isEmpty) noData(out)
         else rowDescription(out, stmt.schema, Seq.fill(stmt.schema.length)(false))
       case 'P' =>
@@ -397,43 +406,42 @@ private class PgConnectionHandler(base: SparkSession)
   /** 'E': run or resume the portal cursor; maxRows==0 drains, otherwise
     * suspend after maxRows (reference protocol.scala:437-504).
     */
-  private def execute(in: ByteBuffer, out: ByteBuf): ByteBuf = {
+  private def execute(in: ByteBuffer): Unit = {
     val name = readCStr(in)
     val maxRows = in.getInt
     val portal = session.portals.getOrElse(name,
       throw new IllegalArgumentException(s"unknown portal: '$name'"))
+    if (!portal.started) ServerStats.statementsRun.incrementAndGet()
     if (portal.schema.isEmpty) {
       withOperation(portal.stmt.sql.take(80)) {
         Internals.ofRows(session.spark, portal.bound).collect()
       }
-      commandComplete(out, commandTag(portal.stmt.sql, portal.bound, 0))
-      return out
+      commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, 0))
+      return
     }
     val writer = RowCodec.rowWriter(portal.schema, portal.formats)
     val scratch = ByteBuffer.allocate(1 << 20)
     var n = 0L
-    var buf = out
     var suspended = false
     withOperation(portal.stmt.sql.take(80)) {
       if (!portal.started) {
         portal.rows = resultIterator(Internals.ofRows(session.spark, portal.bound))
       }
       while (portal.rows.hasNext && !suspended) {
-        writeDataRow(buf, portal.schema.length, writer, portal.rows.next(), scratch)
-        buf = maybeFlush(buf)
+        writeDataRow(currentOut, portal.schema.length, writer, portal.rows.next(), scratch)
+        maybeFlush()
         n += 1
         portal.rowCount += 1
         if (maxRows > 0 && n >= maxRows && portal.rows.hasNext) suspended = true
       }
     }
     ServerStats.rowsStreamed.addAndGet(n)
-    if (suspended) portalSuspended(buf)
+    if (suspended) portalSuspended(currentOut)
     else if (portal.stmt.sql.trim.toUpperCase.startsWith("FETCH")) {
-      commandComplete(buf, s"FETCH ${portal.rowCount}")
+      commandComplete(currentOut, s"FETCH ${portal.rowCount}")
     } else {
-      commandComplete(buf, commandTag(portal.stmt.sql, portal.bound, portal.rowCount))
+      commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, portal.rowCount))
     }
-    buf
   }
 
   /** 'C': free a statement or portal (reference protocol.scala:381-396). */
@@ -468,32 +476,30 @@ private class PgConnectionHandler(base: SparkSession)
     else Internals.executeCollect(df).iterator
   }
 
-  /** returns (rows, buffer to continue writing into): full chunks are
-    * flushed to the socket as they fill so result memory stays bounded
-    * regardless of result size
+  /** stream rows into currentOut; full chunks are flushed to the socket as
+    * they fill so result memory stays bounded regardless of result size
     */
   private def streamRows(df: DataFrame, schema: StructType, formats: Seq[Boolean],
-      out: ByteBuf, maxRows: Int): (Long, ByteBuf) = {
+      maxRows: Int): Long = {
     val writer = RowCodec.rowWriter(schema, formats)
     val scratch = ByteBuffer.allocate(1 << 20)
     val it = resultIterator(df)
     var n = 0L
-    var buf = out
     while (it.hasNext && (maxRows == 0 || n < maxRows)) {
-      writeDataRow(buf, schema.length, writer, it.next(), scratch)
-      buf = maybeFlush(buf)
+      writeDataRow(currentOut, schema.length, writer, it.next(), scratch)
+      maybeFlush()
       n += 1
     }
     ServerStats.rowsStreamed.addAndGet(n)
-    (n, buf)
+    n
   }
 
   /** hand a full chunk to the socket and continue on a fresh buffer */
-  private def maybeFlush(buf: ByteBuf): ByteBuf =
-    if (buf.readableBytes() > ChunkBytes && ctxRef != null) {
-      ctxRef.writeAndFlush(buf)
-      ctxRef.alloc().buffer()
-    } else buf
+  private def maybeFlush(): Unit =
+    if (currentOut.readableBytes() > ChunkBytes && ctxRef != null) {
+      ctxRef.writeAndFlush(currentOut)
+      currentOut = ctxRef.alloc().buffer()
+    }
 
   /** DataRow 'D': int16 column count then the RowCodec fields. */
   private def writeDataRow(out: ByteBuf, nCols: Int,

@@ -34,13 +34,18 @@ object ParamCodec {
     case (PgTypes.NUMERIC, 0) =>
       val d = Decimal(BigDecimal(text(param)))
       Literal(d, DecimalType(Math.max(d.precision, d.scale), d.scale))
-    case (PgTypes.VARCHAR, _) => Literal(UTF8String.fromBytes(param), StringType)
+    case (PgTypes.VARCHAR | 25 | 705 | 1042, _) => // varchar/text/unknown/bpchar
+      Literal(UTF8String.fromBytes(param), StringType)
     case (PgTypes.DATE, 0) =>
       Literal(java.time.LocalDate.parse(text(param)).toEpochDay.toInt, DateType)
     case (PgTypes.DATE, 1) =>
       Literal(ByteBuffer.wrap(param).getInt + PgTypes.PG_EPOCH_DAYS, DateType)
     case (PgTypes.TIMESTAMP, 1) =>
       Literal(ByteBuffer.wrap(param).getLong + PgTypes.PG_EPOCH_MICROS, TimestampType)
+    case (PgTypes.TIMESTAMP, 0) =>
+      val ldt = java.time.LocalDateTime.parse(text(param).replace(' ', 'T'))
+      Literal(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L, TimestampType)
     case (PgTypes.UNSPECIFIED, f) =>
       throw new IllegalArgumentException(s"Unspecified type unsupported: format=$f")
     case (o, f) =>
