@@ -111,6 +111,22 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("large results stream through chunked flushes intact") {
+    // ~3.9MB of text rows: exercises the >1MiB chunk flush path
+    val out = psql("SELECT id FROM range(500000) ORDER BY id")
+    val lines = out.split("\n")
+    assert(lines.length === 500000)
+    assert(lines.head === "0" && lines.last === "499999")
+  }
+
+  test("error after streaming began still reaches the client cleanly") {
+    // divide-by-zero triggers mid-execution after RowDescription under ANSI
+    val res = Seq("psql", s"host=127.0.0.1 port=$port dbname=default user=graft",
+      "-At", "-c", "SELECT id / (id - 250000) FROM range(500000)").!(ProcessLogger(_ => ()))
+    assert(res != 0)
+    assert(psql("SELECT 9") === "9") // connection pool still healthy
+  }
+
   test("cancel actually interrupts a running query") {
     val c = new RawClient
     val (pid, secret) = c.startupKeyData()
