@@ -73,6 +73,8 @@ private final case class Typed(tpe: Byte, payload: Array[Byte]) extends PgClient
   */
 private class PgFrameDecoder extends ByteToMessageDecoder {
   private var startupDone = false
+  /** re-enter startup mode after the SSL handshake upgrades the transport */
+  private[server] def restartStartup(): Unit = startupDone = false
 
   override def decode(ctx: ChannelHandlerContext, in: ByteBuf,
       out: java.util.List[AnyRef]): Unit = {
@@ -88,6 +90,10 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
         in.skipBytes(8)
         out.add(CancelReq(in.readInt(), in.readInt()))
       } else if (code == 196608) { // protocol 3.0 StartupMessage
+        // PG caps startup packets at 10000 bytes; reject before allocating
+        if (len < 9 || len > 10000) {
+          throw new IllegalStateException(s"invalid startup packet length: $len")
+        }
         if (in.readableBytes() < len) return
         in.skipBytes(8)
         val body = new Array[Byte](len - 8)
@@ -102,6 +108,11 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
     } else {
       if (in.readableBytes() < 5) return
       val len = in.getInt(in.readerIndex() + 1)
+      // the length field is client-controlled: len<4 would wrap the payload
+      // size negative, and an unbounded len is a one-frame ~2GB allocation
+      if (len < 4 || len > PgFrameDecoder.MaxFrameBytes) {
+        throw new IllegalStateException(s"invalid frame length: $len")
+      }
       if (in.readableBytes() < 1 + len) return
       val tpe = in.readByte()
       in.skipBytes(4)
@@ -110,6 +121,13 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
       out.add(Typed(tpe, payload))
     }
   }
+}
+
+private object PgFrameDecoder {
+  /** max accepted client frame (queries, bind params); bounds a hostile
+    * pre-auth allocation while leaving room for very large statements
+    */
+  val MaxFrameBytes: Int = 64 << 20
 }
 
 private class PgConnectionHandler(base: SparkSession)
@@ -123,6 +141,11 @@ private class PgConnectionHandler(base: SparkSession)
   private var currentOut: ByteBuf = _
   /** flush threshold while streaming rows: bounds buffered result bytes */
   private val ChunkBytes = 1 << 20
+  /** extended-protocol error state: after a failed P/B/D/E/C, incoming
+    * messages are discarded until Sync so pipelined batches (pgjdbc sends
+    * P/B/D/E/S in one write) see exactly one ErrorResponse then ReadyForQuery
+    */
+  private var inError = false
 
   override def channelRead0(ctx: ChannelHandlerContext, m: PgClientMsg): Unit = m match {
     case SslRequest =>
@@ -142,7 +165,9 @@ private class PgConnectionHandler(base: SparkSession)
       val out = ctx.alloc().buffer()
       authenticationOk(out)
       Seq(
-        "server_version" -> "9.6.0",
+        // announced version is a compat knob: old drivers gate features on it
+        // (reference SQLServerConf.scala:61-67)
+        "server_version" -> base.conf.get("spark.graft.server.version", "9.6.0"),
         "server_encoding" -> "UTF8",
         "client_encoding" -> "UTF8",
         "DateStyle" -> "ISO",
@@ -162,6 +187,14 @@ private class PgConnectionHandler(base: SparkSession)
         ctx.close()
         return
       }
+      val t = tpe.toChar
+      // skip-until-Sync: discard pipelined extended-flow frames after an
+      // error; Sync ('S') clears the state, and a simple Query ('Q') is an
+      // implicit sync boundary
+      if (inError && (t == 'P' || t == 'B' || t == 'D' || t == 'E' || t == 'C' || t == 'H')) {
+        return
+      }
+      if (t == 'S' || t == 'Q') inError = false
       ctxRef = ctx
       currentOut = ctx.alloc().buffer()
       session.touch()
@@ -170,16 +203,29 @@ private class PgConnectionHandler(base: SparkSession)
       // streaming handlers may flush full chunks and continue on a fresh
       // buffer (maybeFlush swaps currentOut); error handling and the final
       // write always target the live buffer
-      try handleTyped(tpe.toChar, ByteBuffer.wrap(payload), currentOut)
+      try handleTyped(t, ByteBuffer.wrap(payload), currentOut)
       catch {
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
           errorResponse(currentOut, Option(e.getMessage).getOrElse(e.toString))
-          if (tpe.toChar == 'Q') readyForQuery(currentOut)
+          if (t == 'Q') readyForQuery(currentOut)
+          else if (t != 'S' && t != 'X') inError = true
       }
       ctx.writeAndFlush(currentOut)
       currentOut = null
-      if (tpe.toChar == 'X') ctx.close()
+      if (t == 'X') ctx.close()
+  }
+
+  /** decoder/handler failures outside a handled message (bad frame lengths,
+    * malformed startup) surface as an ErrorResponse and a closed connection
+    * rather than a silent hang
+    */
+  override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit = {
+    val root = if (cause.getCause != null) cause.getCause else cause
+    val err = ctx.alloc().buffer()
+    errorResponse(err, Option(root.getMessage).getOrElse(root.toString), "08P01")
+    ctx.writeAndFlush(err)
+    ctx.close()
   }
 
   override def channelInactive(ctx: ChannelHandlerContext): Unit = {
@@ -256,7 +302,13 @@ private class PgConnectionHandler(base: SparkSession)
   private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
     val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
     plan match {
-      case _: PgBeginCommand => "BEGIN"
+      case _: PgBeginCommand => first match {
+        // END is SQL-standard COMMIT; PG tags it COMMIT (tag-checking
+        // clients track transaction state from these)
+        case "COMMIT" | "END" => "COMMIT"
+        case "ROLLBACK" | "ABORT" => "ROLLBACK"
+        case _ => "BEGIN"
+      }
       case _ => first match {
         case "SELECT" | "WITH" | "VALUES" | "TABLE" => s"SELECT $rows"
         case "SET" | "RESET" => "SET"
@@ -419,8 +471,8 @@ private class PgConnectionHandler(base: SparkSession)
       commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, 0))
       return
     }
-    val writer = RowCodec.rowWriter(portal.schema, portal.formats)
-    val scratch = ByteBuffer.allocate(1 << 20)
+    val writer = RowCodec.rowWriter(portal.schema, portal.formats, sessionZone)
+    val scratch = new Scratch
     var n = 0L
     var suspended = false
     withOperation(portal.stmt.sql.take(80)) {
@@ -481,8 +533,8 @@ private class PgConnectionHandler(base: SparkSession)
     */
   private def streamRows(df: DataFrame, schema: StructType, formats: Seq[Boolean],
       maxRows: Int): Long = {
-    val writer = RowCodec.rowWriter(schema, formats)
-    val scratch = ByteBuffer.allocate(1 << 20)
+    val writer = RowCodec.rowWriter(schema, formats, sessionZone)
+    val scratch = new Scratch
     val it = resultIterator(df)
     var n = 0L
     while (it.hasNext && (maxRows == 0 || n < maxRows)) {
@@ -501,16 +553,42 @@ private class PgConnectionHandler(base: SparkSession)
       currentOut = ctxRef.alloc().buffer()
     }
 
-  /** DataRow 'D': int16 column count then the RowCodec fields. */
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(session.spark.conf.get("spark.sql.session.timeZone", "UTC"))
+
+  /** DataRow 'D': int16 column count then the RowCodec fields. The scratch
+    * buffer doubles on overflow so a single wide row (long text, big arrays)
+    * never fails the query; growth is bounded by PG's 1 GB field ceiling.
+    */
   private def writeDataRow(out: ByteBuf, nCols: Int,
       writer: (InternalRow, ByteBuffer) => Unit, row: InternalRow,
-      scratch: ByteBuffer): Unit = {
-    scratch.clear()
-    writer(row, scratch)
-    scratch.flip()
+      scratch: Scratch): Unit = {
+    var done = false
+    while (!done) {
+      val buf = scratch.buf
+      buf.clear()
+      try { writer(row, buf); done = true }
+      catch {
+        case _: java.nio.BufferOverflowException =>
+          if (buf.capacity() >= Scratch.MaxBytes) throw new IllegalStateException(
+            s"row exceeds the ${Scratch.MaxBytes} byte wire limit")
+          scratch.buf = ByteBuffer.allocate(buf.capacity() * 2)
+      }
+    }
+    val buf = scratch.buf
+    buf.flip()
     out.writeByte('D')
-    out.writeInt(4 + 2 + scratch.remaining())
+    out.writeInt(4 + 2 + buf.remaining())
     out.writeShort(nCols)
-    out.writeBytes(scratch)
+    out.writeBytes(buf)
   }
+}
+
+/** grow-on-demand serialization buffer for DataRow fields */
+private final class Scratch {
+  var buf: ByteBuffer = ByteBuffer.allocate(1 << 20)
+}
+
+private object Scratch {
+  val MaxBytes: Int = 1 << 30
 }

@@ -2,8 +2,10 @@ package graft.pg.wire
 
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
-import java.time.LocalDate
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId, ZoneOffset}
 import java.time.format.DateTimeFormatter
+
+import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
@@ -22,12 +24,15 @@ object RowCodec {
   private val NULL_LEN = -1
 
   /** Build per-column writers for a schema; `binary(i)` selects the wire
-    * format of column i (reference converters.scala:107-126).
+    * format of column i (reference converters.scala:107-126). `zone` renders
+    * TimestampType text in the session time zone so values agree with the
+    * TimeZone ParameterStatus announced at startup.
     */
-  def rowWriter(schema: StructType, binary: Seq[Boolean]): (InternalRow, ByteBuffer) => Unit = {
+  def rowWriter(schema: StructType, binary: Seq[Boolean],
+      zone: ZoneId = ZoneOffset.UTC): (InternalRow, ByteBuffer) => Unit = {
     require(schema.length == binary.length, "format flags must match schema arity")
     val writers = schema.fields.zipWithIndex.map { case (f, i) =>
-      fieldWriter(f.dataType, i, binary(i))
+      fieldWriter(f.dataType, i, binary(i), zone)
     }
     (row, buf) => {
       var i = 0
@@ -48,20 +53,73 @@ object RowCodec {
   /** PG-style timestamp text: micros with trailing zeros trimmed, no
     * fractional dot when zero (PG timestamp_out behavior; the reference used
     * java.sql.Timestamp.toString which always emits ".0" — we match PG).
+    * Instant micros are rendered as wall-clock time in `zone`.
     */
-  def timestampText(micros: Long): String = {
-    val ldt = java.time.LocalDateTime.ofEpochSecond(
+  def timestampText(micros: Long, zone: ZoneId = ZoneOffset.UTC): String = {
+    val instant = Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    fracText(tsFmt.format(LocalDateTime.ofInstant(instant, zone)),
+      Math.floorMod(micros, 1000000L))
+  }
+
+  /** TimestampNTZ text: the micros already encode a wall-clock local time,
+    * so no zone shift is applied (PG timestamp-without-time-zone semantics).
+    */
+  def timestampNtzText(micros: Long): String =
+    fracText(tsFmt.format(LocalDateTime.ofEpochSecond(
       Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L).toInt * 1000,
-      java.time.ZoneOffset.UTC)
-    val base = tsFmt.format(ldt)
-    val frac = Math.floorMod(micros, 1000000L)
+      ZoneOffset.UTC)), Math.floorMod(micros, 1000000L))
+
+  private def fracText(base: String, frac: Long): String =
     if (frac == 0) base
     else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
-  }
 
   def dateText(days: Int): String = LocalDate.ofEpochDay(days.toLong).toString
 
-  def fieldWriter(dt: DataType, i: Int, binary: Boolean): FieldWriter = (dt, binary) match {
+  /** PG interval_out text for a day-time interval stored as total micros:
+    * `1 day 02:03:04.5`, negative `-1 days -02:03:04` (PG prints plural
+    * `days` for negative magnitudes).
+    */
+  def dayTimeIntervalText(micros: Long): String = {
+    val neg = micros < 0
+    val abs = math.abs(micros)
+    val days = abs / 86400000000L
+    val rem = abs % 86400000000L
+    val h = rem / 3600000000L
+    val m = (rem % 3600000000L) / 60000000L
+    val s = (rem % 60000000L) / 1000000L
+    val frac = rem % 1000000L
+    val sb = new StringBuilder
+    if (days > 0) {
+      if (neg) sb.append('-')
+      sb.append(days).append(if (days == 1 && !neg) " day" else " days")
+    }
+    if (rem > 0 || days == 0) {
+      if (sb.nonEmpty) sb.append(' ')
+      if (neg) sb.append('-')
+      sb.append(f"$h%02d:$m%02d:$s%02d")
+      if (frac > 0) sb.append(fracText("", frac))
+    }
+    sb.toString
+  }
+
+  /** PG interval_out text for a year-month interval stored as total months:
+    * `1 year 2 mons`; zero renders as PG's `00:00:00`.
+    */
+  def yearMonthIntervalText(months: Int): String = {
+    if (months == 0) return "00:00:00"
+    val neg = months < 0
+    val abs = math.abs(months)
+    val y = abs / 12
+    val m = abs % 12
+    val parts = new ArrayBuffer[String](2)
+    if (y > 0) parts += s"${if (neg) "-" else ""}$y ${if (y == 1 && !neg) "year" else "years"}"
+    if (m > 0) parts += s"${if (neg) "-" else ""}$m ${if (m == 1 && !neg) "mon" else "mons"}"
+    parts.mkString(" ")
+  }
+
+  def fieldWriter(dt: DataType, i: Int, binary: Boolean,
+      zone: ZoneId = ZoneOffset.UTC): FieldWriter = (dt, binary) match {
     // ---- binary mode ----
     case (BooleanType, true) => (r, b) => { b.putInt(1); b.put(if (r.getBoolean(i)) 1.toByte else 0.toByte) }
     case (ByteType, true) => (r, b) => { b.putInt(1); b.put(r.getByte(i)) }
@@ -73,11 +131,17 @@ object RowCodec {
     case (DateType, true) => (r, b) => { b.putInt(4); b.putInt(r.getInt(i) - PgTypes.PG_EPOCH_DAYS) }
     case (TimestampType, true) => (r, b) => { b.putInt(8); b.putLong(r.getLong(i) - PgTypes.PG_EPOCH_MICROS) }
     case (CalendarIntervalType, true) => (r, b) => {
+      // PG interval_recv wire order: time-in-day micros (int64), days
+      // (int32), months (int32) — not the struct's field order
       val iv = r.getInterval(i)
-      b.putInt(16); b.putInt(iv.months); b.putInt(iv.days); b.putLong(iv.microseconds)
+      b.putInt(16); b.putLong(iv.microseconds); b.putInt(iv.days); b.putInt(iv.months)
     }
     case (StringType, _) => (r, b) => {
       val s = r.getUTF8String(i)
+      // UTF8String.writeTo copyMemory's into the backing array BEFORE any
+      // bounds check — an oversized value corrupts the heap instead of
+      // throwing. Pre-check so callers get the standard overflow signal.
+      if (b.remaining() < 4 + s.numBytes()) throw new java.nio.BufferOverflowException
       b.putInt(s.numBytes()); s.writeTo(b)
     }
     case (BinaryType, _) => (r, b) => putBytes(b, r.getBinary(i))
@@ -85,9 +149,15 @@ object RowCodec {
     // ---- text mode ----
     case (BooleanType, false) => (r, b) => { b.putInt(1); b.put(if (r.getBoolean(i)) 't'.toByte else 'f'.toByte) }
     case (DateType, false) => (r, b) => putText(b, dateText(r.getInt(i)))
-    case (TimestampType, false) => (r, b) => putText(b, timestampText(r.getLong(i)))
+    case (TimestampType, false) => (r, b) => putText(b, timestampText(r.getLong(i), zone))
+    case (TimestampNTZType, false) => (r, b) => putText(b, timestampNtzText(r.getLong(i)))
+    case (_: DayTimeIntervalType, false) =>
+      (r, b) => putText(b, dayTimeIntervalText(r.getLong(i)))
+    case (_: YearMonthIntervalType, false) =>
+      (r, b) => putText(b, yearMonthIntervalText(r.getInt(i)))
     case (d: DecimalType, false) => (r, b) => putText(b, r.getDecimal(i, d.precision, d.scale).toString)
-    case (at: ArrayType, false) => (r, b) => putText(b, pgArrayText(r.getArray(i), at.elementType))
+    case (at: ArrayType, false) =>
+      (r, b) => putText(b, pgArrayText(r.getArray(i), at.elementType, zone))
     case (mt: MapType, false) => (r, b) => putText(b, jsonValue(r.getMap(i), mt))
     case (st: StructType, false) => (r, b) => putText(b, jsonValue(r.getStruct(i, st.length), st))
     case (ByteType, false) => (r, b) => putText(b, r.getByte(i).toString)
@@ -105,24 +175,25 @@ object RowCodec {
   /** PG array literal: `{1,2,3}` / `{"a","b"}` (reference renders via JSON
     * then re-braces, converters.scala:370-388 — same output, built directly).
     */
-  def pgArrayText(arr: ArrayData, elem: DataType): String = {
+  def pgArrayText(arr: ArrayData, elem: DataType, zone: ZoneId = ZoneOffset.UTC): String = {
     val sb = new StringBuilder("{")
     var k = 0
     while (k < arr.numElements()) {
       if (k > 0) sb.append(',')
       if (arr.isNullAt(k)) sb.append("null")
-      else sb.append(scalarText(arr.get(k, elem), elem))
+      else sb.append(scalarText(arr.get(k, elem), elem, zone))
       k += 1
     }
     sb.append('}').toString
   }
 
-  private def scalarText(v: Any, dt: DataType): String = dt match {
+  private def scalarText(v: Any, dt: DataType, zone: ZoneId): String = dt match {
     case StringType => jsonString(v.asInstanceOf[UTF8String].toString)
-    case TimestampType => jsonString(timestampText(v.asInstanceOf[Long]))
+    case TimestampType => jsonString(timestampText(v.asInstanceOf[Long], zone))
+    case TimestampNTZType => jsonString(timestampNtzText(v.asInstanceOf[Long]))
     case DateType => jsonString(dateText(v.asInstanceOf[Int]))
     case BooleanType => v.toString
-    case at: ArrayType => pgArrayText(v.asInstanceOf[ArrayData], at.elementType)
+    case at: ArrayType => pgArrayText(v.asInstanceOf[ArrayData], at.elementType, zone)
     case _ => v.toString
   }
 

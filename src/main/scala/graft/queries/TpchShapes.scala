@@ -101,21 +101,25 @@ object TpchShapes {
       GROUP BY c_custkey, o_orderkey, o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"""),
       (s, d) => {
-        // compute the qualifying-order key set ONCE and broadcast it —
-        // the SQL IN form duplicates the HAVING aggregation into both join
-        // branches (no common-subplan reuse) and, at scale, semi-joining
-        // each fact against a small key set beats re-aggregating
-        val l = t(s, d, "lineitem")
-        val bigOrders = l.groupBy("l_orderkey")
+        // One pass over lineitem: the per-order quantity sum IS both the
+        // HAVING predicate and the output measure (grouping the final join
+        // by (c_custkey, o_orderkey, o_totalprice) is grouping by order —
+        // each order has exactly one customer row). The SQL IN form scans
+        // and shuffles lineitem twice and joins customer against ALL orders
+        // before the selective filter; this plan aggregates lineitem once,
+        // broadcasts the tiny qualifying set into orders, and only then
+        // touches customer — no unfiltered fact-fact shuffle anywhere, the
+        // shape that survives 100×.
+        val bigOrderQty = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
           .agg(sum(col("l_quantity").cast(Q.dec)).as("_q"))
           .filter(col("_q") > 120)
-          .select(col("l_orderkey").as("_bok"))
-        t(s, d, "customer")
-          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-          .join(broadcast(bigOrders), col("o_orderkey") === col("_bok"), "left_semi")
-          .join(l, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("c_custkey", "o_orderkey", "o_totalprice")
-          .agg(Q.dsum(col("l_quantity")).as("total_qty"))
+          .select(col("l_orderkey").as("_bok"),
+            col("_q").cast(DoubleType).as("total_qty"))
+        t(s, d, "orders")
+          .join(broadcast(bigOrderQty), col("o_orderkey") === col("_bok"))
+          .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(50)
       }))

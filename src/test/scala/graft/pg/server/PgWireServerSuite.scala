@@ -67,6 +67,39 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SET spark.sql.shuffle.partitions=8") === "SET")
   }
 
+  test("psql: COMMIT / ROLLBACK / END complete with their own tags") {
+    // psql -At prints no tag; capture stderr-free full output with -c and
+    // default format, where the command tag is the whole output
+    def tagOf(sql: String): String =
+      Seq("psql", s"host=127.0.0.1 port=$port dbname=default user=graft",
+        "-c", sql).!!.trim
+    assert(tagOf("COMMIT") === "COMMIT")
+    assert(tagOf("ROLLBACK") === "ROLLBACK")
+    assert(tagOf("END") === "COMMIT")
+    assert(tagOf("BEGIN") === "BEGIN")
+  }
+
+  test("psql: Spark-4 interval types render PG-style text") {
+    assert(psql("SELECT INTERVAL '1' DAY") === "1 day")
+    assert(psql("SELECT INTERVAL '2 03:04:05' DAY TO SECOND") === "2 days 03:04:05")
+    assert(psql("SELECT INTERVAL '1-2' YEAR TO MONTH") === "1 year 2 mons")
+    assert(psql("SELECT INTERVAL '-14' MONTH") === "-1 years -2 mons")
+  }
+
+  test("psql: timestamp text follows the session time zone") {
+    val out = psql(
+      "SET spark.sql.session.timeZone=America/New_York; SELECT timestamp_seconds(0)")
+    assert(out.linesIterator.toSeq.last === "1969-12-31 19:00:00")
+  }
+
+  test("rows wider than the 1MiB scratch buffer stream intact") {
+    val out = psql("SELECT length(repeat('xy', 1500000))")
+    assert(out === "3000000")
+    // and the value itself round-trips (a single 3MB field)
+    val full = psql("SELECT repeat('ab', 1500000)")
+    assert(full.length === 3000000 && full.startsWith("abab") && full.endsWith("ab"))
+  }
+
   test("psql: pg_catalog visible") {
     assert(psql("SELECT typname FROM pg_type WHERE oid = 20") === "int8")
   }
@@ -262,6 +295,51 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.getInt === 8) // 8-byte binary int8
     assert(buf.getLong === 4242L)
     c.close()
+  }
+
+  test("extended flow: error skips pipelined frames until Sync") {
+    val c = new RawClient
+    c.startup()
+    // pgjdbc-style single batch: a failing Parse followed by B/D/E, then Sync
+    c.send('P', c.cstr("bad") ++ c.cstr("SELECT definitely_not_a_column") ++ Array[Byte](0, 0))
+    c.send('B', c.cstr("") ++ c.cstr("bad") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+    c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+    c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+    val msgs = c.sync()
+    val types = msgs.map(_._1).mkString
+    assert(types.count(_ == 'E') === 1,
+      s"exactly one ErrorResponse for the whole failed batch, got: $types")
+    assert(types.endsWith("Z"), s"batch must close with ReadyForQuery, got: $types")
+    // next batch on the same connection works normally
+    c.send('P', c.cstr("ok") ++ c.cstr("SELECT 11 AS v") ++ Array[Byte](0, 0))
+    c.send('B', c.cstr("") ++ c.cstr("ok") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+    c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+    val ok = c.sync()
+    assert(ok.exists(_._1 == 'D'), "connection must recover after Sync")
+    c.close()
+  }
+
+  test("hostile frame length is rejected, not allocated") {
+    val sock = new Socket("127.0.0.1", port)
+    val os = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    val body = "user".getBytes(UTF_8) ++ Array(0.toByte) ++
+      "graft".getBytes(UTF_8) ++ Array(0.toByte, 0.toByte)
+    os.writeInt(8 + body.length); os.writeInt(196608); os.write(body); os.flush()
+    // drain startup response until ReadyForQuery
+    var done = false
+    while (!done) {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      in.skipBytes(len - 4)
+      if (t == 'Z') done = true
+    }
+    // a typed frame claiming a ~1.9GB payload
+    os.writeByte('Q'); os.writeInt(0x70000000); os.write("SELECT 1".getBytes(UTF_8)); os.flush()
+    // server answers with an ErrorResponse then closes; reading eventually EOFs
+    val t = in.readByte().toChar
+    assert(t === 'E', "oversized frame must produce an ErrorResponse")
+    sock.close()
   }
 
   test("cancel request routes by pid/secret without crashing the server") {

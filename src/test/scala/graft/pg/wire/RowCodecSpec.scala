@@ -106,11 +106,53 @@ class RowCodecSpec extends AnyFunSuite {
       "2024-01-15 12:34:56.123456")
   }
 
-  test("interval binary: months, days, micros (4+4+8 bytes)") {
+  test("interval binary: PG wire order time(int64), days(int32), months(int32)") {
     val b = payload(write(CalendarIntervalType,
-      new CalendarInterval(1, 3, 0L), binary = true))
+      new CalendarInterval(1, 3, 5000000L), binary = true))
     val buf = ByteBuffer.wrap(b)
-    assert((buf.getInt, buf.getInt, buf.getLong) === ((1, 3, 0L)))
+    assert((buf.getLong, buf.getInt, buf.getInt) === ((5000000L, 3, 1)))
+  }
+
+  test("day-time interval text renders PG interval_out style") {
+    def dt(micros: Long): String =
+      new String(payload(write(DayTimeIntervalType(), micros, binary = false)), UTF_8)
+    assert(dt(86400000000L) === "1 day")
+    assert(dt(2 * 86400000000L) === "2 days")
+    assert(dt(86400000000L + 2 * 3600000000L + 3 * 60000000L + 4000000L) === "1 day 02:03:04")
+    assert(dt(3600000000L) === "01:00:00")
+    assert(dt(0L) === "00:00:00")
+    assert(dt(1500000L) === "00:00:01.5")
+    assert(dt(-(86400000000L + 3661000000L)) === "-1 days -01:01:01")
+  }
+
+  test("year-month interval text renders PG interval_out style") {
+    def ym(months: Int): String =
+      new String(payload(write(YearMonthIntervalType(), months, binary = false)), UTF_8)
+    assert(ym(14) === "1 year 2 mons")
+    assert(ym(24) === "2 years")
+    assert(ym(1) === "1 mon")
+    assert(ym(0) === "00:00:00")
+    assert(ym(-14) === "-1 years -2 mons")
+  }
+
+  test("timestamp_ntz text renders the stored wall-clock unshifted") {
+    val micros = java.time.LocalDateTime.parse("2024-01-15T12:34:56")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(new String(payload(write(TimestampNTZType, micros, binary = false)), UTF_8) ===
+      "2024-01-15 12:34:56")
+  }
+
+  test("timestamp text renders in the session zone") {
+    val epoch = 0L // 1970-01-01 00:00:00 UTC
+    val row = new GenericInternalRow(1)
+    row.update(0, epoch)
+    val buf = ByteBuffer.allocate(64)
+    RowCodec.rowWriter(StructType(Seq(StructField("a", TimestampType))), Seq(false),
+      java.time.ZoneId.of("America/New_York"))(row, buf)
+    buf.flip()
+    val len = buf.getInt
+    val out = new Array[Byte](len); buf.get(out)
+    assert(new String(out, UTF_8) === "1969-12-31 19:00:00")
   }
 
   test("string and bytea pass through as raw bytes") {
