@@ -25,7 +25,12 @@ final class Operation(val session: PgSession, val statement: String) {
     startedAt = System.currentTimeMillis()
     session.busy = true
     session.activeJobGroup = jobGroup
-    session.spark.sparkContext.setJobGroup(jobGroup, statement.take(80), interruptOnCancel = true)
+    val sc = session.spark.sparkContext
+    sc.setJobGroup(jobGroup, statement.take(80), interruptOnCancel = true)
+    // per-session fair-scheduler pool so one heavy statement cannot starve
+    // concurrent sessions' jobs (reference ExecutorImpl.scala:131-145);
+    // under the default FIFO scheduler the property is inert
+    sc.setLocalProperty("spark.scheduler.pool", s"graft-pg-${session.pid}")
     try {
       val r = body
       state.compareAndSet(OpState.Running, OpState.Finished)
@@ -37,7 +42,8 @@ final class Operation(val session: PgSession, val statement: String) {
     } finally {
       session.busy = false
       session.touch() // a just-finished statement resets the idle clock
-      session.spark.sparkContext.clearJobGroup()
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      sc.clearJobGroup()
     }
   }
 

@@ -27,6 +27,9 @@ object PgMessages {
 
   def authenticationOk(buf: ByteBuf): Unit = msg(buf, 'R')(_.writeInt(0))
 
+  /** AuthenticationCleartextPassword: ask the client for a 'p' message. */
+  def authenticationCleartextPassword(buf: ByteBuf): Unit = msg(buf, 'R')(_.writeInt(3))
+
   def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
     msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
 

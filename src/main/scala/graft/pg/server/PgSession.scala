@@ -76,8 +76,12 @@ object SessionRegistry {
   private val pids = new AtomicInteger(1000)
   private val rnd = new java.security.SecureRandom()
 
-  def create(base: SparkSession): PgSession = {
-    val s = new PgSession(pids.incrementAndGet(), rnd.nextInt(), base.newSession())
+  def create(base: SparkSession, singleSession: Boolean = false): PgSession = {
+    // single-session mode shares the base session across connections (temp
+    // views/conf visible to all, reference SparkSQLServiceManager.scala:
+    // 107-133); multi-session isolates with newSession()
+    val spark = if (singleSession) base else base.newSession()
+    val s = new PgSession(pids.incrementAndGet(), rnd.nextInt(), spark)
     // clients scan raw parquet incl. TIMESTAMP(NANOS) columns
     s.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.spark.conf.set("spark.sql.crossJoin.enabled", "true")

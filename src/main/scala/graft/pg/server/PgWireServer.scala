@@ -16,6 +16,7 @@ import io.netty.channel.nio.NioEventLoopGroup
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
 import io.netty.handler.codec.ByteToMessageDecoder
+import io.netty.handler.ssl.{SslContext, SslContextBuilder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -29,7 +30,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * isolated sessions, and out-of-band cancellation.
   */
 class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
-    sessionIdleTimeoutMs: Long = 0L) {
+    sessionIdleTimeoutMs: Long = 0L, config: PgServerConfig = PgServerConfig()) {
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(workerThreads)
   @volatile private var channel: Channel = _
@@ -39,14 +40,28 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
   /** Bound port after start (use port=0 for an ephemeral port in tests). */
   @volatile var boundPort: Int = -1
 
+  /** Netty SSL context from the configured keystore (reference negotiates an
+    * SslHandler the same way, protocol.scala:929-953).
+    */
+  private def buildSslContext(): Option[SslContext] = config.sslKeyStorePath.map { path =>
+    val pw = config.sslKeyStorePassword.toCharArray
+    val ks = java.security.KeyStore.getInstance(new java.io.File(path), pw)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pw)
+    SslContextBuilder.forServer(kmf).build()
+  }
+
   def start(): Unit = {
     base.conf.set("spark.sql.crossJoin.enabled", "true")
+    val sslCtx = buildSslContext()
     val b = new ServerBootstrap()
       .group(boss, workers)
       .channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit =
-          ch.pipeline().addLast(new PgFrameDecoder, new PgConnectionHandler(base))
+          ch.pipeline().addLast(new PgFrameDecoder,
+            new PgConnectionHandler(base, sslCtx, config))
       })
     channel = b.bind(port).sync().channel()
     boundPort = channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
@@ -58,6 +73,52 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
     if (channel != null) channel.close().sync()
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
     workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+  }
+}
+
+/** Server ops configuration: TLS, authentication, session isolation — the
+  * rim the reference exposes via SQLServerConf (SQLServerConf.scala:61-97;
+  * SSL protocol.scala:929-953, PasswordMessage :703-760, session modes
+  * SparkSQLServiceManager.scala:107-133).
+  */
+final case class PgServerConfig(
+    /** PKCS12/JKS keystore holding the server cert; None disables TLS
+      * (SSLRequest answered 'N')
+      */
+    sslKeyStorePath: Option[String] = None,
+    sslKeyStorePassword: String = "",
+    /** None = trust (every startup accepted); Some(f) = cleartext-password
+      * flow, `f(user, password)` decides. Pluggable like the reference's
+      * trust/password/Kerberos modes.
+      */
+    authenticator: Option[(String, String) => Boolean] = None,
+    /** single-session: every connection shares the base SparkSession (temp
+      * views and conf visible across connections); default multi-session
+      * isolates via newSession() per connection
+      */
+    singleSession: Boolean = false)
+
+object PgServerConfig {
+  /** Launcher-side construction from `spark.graft.server.*` confs. */
+  def fromConf(spark: SparkSession): PgServerConfig = {
+    def opt(k: String): Option[String] =
+      spark.conf.getOption(k).filter(_.nonEmpty)
+    val auth = spark.conf.get("spark.graft.server.auth", "trust") match {
+      case "password" =>
+        val creds = opt("spark.graft.server.auth.credentials").getOrElse("")
+          .split(',').toSeq.filter(_.contains(":")).map { kv =>
+            val Array(u, p) = kv.split(":", 2); (u, p)
+          }.toMap
+        Some((u: String, p: String) => creds.get(u).contains(p))
+      case _ => None
+    }
+    PgServerConfig(
+      sslKeyStorePath = opt("spark.graft.server.ssl.keyStorePath"),
+      sslKeyStorePassword =
+        opt("spark.graft.server.ssl.keyStorePassword").getOrElse(""),
+      authenticator = auth,
+      singleSession =
+        spark.conf.get("spark.graft.server.sessionMode", "multi") == "single")
   }
 }
 
@@ -73,8 +134,6 @@ private final case class Typed(tpe: Byte, payload: Array[Byte]) extends PgClient
   */
 private class PgFrameDecoder extends ByteToMessageDecoder {
   private var startupDone = false
-  /** re-enter startup mode after the SSL handshake upgrades the transport */
-  private[server] def restartStartup(): Unit = startupDone = false
 
   override def decode(ctx: ChannelHandlerContext, in: ByteBuf,
       out: java.util.List[AnyRef]): Unit = {
@@ -130,12 +189,15 @@ private object PgFrameDecoder {
   val MaxFrameBytes: Int = 64 << 20
 }
 
-private class PgConnectionHandler(base: SparkSession)
+private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext],
+    config: PgServerConfig)
     extends SimpleChannelInboundHandler[PgClientMsg] {
 
   import PgMessages._
 
   private var session: PgSession = _
+  /** startup user while the cleartext-password exchange is pending */
+  private var pendingUser: Option[String] = None
   private var ctxRef: ChannelHandlerContext = _
   /** the buffer currently being written (replaced when a chunk flushes) */
   private var currentOut: ByteBuf = _
@@ -148,36 +210,59 @@ private class PgConnectionHandler(base: SparkSession)
   private var inError = false
 
   override def channelRead0(ctx: ChannelHandlerContext, m: PgClientMsg): Unit = m match {
-    case SslRequest =>
-      val b = ctx.alloc().buffer(1)
-      b.writeByte('N') // no SSL; client retries in clear (reference protocol.scala:1190-1196)
-      ctx.writeAndFlush(b)
+    case SslRequest => sslCtx match {
+      case Some(ssl) =>
+        // 'S' goes out in clear; the SslHandler prepended afterwards then
+        // runs the TLS handshake and the client resends its startup packet
+        // encrypted (reference protocol.scala:929-953)
+        val b = ctx.alloc().buffer(1)
+        b.writeByte('S')
+        ctx.writeAndFlush(b)
+        ctx.pipeline().addFirst(ssl.newHandler(ctx.alloc()))
+      case None =>
+        val b = ctx.alloc().buffer(1)
+        b.writeByte('N') // no SSL; client retries in clear (reference protocol.scala:1190-1196)
+        ctx.writeAndFlush(b)
+    }
 
     case CancelReq(pid, secret) =>
       SessionRegistry.cancel(pid, secret)
       ctx.close()
 
-    case Startup(_) =>
-      ServerStats.sessionsOpened.incrementAndGet()
-      session = SessionRegistry.create(base)
-      session.onReap = () => ctx.close()
-      PgCatalog.register(session.spark)
-      val out = ctx.alloc().buffer()
-      authenticationOk(out)
-      Seq(
-        // announced version is a compat knob: old drivers gate features on it
-        // (reference SQLServerConf.scala:61-67)
-        "server_version" -> base.conf.get("spark.graft.server.version", "9.6.0"),
-        "server_encoding" -> "UTF8",
-        "client_encoding" -> "UTF8",
-        "DateStyle" -> "ISO",
-        "integer_datetimes" -> "on",
-        "standard_conforming_strings" -> "on",
-        "TimeZone" -> session.spark.conf.get("spark.sql.session.timeZone", "UTC")
-      ).foreach { case (k, v) => parameterStatus(out, k, v) }
-      backendKeyData(out, session.pid, session.secret)
-      readyForQuery(out)
-      ctx.writeAndFlush(out)
+    case Startup(params) =>
+      config.authenticator match {
+        case Some(_) =>
+          // cleartext-password flow (reference PasswordMessage handling,
+          // protocol.scala:703-760): challenge now, finish on 'p'
+          pendingUser = Some(params.getOrElse("user", ""))
+          val out = ctx.alloc().buffer()
+          authenticationCleartextPassword(out)
+          ctx.writeAndFlush(out)
+        case None =>
+          finishStartup(ctx)
+      }
+
+    case Typed(tpe, payload) if pendingUser.isDefined =>
+      if (tpe.toChar != 'p') {
+        val err = ctx.alloc().buffer()
+        errorResponse(err, "expected PasswordMessage", "08P01")
+        ctx.writeAndFlush(err)
+        ctx.close()
+      } else {
+        val in = ByteBuffer.wrap(payload)
+        val password = readCStr(in)
+        val user = pendingUser.get
+        if (config.authenticator.exists(_(user, password))) {
+          pendingUser = None
+          finishStartup(ctx)
+        } else {
+          val err = ctx.alloc().buffer()
+          errorResponse(err, s"""password authentication failed for user "$user"""",
+            "28P01")
+          ctx.writeAndFlush(err)
+          ctx.close()
+        }
+      }
 
     case Typed(tpe, payload) =>
       if (session == null) { // typed frame before Startup: protocol violation
@@ -214,6 +299,33 @@ private class PgConnectionHandler(base: SparkSession)
       ctx.writeAndFlush(currentOut)
       currentOut = null
       if (t == 'X') ctx.close()
+  }
+
+  /** AuthenticationOk + ParameterStatus + BackendKeyData + ReadyForQuery:
+    * the post-auth startup sequence; session isolation follows the
+    * configured mode (single = shared base session, multi = newSession).
+    */
+  private def finishStartup(ctx: ChannelHandlerContext): Unit = {
+    ServerStats.sessionsOpened.incrementAndGet()
+    session = SessionRegistry.create(base, config.singleSession)
+    session.onReap = () => ctx.close()
+    PgCatalog.register(session.spark)
+    val out = ctx.alloc().buffer()
+    authenticationOk(out)
+    Seq(
+      // announced version is a compat knob: old drivers gate features on it
+      // (reference SQLServerConf.scala:61-67)
+      "server_version" -> base.conf.get("spark.graft.server.version", "9.6.0"),
+      "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8",
+      "DateStyle" -> "ISO",
+      "integer_datetimes" -> "on",
+      "standard_conforming_strings" -> "on",
+      "TimeZone" -> session.spark.conf.get("spark.sql.session.timeZone", "UTC")
+    ).foreach { case (k, v) => parameterStatus(out, k, v) }
+    backendKeyData(out, session.pid, session.secret)
+    readyForQuery(out)
+    ctx.writeAndFlush(out)
   }
 
   /** decoder/handler failures outside a handled message (bad frame lengths,

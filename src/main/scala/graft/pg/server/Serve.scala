@@ -18,7 +18,9 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new PgWireServer(spark, port)
+    // TLS / auth / session-mode come from spark.graft.server.* confs
+    // (set via --conf or spark-defaults); defaults are trust + multi-session
+    val server = new PgWireServer(spark, port, config = PgServerConfig.fromConf(spark))
     server.start()
     // scalastyle:off println
     println(s"graft PG server listening on ${server.boundPort}")

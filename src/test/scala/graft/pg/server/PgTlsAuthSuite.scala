@@ -1,0 +1,140 @@
+package graft.pg.server
+
+import java.nio.file.Files
+
+import scala.sys.process._
+
+import graft.TestSpark
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** e2e for the server ops rim: TLS (SSLRequest 'S' + SslHandler), cleartext
+  * password auth (accept + reject), session execution modes (single shares
+  * temp views, multi isolates), and the per-statement scheduler pool.
+  * Mirrors reference protocol.scala:929-953 (SSL), :703-760 (password),
+  * SparkSQLServiceManager.scala:107-133 (modes), PgJdbcSuite.scala:1283-1329
+  * (shared-temp-view workflow).
+  */
+class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var tlsServer: PgWireServer = _
+  private var authServer: PgWireServer = _
+  private var singleServer: PgWireServer = _
+  private var keystore: String = _
+
+  override def beforeAll(): Unit = {
+    // self-signed server cert; psql sslmode=require encrypts but does not
+    // verify the chain, so no client truststore is needed
+    val dir = Files.createTempDirectory("graft-tls")
+    keystore = dir.resolve("server.p12").toString
+    val rc = Seq("keytool", "-genkeypair", "-alias", "pg", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "3650", "-keystore", keystore,
+      "-storetype", "PKCS12", "-storepass", "graftpass",
+      "-dname", "CN=localhost").!
+    assert(rc === 0, "keytool must generate the test keystore")
+
+    tlsServer = new PgWireServer(TestSpark.spark, port = 0,
+      config = PgServerConfig(
+        sslKeyStorePath = Some(keystore), sslKeyStorePassword = "graftpass"))
+    tlsServer.start()
+
+    authServer = new PgWireServer(TestSpark.spark, port = 0,
+      config = PgServerConfig(
+        authenticator = Some((u, p) => u == "graft" && p == "sekrit")))
+    authServer.start()
+
+    singleServer = new PgWireServer(TestSpark.spark, port = 0,
+      config = PgServerConfig(singleSession = true))
+    singleServer.start()
+  }
+
+  override def afterAll(): Unit = {
+    Seq(tlsServer, authServer, singleServer).filter(_ != null).foreach(_.stop())
+  }
+
+  private def psql(port: Int, sslmode: String, sql: String,
+      password: String = ""): (Int, String) = {
+    val out = new StringBuilder
+    val cmd = Seq("psql",
+      s"host=127.0.0.1 port=$port dbname=default user=graft sslmode=$sslmode",
+      "-At", "-c", sql)
+    val env = if (password.nonEmpty) Seq("PGPASSWORD" -> password) else Seq.empty
+    val rc = Process(cmd, None, env: _*)
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    (rc, out.toString.trim)
+  }
+
+  test("psql with sslmode=require connects and queries over TLS") {
+    val (rc, out) = psql(tlsServer.boundPort, "require", "SELECT 41 + 1")
+    assert(rc === 0, s"TLS connection failed: $out")
+    assert(out === "42")
+  }
+
+  test("TLS server still serves cleartext clients (sslmode=disable)") {
+    val (rc, out) = psql(tlsServer.boundPort, "disable", "SELECT 7")
+    assert(rc === 0, s"cleartext fallback failed: $out")
+    assert(out === "7")
+  }
+
+  test("sslmode=require against a TLS-less server is refused by the client") {
+    val (rc, _) = psql(authServer.boundPort, "require", "SELECT 1",
+      password = "sekrit")
+    assert(rc !== 0, "client must refuse when the server answers 'N'")
+  }
+
+  test("correct password authenticates") {
+    val (rc, out) = psql(authServer.boundPort, "disable", "SELECT 'in'",
+      password = "sekrit")
+    assert(rc === 0, s"auth failed: $out")
+    assert(out === "in")
+  }
+
+  test("wrong password is rejected with 28P01") {
+    val (rc, out) = psql(authServer.boundPort, "disable", "SELECT 1",
+      password = "wrong")
+    assert(rc !== 0)
+    assert(out.contains("password authentication failed"), s"got: $out")
+  }
+
+  test("single-session mode: temp views are shared across connections") {
+    val (rc1, _) = psql(singleServer.boundPort, "disable",
+      "CREATE OR REPLACE TEMPORARY VIEW t_shared AS SELECT 99 AS v")
+    assert(rc1 === 0)
+    val (rc2, out) = psql(singleServer.boundPort, "disable",
+      "SELECT v FROM t_shared")
+    assert(rc2 === 0, s"second connection must see the view: $out")
+    assert(out === "99")
+  }
+
+  test("fromConf builds the configured modes") {
+    val s = TestSpark.spark
+    s.conf.set("spark.graft.server.auth", "password")
+    s.conf.set("spark.graft.server.auth.credentials", "a:b,c:d")
+    s.conf.set("spark.graft.server.sessionMode", "single")
+    s.conf.set("spark.graft.server.ssl.keyStorePath", keystore)
+    s.conf.set("spark.graft.server.ssl.keyStorePassword", "graftpass")
+    try {
+      val c = PgServerConfig.fromConf(s)
+      assert(c.singleSession)
+      assert(c.sslKeyStorePath === Some(keystore))
+      assert(c.authenticator.get("a", "b") && !c.authenticator.get("a", "x"))
+    } finally {
+      Seq("spark.graft.server.auth", "spark.graft.server.auth.credentials",
+        "spark.graft.server.sessionMode", "spark.graft.server.ssl.keyStorePath",
+        "spark.graft.server.ssl.keyStorePassword").foreach(s.conf.unset)
+    }
+  }
+
+  test("statements run in a per-session scheduler pool") {
+    val s = SessionRegistry.create(TestSpark.spark)
+    val op = new Operation(s, "SELECT 1")
+    val pool = op.run {
+      s.spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+    }
+    assert(pool === s"graft-pg-${s.pid}")
+    assert(s.spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null,
+      "pool must be cleared after the statement")
+    s.close()
+  }
+}
