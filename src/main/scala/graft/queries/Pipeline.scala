@@ -136,10 +136,14 @@ object Pipeline {
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
         lshBucket(col("embedding"), tb, planes).as("bucket"))
     }.reduce(_ unionAll _).persist()
-    // probe one side with Hamming-1 flips: pairs whose codes differ by <=1
-    // bit in any table stay candidates even as planes grow with the corpus
-    val probes = buckets.select(col("vec_id"), col("embedding"), col("tbl"),
-      explode(lshProbes(col("bucket"), planes)).as("bucket"))
+    // Hamming-1 multiprobe on one side compensates the recall that corpus-
+    // scaled EXTRA planes cost; at the baseline plane count the 8-table
+    // union already meets the recall target (PipelineSpec), so probing
+    // would only multiply candidate volume (planes+1)x for nothing
+    val probes =
+      if (planes == MinLshPlanes) buckets
+      else buckets.select(col("vec_id"), col("embedding"), col("tbl"),
+        explode(lshProbes(col("bucket"), planes)).as("bucket"))
     val cand = probes.as("x").join(buckets.as("y"),
       col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -549,22 +553,34 @@ object MinHashing {
     }
   }
 
-  /** (trigrams, 192-element minhash signature), or None for <3-char docs. */
-  def ngramSignature(text: String): Option[(Array[String], Array[Long])] = {
+  /** (sorted 64-bit trigram hashes, 192-element minhash signature), or None
+    * for <3-char docs. The exact-verify stage intersects the HASH sets, not
+    * the strings: set Jaccard is preserved (a cross-collision needs two
+    * distinct trigrams at the same 64-bit value, ~1e-15 per corpus) and
+    * long-array intersection is ~10x cheaper than string sets, both in CPU
+    * and in shuffle bytes.
+    */
+  def ngramSignature(text: String): Option[(Array[Long], Array[Long])] = {
     val gs = trigramSet(text)
     if (gs.isEmpty) None
     else {
+      val hashes = new Array[Long](gs.length)
       val mh = Array.fill(NgramHashes)(MinhashP)
-      gs.foreach { g =>
-        val x = java.lang.Math.floorMod(hash64(g, 99L), MinhashP)
+      var i = 0
+      while (i < gs.length) {
+        val h = hash64(gs(i), 99L)
+        hashes(i) = h
+        val x = java.lang.Math.floorMod(h, MinhashP)
         var j = 0
         while (j < NgramHashes) {
           val v = (ngramA(j) * x + ngramB(j)) % MinhashP
           if (v < mh(j)) mh(j) = v
           j += 1
         }
+        i += 1
       }
-      Some((gs, mh))
+      java.util.Arrays.sort(hashes)
+      Some((hashes, mh))
     }
   }
 

@@ -113,8 +113,14 @@ class PipelineSpec extends AnyFunSuite {
     val Some((gsA, mhA)) = ngramSignature(a)
     val Some((gsB, mhB)) = ngramSignature(b)
     val Some((_, mhC)) = ngramSignature(c)
-    assert(gsA.toSet === trigramSet(a).toSet)
-    assert(gsA.length === gsA.toSet.size, "trigram set must be distinct")
+    assert(gsA.length === trigramSet(a).length, "one hash per distinct trigram")
+    assert(gsA.toSeq === gsA.toSeq.sorted, "hash set must be sorted")
+    assert(gsA.length === gsA.toSet.size, "trigram hash set must be distinct")
+    // hashed-set jaccard equals string-set jaccard (no collisions here)
+    val sim = gsA.toSet.intersect(gsB.toSet).size.toDouble / gsA.toSet.union(gsB.toSet).size
+    val simStr = trigramSet(a).toSet.intersect(trigramSet(b).toSet).size.toDouble /
+      trigramSet(a).toSet.union(trigramSet(b).toSet).size
+    assert(sim === simStr)
     def bandHits(x: Array[Long], y: Array[Long]): Int =
       (0 until NgramHashes / NgramBandRows).count { band =>
         (0 until NgramBandRows).forall(r =>
