@@ -189,6 +189,51 @@ private object PgFrameDecoder {
   val MaxFrameBytes: Int = 64 << 20
 }
 
+/** Splits SQL scripts on top-level semicolons (quote-, ident- and
+  * comment-aware); parts containing only comments/whitespace are dropped.
+  * Used by the simple-query multi-statement flow and the golden-corpus
+  * harness.
+  */
+private[server] object PgStatementSplitter {
+  def split(sql: String): Seq[String] = {
+    val parts = ArrayBuffer.empty[String]
+    var depth = 0; var last = 0; var j = 0
+    val n = sql.length
+    var sawToken = false
+    def flush(end: Int): Unit = {
+      val part = sql.substring(last, end).trim
+      if (part.nonEmpty && sawToken) parts += part
+      sawToken = false
+    }
+    while (j < n) {
+      sql.charAt(j) match {
+        case '\'' =>
+          sawToken = true; j += 1
+          while (j < n && sql.charAt(j) != '\'') j += 1
+          j += 1
+        case '"' =>
+          sawToken = true; j += 1
+          while (j < n && sql.charAt(j) != '"') j += 1
+          j += 1
+        case '-' if j + 1 < n && sql.charAt(j + 1) == '-' =>
+          while (j < n && sql.charAt(j) != '\n') j += 1
+        case '/' if j + 1 < n && sql.charAt(j + 1) == '*' =>
+          j += 2
+          while (j + 1 < n && !(sql.charAt(j) == '*' && sql.charAt(j + 1) == '/')) j += 1
+          j = math.min(j + 2, n)
+        case '(' => sawToken = true; depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case ';' if depth == 0 => flush(j); last = j + 1; j += 1
+        case c =>
+          if (!c.isWhitespace) sawToken = true
+          j += 1
+      }
+    }
+    flush(n)
+    parts.toSeq
+  }
+}
+
 private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext],
     config: PgServerConfig)
     extends SimpleChannelInboundHandler[PgClientMsg] {
@@ -370,46 +415,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
 
   private def parser = new PgParserInterface(Internals.sessionParser(session.spark))
 
-  /** split on top-level semicolons (quote-, ident- and comment-aware);
-    * parts that contain only comments/whitespace are dropped
-    */
-  private def splitStatements(sql: String): Seq[String] = {
-    val parts = ArrayBuffer.empty[String]
-    var depth = 0; var last = 0; var j = 0
-    val n = sql.length
-    var sawToken = false
-    def flush(end: Int): Unit = {
-      val part = sql.substring(last, end).trim
-      if (part.nonEmpty && sawToken) parts += part
-      sawToken = false
-    }
-    while (j < n) {
-      sql.charAt(j) match {
-        case '\'' =>
-          sawToken = true; j += 1
-          while (j < n && sql.charAt(j) != '\'') j += 1
-          j += 1
-        case '"' =>
-          sawToken = true; j += 1
-          while (j < n && sql.charAt(j) != '"') j += 1
-          j += 1
-        case '-' if j + 1 < n && sql.charAt(j + 1) == '-' =>
-          while (j < n && sql.charAt(j) != '\n') j += 1
-        case '/' if j + 1 < n && sql.charAt(j + 1) == '*' =>
-          j += 2
-          while (j + 1 < n && !(sql.charAt(j) == '*' && sql.charAt(j + 1) == '/')) j += 1
-          j = math.min(j + 2, n)
-        case '(' => sawToken = true; depth += 1; j += 1
-        case ')' => depth -= 1; j += 1
-        case ';' if depth == 0 => flush(j); last = j + 1; j += 1
-        case c =>
-          if (!c.isWhitespace) sawToken = true
-          j += 1
-      }
-    }
-    flush(n)
-    parts.toSeq
-  }
+  private def splitStatements(sql: String): Seq[String] =
+    PgStatementSplitter.split(sql)
 
   private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
     val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
