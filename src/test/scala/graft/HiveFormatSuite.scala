@@ -88,6 +88,62 @@ class HiveFormatSuite extends AnyFunSuite {
     assert(s.table("mi_b").count() === 2)
   }
 
+  test("LOAD DATA LOCAL INPATH into a text-format table") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    val f = java.nio.file.Files.createTempFile("graft_load", ".txt")
+    java.nio.file.Files.write(f, "11one\n21two\n".getBytes("UTF-8"))
+    s.sql("DROP TABLE IF EXISTS hload")
+    s.sql("CREATE TABLE hload (k INT, v STRING) STORED AS TEXTFILE")
+    s.sql(s"LOAD DATA LOCAL INPATH '${f.toAbsolutePath}' INTO TABLE hload")
+    assert(s.sql("SELECT k FROM hload ORDER BY k").collect().map(_.getInt(0)).toSeq
+      === Seq(1, 2))
+    // OVERWRITE replaces rather than appends
+    val f2 = java.nio.file.Files.createTempFile("graft_load2", ".txt")
+    java.nio.file.Files.write(f2, "91nine\n".getBytes("UTF-8"))
+    s.sql(s"LOAD DATA LOCAL INPATH '${f2.toAbsolutePath}' OVERWRITE INTO TABLE hload")
+    assert(s.sql("SELECT k FROM hload").collect().map(_.getInt(0)).toSeq === Seq(9))
+  }
+
+  test("MSCK REPAIR TABLE discovers partitions added outside the metastore") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    val loc = java.nio.file.Files.createTempDirectory("graft_msck").toString
+    s.sql("DROP TABLE IF EXISTS hmsck")
+    s.sql(s"CREATE EXTERNAL TABLE hmsck (v STRING) PARTITIONED BY (day STRING) " +
+      s"STORED AS PARQUET LOCATION '$loc'")
+    // write a partition directory directly to storage, bypassing the metastore
+    import s.implicits._
+    Seq("x", "y").toDF("v").write.parquet(s"$loc/day=2024-02-01")
+    assert(s.sql("SHOW PARTITIONS hmsck").count() === 0)
+    s.sql("MSCK REPAIR TABLE hmsck")
+    assert(s.sql("SHOW PARTITIONS hmsck").collect().map(_.getString(0)).toSeq
+      === Seq("day=2024-02-01"))
+    assert(s.sql("SELECT v FROM hmsck WHERE day='2024-02-01' ORDER BY v")
+      .collect().map(_.getString(0)).toSeq === Seq("x", "y"))
+  }
+
+  test("DELETE/UPDATE/MERGE parse; v1 tables reject at analysis (like the reference)") {
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    val s = hive.get
+    s.sql("DROP TABLE IF EXISTS hdml")
+    s.sql("CREATE TABLE hdml (k INT, v STRING) STORED AS PARQUET")
+    val parser = s.sessionState.sqlParser
+    // the reference only parses these (AB:358-475); execution needs a v2
+    // source with ACID support, so the v1 path must fail at ANALYSIS with a
+    // clear error, not at parse
+    Seq(
+      "DELETE FROM hdml WHERE k = 1",
+      "UPDATE hdml SET v = 'z' WHERE k = 1",
+      """MERGE INTO hdml t USING (SELECT 1 AS k, 'a' AS v) s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""").foreach { sql =>
+      parser.parsePlan(sql) // must not throw
+      val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(sql))
+      assert(e.getMessage.toUpperCase.contains("SUPPORT"), s"unexpected error for: $sql")
+    }
+  }
+
   test("partitioned Hive table with static partition insert") {
     assume(hive.isDefined, "hive support unavailable in this environment")
     val s = hive.get
