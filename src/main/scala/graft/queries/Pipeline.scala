@@ -92,6 +92,19 @@ object Pipeline {
     Array.fill(LshTables, MaxLshPlanes, EmbDim)(rnd.nextGaussian())
   }
 
+  /** Corpus row count WITHOUT an extra full scan in the query path: catalog /
+    * CBO statistics when the plan carries them (ANALYZE'd tables at real
+    * scale), else a memoized zero-column count — parquet answers that from
+    * row-group metadata, and the memo means it runs at most once per table
+    * per session instead of once per query.
+    */
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def corpusRows(df: DataFrame, cacheKey: String): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None => rowCountCache.computeIfAbsent(cacheKey, _ => df.count()).longValue
+    }
+
   /** planes-per-table for a corpus of `n` vectors: ceil(log2(n/target)),
     * clamped — 500 docs -> 6 planes (64 buckets), 1e9 -> 20 (1M buckets).
     */
@@ -129,9 +142,9 @@ object Pipeline {
   def embeddingNearDupPairs(
       s: SparkSession, d: String, threshold: Double): DataFrame = {
     val e = t(s, d, "embeddings")
-    // at 100 TB the corpus size is a known catalog stat; here one cheap
-    // count derives the plane count that keeps buckets ~TargetBucket-sized
-    val planes = lshPlanesFor(e.count())
+    // plane count keeps buckets ~TargetBucket-sized; sized from catalog
+    // stats / a memoized metadata count, not a per-query scan
+    val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
     val buckets = (0 until LshTables).map { tb =>
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
         lshBucket(col("embedding"), tb, planes).as("bucket"))
@@ -281,8 +294,25 @@ object Pipeline {
               greatest(col("x.n"), col("y.n")) * 0.9)
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
           .distinct()
+        // Signature-estimate prefilter: the 192 minhash values are already
+        // computed, and matching-positions/192 is an unbiased Jaccard
+        // estimator with sd ~0.022 at j=0.9 — so keeping estimates >= 0.8
+        // (4.6 sd of slack) loses a true 0.9-pair with P ~2e-6 while cutting
+        // the exact-verify volume ~10x on this corpus (background similarity
+        // ~0.5 estimates nowhere near 0.8). Only survivors pay the trigram
+        // set shuffle + array_intersect.
+        val m = sigs.select(col("doc_id"), col("mh"))
+        val prefiltered = cand
+          .join(m.select(col("doc_id").as("da"), col("mh").as("ma")), "da")
+          .join(m.select(col("doc_id").as("db"), col("mh").as("mb")), "db")
+          .filter(
+            aggregate(zip_with(col("ma"), col("mb"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (a, v) => a + v).cast(DoubleType) >=
+              lit(0.8 * MinHashing.NgramHashes))
+          .select(col("da"), col("db"))
         val g = sigs.select(col("doc_id"), col("gs"))
-        cand
+        prefiltered
           .join(g.select(col("doc_id").as("da"), col("gs").as("gsa")), "da")
           .join(g.select(col("doc_id").as("db"), col("gs").as("gsb")), "db")
           .select(col("da"), col("db"),
@@ -322,7 +352,7 @@ object Pipeline {
     QE("p07_ann_lsh", None,
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val planes = lshPlanesFor(e.count())
+        val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
         val buckets = (0 until LshTables).map { tb =>
           e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
             lshBucket(col("embedding"), tb, planes).as("bucket"))

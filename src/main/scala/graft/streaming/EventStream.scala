@@ -1,10 +1,11 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import graft.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,16 +14,31 @@ import org.apache.spark.sql.types._
   * capability mapped to the idiomatic Spark constructs — readStream file
   * source, event-time watermark, tumbling window aggregation, memory sink.
   *
-  * Scale posture: the windowed aggregation is keyed state bounded by the
-  * watermark (late data beyond 2 hours is dropped and its state evicted);
-  * partial aggregation happens map-side before the state-store shuffle.
+  * Scale posture: APPEND output mode, so the windowed aggregation's keyed
+  * state really is bounded by the watermark — each window's state is emitted
+  * and evicted once the watermark passes its end, and each result row is
+  * written exactly once (complete mode would re-emit the whole result and
+  * retain all window state forever). Partial aggregation happens map-side
+  * before the state-store shuffle.
   */
 object EventStream {
 
+  /** Far-future flush sentinel (2100-01-01 in parquet nanos). Append-mode
+    * windows only emit once the watermark passes their end, so a bounded
+    * replay would otherwise hold the final ~watermark-delay of windows in
+    * state forever. A single sentinel event past every real timestamp — the
+    * standard flush-event pattern for bounded backfills — advances the
+    * watermark past all real windows; the sentinel itself is filtered out
+    * before aggregation so it never forms a group.
+    */
+  private val FlushTsNanos = 4102444800000000000L
+  private val FlushType = "__flush__"
+
   /** Run the stream over the static events parquet until all available data
-    * is processed, then return the result table. Because every row arrives
-    * before the watermark advances past it, the result equals the batch
-    * aggregation — which is exactly what the DuckDB oracle checks.
+    * is processed, then return the result table. Every real row arrives
+    * before the sentinel-driven watermark passes its window, so the appended
+    * result equals the batch aggregation — which is exactly what the DuckDB
+    * oracle checks.
     */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
     // the file stores ts as TIMESTAMP(NANOS); stream-read it as raw longs
@@ -32,12 +48,34 @@ object EventStream {
       if (f.name == "ts") f.copy(dataType = LongType) else f))
     val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
 
+    // stage a stream directory: the real file (linked, not copied) plus the
+    // one-row sentinel file
+    val dir = Files.createTempDirectory("graft_stream")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    try Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(Row(-1L, FlushTsNanos, -1L, FlushType, 0.0, null)),
+      rawSchema)
+    val sentinelOut = Files.createTempDirectory("graft_stream_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelOut.toString)
+    val part = Files.list(sentinelOut).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, dir.resolve("sentinel.parquet"))
+
     val stream = spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(sfDir)
+      .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "2 hours")
+      // the sentinel must pass THROUGH the watermark node (to advance it)
+      // but never reach the aggregation. Filter on the event-time column:
+      // Catalyst pushes non-event-time predicates BELOW the watermark node
+      // (which would drop the sentinel before it advances the watermark),
+      // but never predicates referencing the watermark attribute itself.
+      .filter(col("ts") < timestamp_micros(lit(FlushTsNanos / 1000)))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
@@ -46,12 +84,18 @@ object EventStream {
     val q = stream.writeStream
       .format("memory")
       .queryName(sink)
-      .outputMode("complete")
+      .outputMode("append")
       .start()
     try {
+      // processes the data batch, then the watermark-advance batch that
+      // emits + evicts every closed window, before returning
       q.processAllAvailable()
     } finally {
       q.stop()
+      Seq(dir, sentinelOut).foreach { d =>
+        Files.list(d).forEach(p => Files.deleteIfExists(p))
+        Files.deleteIfExists(d)
+      }
     }
     spark.table(sink).orderBy("win_start", "event_type")
   }

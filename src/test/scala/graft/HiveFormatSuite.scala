@@ -139,7 +139,10 @@ class HiveFormatSuite extends AnyFunSuite {
          WHEN MATCHED THEN UPDATE SET v = s.v
          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""").foreach { sql =>
       parser.parsePlan(sql) // must not throw
-      val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(sql))
+      // Spark 4 rejects with AnalysisException for DELETE but
+      // SparkUnsupportedOperationException for UPDATE/MERGE — both carry a
+      // SQLSTATE via SparkThrowable, so intercept the common interface.
+      val e = intercept[Throwable with org.apache.spark.SparkThrowable](s.sql(sql))
       assert(e.getMessage.toUpperCase.contains("SUPPORT"), s"unexpected error for: $sql")
     }
   }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming operator runs in APPEND mode, where a window's row is only
+  * emitted once the watermark passes its end — so this suite proves the
+  * bounded-replay flush works end-to-end: every window (including the final
+  * ones inside the watermark delay, which complete/append-without-flush
+  * setups silently drop or hold) appears exactly once and equals the batch
+  * aggregation.
+  */
+class StreamingSuite extends AnyFunSuite {
+
+  test("append-mode windowed stream equals the batch aggregation") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.windowedCounts(s, TestSpark.sfDir).collect().toSeq
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+      .orderBy("win_start", "event_type")
+      .collect().toSeq
+    assert(streamed.size === batch.size,
+      s"append mode must emit every window exactly once (got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
+}
