@@ -105,11 +105,18 @@ object PgServerConfig {
       spark.conf.getOption(k).filter(_.nonEmpty)
     val auth = spark.conf.get("spark.graft.server.auth", "trust") match {
       case "password" =>
+        // format: "user1:pass1,user2:pass2" — usernames must not contain
+        // ':' and passwords must not contain ','; use a real credential
+        // store via PgServerConfig(authenticator = ...) when that bites
         val creds = opt("spark.graft.server.auth.credentials").getOrElse("")
           .split(',').toSeq.filter(_.contains(":")).map { kv =>
             val Array(u, p) = kv.split(":", 2); (u, p)
           }.toMap
-        Some((u: String, p: String) => creds.get(u).contains(p))
+        Some((u: String, p: String) => creds.get(u).exists(expect =>
+          // constant-time comparison: a short-circuiting equals leaks the
+          // matching prefix length through response timing
+          java.security.MessageDigest.isEqual(
+            expect.getBytes(UTF_8), p.getBytes(UTF_8))))
       case _ => None
     }
     PgServerConfig(
@@ -222,7 +229,10 @@ private[server] object PgStatementSplitter {
           while (j + 1 < n && !(sql.charAt(j) == '*' && sql.charAt(j + 1) == '/')) j += 1
           j = math.min(j + 2, n)
         case '(' => sawToken = true; depth += 1; j += 1
-        case ')' => depth -= 1; j += 1
+        // clamp at zero: a stray ')' must not poison the depth==0 check and
+        // swallow every later statement of the script into one (the malformed
+        // part still flushes and fails parse on its own, like PG)
+        case ')' => sawToken = true; depth = math.max(0, depth - 1); j += 1
         case ';' if depth == 0 => flush(j); last = j + 1; j += 1
         case c =>
           if (!c.isWhitespace) sawToken = true
@@ -451,7 +461,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     stmts.foreach { stmt =>
       val plan = parser.parsePlan(stmt)
       ServerStats.statementsRun.incrementAndGet()
-      withOperation(stmt.take(80)) {
+      withOperation(stmt.take(80)) { runTrackingTimeZone {
+        // commands (incl. SetCommand) execute EAGERLY inside ofRows, so the
+        // time-zone tracking must bracket the Dataset construction too
         val df = Internals.ofRows(session.spark, plan)
         val schema = df.schema
         val isSet = plan.getClass.getSimpleName == "SetCommand"
@@ -469,7 +481,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           df.collect() // run the command
           commandComplete(currentOut, commandTag(stmt, plan, 0))
         }
-      }
+      }}
     }
     readyForQuery(currentOut)
   }
@@ -585,7 +597,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     if (!portal.started) ServerStats.statementsRun.incrementAndGet()
     if (portal.schema.isEmpty) {
       withOperation(portal.stmt.sql.take(80)) {
-        Internals.ofRows(session.spark, portal.bound).collect()
+        runTrackingTimeZone(Internals.ofRows(session.spark, portal.bound).collect())
       }
       commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, 0))
       return
@@ -628,6 +640,20 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   }
 
   // ---- execution helpers ----
+
+  /** Run a command and, if it changed the session time zone, announce the
+    * new value: PG emits ParameterStatus('TimeZone') on SET TimeZone, and
+    * psql/pgjdbc cache the announced zone for timestamp handling — without
+    * this they keep rendering with the startup zone.
+    */
+  private def runTrackingTimeZone[T](body: => T): T = {
+    def zone = session.spark.conf.get("spark.sql.session.timeZone", "UTC")
+    val before = zone
+    val r = body
+    val after = zone
+    if (after != before) PgMessages.parameterStatus(currentOut, "TimeZone", after)
+    r
+  }
 
   /** Run `body` (plan + row materialization) inside an [[Operation]] so the
     * cancellable job group covers the Spark jobs actually launched while

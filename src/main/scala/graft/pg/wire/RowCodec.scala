@@ -82,9 +82,13 @@ object RowCodec {
     */
   def dayTimeIntervalText(micros: Long): String = {
     val neg = micros < 0
-    val abs = math.abs(micros)
-    val days = abs / 86400000000L
-    val rem = abs % 86400000000L
+    // math.abs(Long.MinValue) == Long.MinValue, which would make every
+    // component negative garbage; the unsigned bit pattern of -MinValue is
+    // the true magnitude 2^63, so divide/mod unsigned (both results fit in
+    // a signed long: max days ~1.07e11, rem < 8.64e10)
+    val mag = if (neg) -micros else micros
+    val days = java.lang.Long.divideUnsigned(mag, 86400000000L)
+    val rem = java.lang.Long.remainderUnsigned(mag, 86400000000L)
     val h = rem / 3600000000L
     val m = (rem % 3600000000L) / 60000000L
     val s = (rem % 60000000L) / 1000000L
@@ -129,7 +133,18 @@ object RowCodec {
     case (FloatType, true) => (r, b) => { b.putInt(4); b.putFloat(r.getFloat(i)) }
     case (DoubleType, true) => (r, b) => { b.putInt(8); b.putDouble(r.getDouble(i)) }
     case (DateType, true) => (r, b) => { b.putInt(4); b.putInt(r.getInt(i) - PgTypes.PG_EPOCH_DAYS) }
-    case (TimestampType, true) => (r, b) => { b.putInt(8); b.putLong(r.getLong(i) - PgTypes.PG_EPOCH_MICROS) }
+    case (TimestampType, true) => (r, b) => {
+      // announced as OID 1114 (timestamp WITHOUT time zone), whose binary
+      // value is wall-clock micros since the PG epoch — shift the UTC-based
+      // instant into the session zone so binary and text formats agree
+      // (pgjdbc silently switches to binary past its prepared-statement
+      // threshold; the two formats must not differ by the zone offset)
+      val micros = r.getLong(i)
+      val offsetSec = zone.getRules.getOffset(Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+        .getTotalSeconds
+      b.putInt(8); b.putLong(micros + offsetSec * 1000000L - PgTypes.PG_EPOCH_MICROS)
+    }
     case (CalendarIntervalType, true) => (r, b) => {
       // PG interval_recv wire order: time-in-day micros (int64), days
       // (int32), months (int32) — not the struct's field order

@@ -392,6 +392,27 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(reaped, "stale session must be reaped")
   }
 
+  test("SET of the session time zone announces a TimeZone ParameterStatus") {
+    val c = new RawClient
+    c.startup()
+    c.send('Q', c.cstr("SET spark.sql.session.timeZone=Asia/Tokyo"))
+    val msgs = c.drainUntilReady()
+    val params = msgs.filter(_._1 == 'S').map { case (_, p) =>
+      // ParameterStatus payload is name NUL value NUL
+      val parts = new String(p, UTF_8).split('\u0000'); (parts(0), parts(1))
+    }
+    assert(params.contains(("TimeZone", "Asia/Tokyo")),
+      s"SET timeZone must emit ParameterStatus, got: $params")
+    // a SET that does not touch the zone announces nothing
+    c.send('Q', c.cstr("SET spark.sql.shuffle.partitions=8"))
+    assert(!c.drainUntilReady().exists(_._1 == 'S'))
+    // restore for other tests (single spark session is shared via newSession,
+    // but this connection's session is isolated — still, be tidy)
+    c.send('Q', c.cstr("SET spark.sql.session.timeZone=UTC"))
+    c.drainUntilReady()
+    c.close()
+  }
+
   test("session isolation: temp views do not leak across connections") {
     val c1 = new RawClient
     c1.startup()

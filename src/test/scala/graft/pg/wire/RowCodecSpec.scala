@@ -155,6 +155,33 @@ class RowCodecSpec extends AnyFunSuite {
     assert(new String(out, UTF_8) === "1969-12-31 19:00:00")
   }
 
+  test("timestamp binary agrees with text in a non-UTC session zone") {
+    // OID 1114 binary is wall-clock micros since the PG epoch: for epoch
+    // instant 0 in New York the wall clock is 1969-12-31 19:00:00, i.e.
+    // PG_EPOCH + (-30y +19h) — NOT the raw UTC shift. A client switching
+    // text->binary (pgjdbc does after 5 executions) must see the same value.
+    val zone = java.time.ZoneId.of("America/New_York")
+    val row = new GenericInternalRow(1)
+    row.update(0, 0L)
+    val buf = ByteBuffer.allocate(64)
+    RowCodec.rowWriter(StructType(Seq(StructField("a", TimestampType))), Seq(true), zone)(row, buf)
+    buf.flip()
+    assert(buf.getInt === 8)
+    val wireMicros = buf.getLong
+    val wall = java.time.LocalDateTime.parse("1969-12-31T19:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(wireMicros === wall - PgTypes.PG_EPOCH_MICROS)
+  }
+
+  test("day-time interval text survives Long.MinValue") {
+    // magnitude 2^63 micros = 106751991 days + 14454775808 micros
+    // (04:00:54.775808); math.abs would have produced negative components
+    assert(RowCodec.dayTimeIntervalText(Long.MinValue) ===
+      "-106751991 days -04:00:54.775808")
+    assert(RowCodec.dayTimeIntervalText(Long.MinValue + 1) ===
+      "-106751991 days -04:00:54.775807")
+  }
+
   test("string and bytea pass through as raw bytes") {
     assert(new String(payload(
       write(StringType, UTF8String.fromString("héllo"), binary = false)), UTF_8) === "héllo")
