@@ -74,6 +74,25 @@ object PgMessages {
       oids.foreach(b.writeInt)
     }
 
+  /** CopyInResponse 'G': overall format 0 (text) + per-column text codes. */
+  def copyInResponse(buf: ByteBuf, nCols: Int): Unit =
+    msg(buf, 'G') { b =>
+      b.writeByte(0); b.writeShort(nCols)
+      (0 until nCols).foreach(_ => b.writeShort(0))
+    }
+
+  /** CopyOutResponse 'H' (same payload shape as CopyInResponse). */
+  def copyOutResponse(buf: ByteBuf, nCols: Int): Unit =
+    msg(buf, 'H') { b =>
+      b.writeByte(0); b.writeShort(nCols)
+      (0 until nCols).foreach(_ => b.writeShort(0))
+    }
+
+  def copyData(buf: ByteBuf, bytes: Array[Byte]): Unit =
+    msg(buf, 'd')(_.writeBytes(bytes))
+
+  def copyDone(buf: ByteBuf): Unit = msg(buf, 'c')(_ => ())
+
   /** severity + SQLSTATE + message (reference protocol.scala:250-262). */
   def errorResponse(buf: ByteBuf, message: String, sqlState: String = "XX000"): Unit =
     msg(buf, 'E') { b =>

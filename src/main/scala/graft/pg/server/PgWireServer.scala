@@ -263,6 +263,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     * P/B/D/E/S in one write) see exactly one ErrorResponse then ReadyForQuery
     */
   private var inError = false
+  /** active COPY FROM STDIN operation, if any ('d'/'c'/'f' route here) */
+  private var copyIn: Option[PgCopy.CopyInSession] = None
 
   override def channelRead0(ctx: ChannelHandlerContext, m: PgClientMsg): Unit = m match {
     case SslRequest => sslCtx match {
@@ -413,6 +415,35 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     case 'S' => readyForQuery(out) // Sync
     case 'H' => () // Flush — we always flush per message
     case 'X' => () // Terminate; channel closed by caller
+    // COPY subprotocol (reference decodes these then throws "Not supported
+    // yet", protocol.scala:679-698 — here they work)
+    case 'd' => copyIn match {
+      case Some(ci) =>
+        val bytes = new Array[Byte](in.remaining()); in.get(bytes)
+        ci.feed(bytes)
+      case None =>
+        throw new UnsupportedOperationException("COPY data outside a COPY operation")
+    }
+    case 'c' => copyIn match {
+      case Some(ci) =>
+        copyIn = None
+        try {
+          val n = withOperation("COPY FROM STDIN")(ci.finish())
+          commandComplete(out, s"COPY $n")
+        } catch {
+          case NonFatal(e) =>
+            ServerStats.statementsFailed.incrementAndGet()
+            errorResponse(out, Option(e.getMessage).getOrElse(e.toString))
+        }
+        readyForQuery(out)
+      case None =>
+        throw new UnsupportedOperationException("CopyDone outside a COPY operation")
+    }
+    case 'f' =>
+      copyIn = None
+      val reason = try readCStr(in) catch { case _: RuntimeException => "" }
+      errorResponse(out, s"COPY aborted by client: $reason", "57014")
+      readyForQuery(out)
     case other => throw new IllegalArgumentException(s"Unsupported message type: $other")
   }
 
@@ -458,7 +489,30 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       readyForQuery(currentOut)
       return
     }
-    stmts.foreach { stmt =>
+    var copyInStarted = false
+    stmts.foreach { stmt => PgCopy.parse(stmt) match {
+      case Some(ci: PgCopy.CopyIn) =>
+        if (stmts.length > 1) throw new IllegalArgumentException(
+          "COPY FROM STDIN must be the only statement in a simple query")
+        // constructing the session resolves the table schema, so a missing
+        // table errors HERE — before CopyInResponse commits the connection
+        // to the copy subprotocol
+        val st = new PgCopy.CopyInSession(session.spark, ci)
+        copyIn = Some(st)
+        ServerStats.statementsRun.incrementAndGet()
+        PgMessages.copyInResponse(currentOut, st.nCols)
+        copyInStarted = true
+      case Some(co: PgCopy.CopyOut) =>
+        ServerStats.statementsRun.incrementAndGet()
+        withOperation(stmt.take(80))(runCopyOut(co))
+      case None => runRegularStatement(stmt)
+    }}
+    // after CopyInResponse the client streams 'd' frames; ReadyForQuery
+    // only follows CopyDone/CopyFail
+    if (!copyInStarted) readyForQuery(currentOut)
+  }
+
+  private def runRegularStatement(stmt: String): Unit = {
       val plan = parser.parsePlan(stmt)
       ServerStats.statementsRun.incrementAndGet()
       withOperation(stmt.take(80)) { runTrackingTimeZone {
@@ -482,8 +536,6 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           commandComplete(currentOut, commandTag(stmt, plan, 0))
         }
       }}
-    }
-    readyForQuery(currentOut)
   }
 
   /** 'P': parse + eager analysis so Describe can answer (reference
@@ -640,6 +692,52 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   }
 
   // ---- execution helpers ----
+
+  /** COPY ... TO STDOUT: CopyOutResponse, then rows in PG copy text/csv
+    * format streamed through the incremental iterator, CopyDone, COPY tag.
+    */
+  private def runCopyOut(co: PgCopy.CopyOut): Unit = {
+    val spark = session.spark
+    val base = co.source match {
+      case Left(table) => spark.table(table)
+      case Right(q) => spark.sql(q)
+    }
+    val df =
+      if (co.cols.nonEmpty)
+        base.select(co.cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      else base
+    val schema = df.schema
+    val zone = sessionZone
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      PgCopy.fieldText(f.dataType, i, zone)
+    }
+    PgMessages.copyOutResponse(currentOut, schema.length)
+    val delim = co.opts.delimiter
+    val it = resultIterator(df)
+    var n = 0L
+    val sb = new StringBuilder
+    while (it.hasNext) {
+      val row = it.next()
+      sb.clear()
+      var i = 0
+      while (i < fields.length) {
+        if (i > 0) sb.append(delim)
+        if (row.isNullAt(i)) { if (!co.opts.csv) sb.append("\\N") else sb.append(co.opts.nullStr) }
+        else {
+          val v = fields(i)(row)
+          sb.append(if (co.opts.csv) PgCopy.escapeCsv(v, delim) else PgCopy.escapeText(v))
+        }
+        i += 1
+      }
+      sb.append('\n')
+      PgMessages.copyData(currentOut, sb.toString.getBytes(UTF_8))
+      maybeFlush()
+      n += 1
+    }
+    ServerStats.rowsStreamed.addAndGet(n)
+    PgMessages.copyDone(currentOut)
+    commandComplete(currentOut, s"COPY $n")
+  }
 
   /** Run a command and, if it changed the session time zone, announce the
     * new value: PG emits ParameterStatus('TimeZone') on SET TimeZone, and

@@ -147,6 +147,34 @@ class HiveFormatSuite extends AnyFunSuite {
     }
   }
 
+  test("Hive TRANSFORM: delimited script form executes; serde form parses with hive") {
+    // the reference parses TRANSFORM then rejects it at execution
+    // (AB:575-581,631-679); Spark 4 exceeds that: the default
+    // ROW FORMAT DELIMITED script transform actually runs
+    val s = TestSpark.spark
+    val out = s.sql("SELECT TRANSFORM(id) USING 'cat' AS (out STRING) FROM range(3)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("0", "1", "2"))
+    // the SERDE form requires hive support to even parse
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      s.sessionState.sqlParser.parsePlan(
+        """SELECT TRANSFORM(a) ROW FORMAT SERDE
+          'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+          USING 'cat' AS (out STRING) FROM t""")
+    }
+    assume(hive.isDefined, "hive support unavailable in this environment")
+    // in hive mode the serde form gets PAST parsing (sql() sets the active
+    // session, which the parser's hive-mode check reads): failure moves to
+    // analysis on the nonexistent table
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      hive.get.sql(
+        """SELECT TRANSFORM(a) ROW FORMAT SERDE
+          'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+          USING 'cat' AS (out STRING) FROM graft_no_such_table""")
+    }
+    assert(e.getErrorClass.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
+
   test("partitioned Hive table with static partition insert") {
     assume(hive.isDefined, "hive support unavailable in this environment")
     val s = hive.get
