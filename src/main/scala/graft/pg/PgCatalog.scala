@@ -70,10 +70,14 @@ object PgCatalog {
       .createOrReplaceTempView("pg_roles")
     Seq(("spark-user", userRoleOid)).toDF("usename", "usesysid")
       .createOrReplaceTempView("pg_user")
-    Seq(("default", userRoleOid, 6, "C", "C"))
-      .toDF("datname", "datdba", "encoding", "datcollate", "datctype")
+    Seq(("default", userRoleOid, 6, "C", "C", "c"))
+      .toDF("datname", "datdba", "encoding", "datcollate", "datctype",
+        // PG 15's \l also reads the locale-provider columns
+        "datlocprovider")
       .withColumn("datacl", org.apache.spark.sql.functions.lit(null)
         .cast("array<string>"))
+      .withColumn("daticulocale", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
       .createOrReplaceTempView("pg_database")
 
     // Static empties the JDBC drivers probe (reference catalog.scala:87-118).
@@ -86,14 +90,20 @@ object PgCatalog {
     emptyView(spark, "pg_description",
       "objoid INT, classoid INT, objsubid INT, description STRING")
     emptyView(spark, "pg_index", "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN")
-    emptyView(spark, "pg_inherits", "inhrelid INT, inhparent INT, inhseqno INT")
+    emptyView(spark, "pg_inherits",
+      "inhrelid INT, inhparent INT, inhseqno INT, inhdetachpending BOOLEAN")
     emptyView(spark, "pg_policy",
       "polname STRING, polrelid INT, polcmd STRING, polroles STRING, " +
         "polqual STRING, polwithcheck STRING")
     emptyView(spark, "pg_collation", "oid INT, collname STRING")
+    // access methods: \dt on PG>=12 LEFT JOINs this (rows survive, am null)
+    emptyView(spark, "pg_am", "oid INT, amname STRING")
     emptyView(spark, "pg_proc",
       "oid INT, proname STRING, prorettype INT, proargtypes ARRAY<INT>, " +
-        "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, proretset BOOLEAN")
+        "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, proretset BOOLEAN, " +
+        // prokind replaced proisagg/proiswindow in PG 11; \df on new
+        // announced versions reads it
+        "prokind STRING")
 
     // Runtime tables, populated from the live catalog so psql \d works:
     // pg_class with the reference's full 21-column schema
@@ -104,7 +114,7 @@ object PgCatalog {
         // Catalog.tableType is MANAGED/EXTERNAL/VIEW/TEMPORARY
         if (tbl.tableType == "MANAGED" || tbl.tableType == "EXTERNAL") "r" else "v",
         defaultNamespaceOid, userRoleOid, null, 0.toShort, 0,
-        false, false, false, false, false, "d", 0.toShort, false, false, null)
+        false, false, false, false, false, "d", 0.toShort, false, false, null, 0)
     }
     val classSchema = StructType.fromDDL(
       "oid INT, reltablespace INT, relname STRING, reloftype INT, " +
@@ -112,7 +122,8 @@ object PgCatalog {
         "relacl ARRAY<STRING>, relchecks SHORT, reltoastrelid INT, " +
         "relhasindex BOOLEAN, relhasrules BOOLEAN, relhastriggers BOOLEAN, " +
         "relrowsecurity BOOLEAN, relforcerowsecurity BOOLEAN, relreplident STRING, " +
-        "reltriggers SHORT, relhasoids BOOLEAN, relispartition BOOLEAN, relpartbound STRING")
+        "reltriggers SHORT, relhasoids BOOLEAN, relispartition BOOLEAN, relpartbound STRING, " +
+        "relam INT") // access-method oid, referenced by \dt on PG>=12
     spark.createDataFrame(java.util.Arrays.asList(classRows: _*), classSchema)
       .createOrReplaceTempView("pg_class")
     val attrRows = tbls.zipWithIndex.flatMap { case (tbl, idx) =>
@@ -120,17 +131,36 @@ object PgCatalog {
         .getOrElse(Array.empty).zipWithIndex.map { case (c, ci) =>
           val oid = oidOfTypeName(c.dataType)
           Row(0, 10000 + idx, c.name, oid, !c.nullable, false, -1,
-            typeLenOfOid(oid), ci + 1, "", false, 0)
+            typeLenOfOid(oid), ci + 1, "", false, 0, "")
         }
     }
     spark.createDataFrame(java.util.Arrays.asList(attrRows: _*),
       StructType.fromDDL(
         "oid INT, attrelid INT, attname STRING, atttypid INT, attnotnull BOOLEAN, " +
           "atthasdef BOOLEAN, atttypmod INT, attlen INT, attnum INT, " +
-          "attidentity STRING, attisdropped BOOLEAN, attcollation INT"))
+          "attidentity STRING, attisdropped BOOLEAN, attcollation INT, " +
+          "attgenerated STRING")) // '' = plain column, referenced by \d on PG>=12
       .createOrReplaceTempView("pg_attribute")
 
     PgFunctions.register(spark)
+  }
+
+  /** Catalog relations whose backing feature (row-level security, logical
+    * replication, extended statistics, rules/triggers) has no Spark
+    * counterpart. psql's hidden `\d` queries over them use PG-only syntax —
+    * `ARRAY(SELECT ...)`, `= ANY(...)`, regtype casts — that Spark cannot
+    * parse, and the truthful answer is always zero rows (psql renders those
+    * sections only when ntuples > 0). SELECTs touching them short-circuit
+    * to an empty result server-side.
+    */
+  private val featureAbsentRe =
+    ("(?is)\\bpg_(policy|policies|publication(_rel|_namespace)?|" +
+      "statistic_ext(_data)?|rewrite|trigger|event_trigger|rules|matviews)\\b").r
+
+  def isFeatureAbsentQuery(sql: String): Boolean = {
+    val t = sql.trim
+    (t.regionMatches(true, 0, "SELECT", 0, 6) || t.regionMatches(true, 0, "WITH", 0, 4)) &&
+      featureAbsentRe.findFirstIn(sql).isDefined
   }
 
   /** Spark catalog column dataType string -> PG oid. */

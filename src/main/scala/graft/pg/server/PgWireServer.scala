@@ -513,6 +513,14 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   }
 
   private def runRegularStatement(stmt: String): Unit = {
+      if (PgCatalog.isFeatureAbsentQuery(stmt)) {
+        // zero rows for feature-absent catalog relations (see PgCatalog)
+        val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
+          "v", StringType)))
+        rowDescription(currentOut, schema, Seq(false))
+        commandComplete(currentOut, "SELECT 0")
+        return
+      }
       val plan = parser.parsePlan(stmt)
       ServerStats.statementsRun.incrementAndGet()
       withOperation(stmt.take(80)) { runTrackingTimeZone {
