@@ -49,6 +49,10 @@ object PgCatalog {
   def typeNameOf(oid: Int): String =
     pgTypes.find(_._1 == oid).map(_._2).getOrElse("unknown")
 
+  private final case class AttrSnapshot(key: Seq[String], at: Long, rows: Seq[Row])
+  private val attrCache = new java.util.concurrent.atomic.AtomicReference[AttrSnapshot]
+  private val AttrCacheTtlNanos = 10L * 1000 * 1000 * 1000
+
   private def emptyView(spark: SparkSession, name: String, ddl: String): Unit =
     spark.createDataFrame(
       new java.util.ArrayList[Row](), StructType.fromDDL(ddl))
@@ -116,6 +120,12 @@ object PgCatalog {
         defaultNamespaceOid, userRoleOid, null, 0.toShort, 0,
         false, false, false, false, false, "d", 0.toShort, false, false, null, 0)
     }
+    // the per-table listColumns sweep is the expensive part on a large
+    // metastore (one RPC per table); connection storms — pools opening N
+    // connections at once — would repeat it N times, so reuse the sweep
+    // while the visible table list is unchanged (TTL-bounded so ALTERs
+    // surface across connections within seconds)
+    val attrKey = tbls.map(t => t.name + "/" + t.tableType).toSeq
     val classSchema = StructType.fromDDL(
       "oid INT, reltablespace INT, relname STRING, reloftype INT, " +
         "relpersistence STRING, relkind STRING, relnamespace INT, relowner INT, " +
@@ -126,13 +136,23 @@ object PgCatalog {
         "relam INT") // access-method oid, referenced by \dt on PG>=12
     spark.createDataFrame(java.util.Arrays.asList(classRows: _*), classSchema)
       .createOrReplaceTempView("pg_class")
-    val attrRows = tbls.zipWithIndex.flatMap { case (tbl, idx) =>
-      scala.util.Try(spark.catalog.listColumns(tbl.name).collect()).toOption
-        .getOrElse(Array.empty).zipWithIndex.map { case (c, ci) =>
-          val oid = oidOfTypeName(c.dataType)
-          Row(0, 10000 + idx, c.name, oid, !c.nullable, false, -1,
-            typeLenOfOid(oid), ci + 1, "", false, 0, "")
+    val attrRows = {
+      val cached = attrCache.get()
+      if (cached != null && cached.key == attrKey &&
+        System.nanoTime() - cached.at < AttrCacheTtlNanos) cached.rows
+      else {
+        val rows: Seq[Row] = tbls.zipWithIndex.toSeq.flatMap { case (tbl, idx) =>
+          scala.util.Try(spark.catalog.listColumns(tbl.name).collect()).toOption
+            .getOrElse(Array.empty[org.apache.spark.sql.catalog.Column])
+            .zipWithIndex.map { case (c, ci) =>
+              val oid = oidOfTypeName(c.dataType)
+              Row(0, 10000 + idx, c.name, oid, !c.nullable, false, -1,
+                typeLenOfOid(oid), ci + 1, "", false, 0, "")
+            }
         }
+        attrCache.set(AttrSnapshot(attrKey, System.nanoTime(), rows))
+        rows
+      }
     }
     spark.createDataFrame(java.util.Arrays.asList(attrRows: _*),
       StructType.fromDDL(

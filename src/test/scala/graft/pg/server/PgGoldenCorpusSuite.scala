@@ -24,17 +24,63 @@ import org.scalatest.funsuite.AnyFunSuite
 class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   private val corpusDir = new File(
-    "/root/reference/sql/sql-server/src/test/resources/sql-tests/inputs/postgreSQL")
+    "/root/reference/sql/sql-server/src/test/resources/sql-tests/inputs")
   private val goldenDir = new File("src/test/resources/golden-pg")
   private val regen = sys.env.get("GOLDEN_REGEN").contains("1")
 
-  /** blacklist-free slice: relational + aggregate + window + setop + CTE
-    * coverage without the float/numeric formatting minefields
+  /** The full postgreSQL corpus directory (33 files — the reference runs
+    * ~the same set through JDBC minus its blacklist). Because the goldens
+    * capture OUR normalized behavior — rows and errors alike — the
+    * reference's "output mismatch" blacklist reasons don't apply here; only
+    * nondeterminism would (audited: the sole live now()/random() uses sit
+    * in view definitions that are DESC'd, not selected, or in statements
+    * that error deterministically).
     */
-  private val corpus = Seq(
-    "comments", "case", "boolean", "int2", "int4", "int8",
-    "select_implicit", "select_having", "select_distinct", "limit",
-    "union", "groupingsets", "with", "window_part1", "text")
+  private val corpus =
+    Seq(
+      "comments", "case", "boolean", "int2", "int4", "int8",
+      "select_implicit", "select_having", "select_distinct", "limit",
+      "union", "groupingsets", "with", "window_part1", "text",
+      "select", "join", "aggregates_part1", "aggregates_part2",
+      "aggregates_part3", "aggregates_part4", "strings", "numeric",
+      "date", "timestamp", "interval", "float4", "float8", "insert",
+      "create_view", "window_part2", "window_part3", "window_part4")
+      .map("postgreSQL/" + _) ++
+    Seq(
+      "in-basic", "in-group-by", "in-having", "in-joins", "in-limit",
+      "in-multiple-columns", "in-order-by", "in-set-operations",
+      "in-with-cte", "not-in-group-by", "not-in-joins",
+      "not-in-unit-tests-multi-column", "not-in-unit-tests-multi-column-literal",
+      "not-in-unit-tests-single-column", "not-in-unit-tests-single-column-literal",
+      "simple-in").map("subquery/in-subquery/" + _) ++
+    Seq(
+      "exists-aggregate", "exists-basic", "exists-cte", "exists-having",
+      "exists-joins-and-set-ops", "exists-orderby-limit",
+      "exists-within-and-or").map("subquery/exists-subquery/" + _) ++
+    Seq("scalar-subquery-predicate", "scalar-subquery-select")
+      .map("subquery/scalar-subquery/" + _) ++
+    Seq("invalid-correlation", "subq-input-typecheck")
+      .map("subquery/negative-cases/" + _) ++
+    Seq("subquery/subquery-in-from",
+      "group-by", "cte", "cross-join", "inner-join", "outer-join",
+      "natural-join", "except", "except-all", "intersect-all", "count")
+
+  /** flat, filesystem-safe name for goldens/databases. Lowercased: Spark
+    * lowercases database identifiers, so the physical warehouse dir is
+    * lowercase — the pre-clean of stale dirs must hit the same path.
+    */
+  private def flat(name: String): String =
+    name.replaceAll("[^A-Za-z0-9]+", "_").toLowerCase
+
+  /** window_part2's numerics.f_numeric is an INT column fed 1.1 and 1.12 —
+    * two rows tie at 1, and first(id)/last(id) over a RANGE frame pick among
+    * peer rows in partition-sort order, which Spark does not pin (PG's
+    * corpus relies on insertion order). Those statements' row values are
+    * genuinely nondeterministic, so the golden masks them; every other
+    * statement in the file stays value-checked.
+    */
+  private def tieNondeterministic(stmt: String): Boolean =
+    stmt.toLowerCase.contains("order by f_numeric")
 
   private var server: PgWireServer = _
 
@@ -54,13 +100,14 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
       .replaceAll("psql:<stdin>:\\d+:", "psql:")
       .replaceAll("random\\(-?\\d+\\)", "random(SEED)")
       .replaceAll("CTERelation(Def|Ref) \\d+", "CTERelation$1 N")
+      .replaceAll("(Created Time|Last Access)\\|[^|]+", "$1|TIME")
       .replaceAll("file:[^\\s,;)\\]]+", "file:PATH")
       .replaceAll("/[^\\s,;)\\]]*spark-warehouse[^\\s,;)\\]]*", "PATH")
       .replaceAll("/root/reference[^\\s,;)\\]']*", "PATH")
       .replaceAll("\\s+$", ""))
     .mkString("\n").trim
 
-  private val pgData = new File(corpusDir, "../../../test-data/postgresql").getCanonicalPath
+  private val pgData = new File(corpusDir, "../../test-data/postgresql").getCanonicalPath
 
   /** the PG regression schema the corpus assumes, provisioned per golden
     * database exactly like the reference does before running the inputs
@@ -102,15 +149,15 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
     // that fail the CTAS provisioning — clear the physical dir first
     val wh = java.nio.file.Paths.get(new java.net.URI(
       TestSpark.spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    val dbDir = wh.resolve(s"golden_$name.db")
+    val dbDir = wh.resolve(s"golden_${flat(name)}.db")
     if (Files.exists(dbDir)) {
       import scala.jdk.CollectionConverters._
       Files.walk(dbDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     val pre = Seq(
-      s"DROP DATABASE IF EXISTS golden_$name CASCADE",
-      s"CREATE DATABASE golden_$name",
-      s"USE golden_$name") ++ testTables
+      s"DROP DATABASE IF EXISTS golden_${flat(name)} CASCADE",
+      s"CREATE DATABASE golden_${flat(name)}",
+      s"USE golden_${flat(name)}") ++ testTables
     val body = new String(Files.readAllBytes(
       Paths.get(new File(corpusDir, s"$name.sql").getPath)), UTF_8)
     val stmts = pre ++ PgStatementSplitter.split(body)
@@ -137,7 +184,9 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
     val errBlocks = blocks(normalize(err.toString) + "\n")
     stmts.zipWithIndex.map { case (stmt, i) =>
       val head = normalize(stmt.linesIterator.mkString(" ").replaceAll("\\s+", " ")).take(100)
-      val rows = outBlocks.lift(i).getOrElse(Seq.empty).filter(_.nonEmpty).sorted
+      val rows =
+        if (tieNondeterministic(stmt)) Seq("<nondeterministic: peer-order ties>")
+        else outBlocks.lift(i).getOrElse(Seq.empty).filter(_.nonEmpty).sorted
       val errs = errBlocks.lift(i).getOrElse(Seq.empty).filter(_.nonEmpty).sorted
       s"-- [$i] $head" +
         (if (rows.nonEmpty) rows.mkString("\n", "\n", "") else "") +
@@ -149,15 +198,21 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
     test(s"golden: $name.sql") {
       assume(corpusDir.exists, "reference corpus not present")
       val got = runFile(name)
-      val goldenFile = new File(goldenDir, s"$name.out")
+      val goldenFile = new File(goldenDir, s"${flat(name)}.out")
       if (regen) {
         Files.write(Paths.get(goldenFile.getPath), got.getBytes(UTF_8))
         info(s"regenerated ${goldenFile.getPath} (${got.linesIterator.size} lines)")
       } else {
         assert(goldenFile.exists, s"golden missing — run with GOLDEN_REGEN=1")
         val want = new String(Files.readAllBytes(Paths.get(goldenFile.getPath)), UTF_8)
-        assert(got === want,
-          s"output drifted from golden ${goldenFile.getPath}")
+        if (got != want) {
+          val dump = Paths.get(s"/tmp/golden_fail_${flat(name)}.out")
+          Files.write(dump, got.getBytes(UTF_8))
+          val firstDiff = got.linesIterator.zipAll(want.linesIterator, "<EOF>", "<EOF>")
+            .zipWithIndex.find { case ((g, w), _) => g != w }
+          fail(s"output drifted from golden ${goldenFile.getPath} (got dumped to $dump); " +
+            s"first differing line: $firstDiff")
+        }
       }
     }
   }
