@@ -209,6 +209,10 @@ object RowCodec {
     case DateType => jsonString(dateText(v.asInstanceOf[Int]))
     case BooleanType => v.toString
     case at: ArrayType => pgArrayText(v.asInstanceOf[ArrayData], at.elementType, zone)
+    // map/struct elements render as JSON like the top-level writers — the
+    // raw catalyst values have identity-hash toStrings (UnsafeMapData@...)
+    case mt: MapType => jsonValue(v, mt)
+    case st: StructType => jsonValue(v, st)
     case _ => v.toString
   }
 
@@ -222,7 +226,9 @@ object RowCodec {
       (0 until m.numElements()).map { k =>
         val key = keys.get(k, mt.keyType) match {
           case s: UTF8String => jsonString(s.toString)
-          case other => jsonString(String.valueOf(other))
+          // JSON keys must be strings: render complex keys (arrays/structs
+          // have identity-hash toStrings) through jsonValue, then quote
+          case other => jsonString(jsonValue(other, mt.keyType))
         }
         val value =
           if (vals.isNullAt(k)) "null" else jsonValue(vals.get(k, mt.valueType), mt.valueType)

@@ -63,7 +63,14 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map("subquery/negative-cases/" + _) ++
     Seq("subquery/subquery-in-from",
       "group-by", "cte", "cross-join", "inner-join", "outer-join",
-      "natural-join", "except", "except-all", "intersect-all", "count")
+      "natural-join", "except", "except-all", "intersect-all", "count") ++
+    Seq(
+      "arrayJoin", "binaryComparison", "booleanEquality", "caseWhenCoercion",
+      "concat", "dateTimeOperations", "decimalPrecision", "division", "elt",
+      "ifCoercion", "implicitTypeCasts", "inConversion", "mapZipWith",
+      "mapconcat", "promoteStrings", "stringCastAndExpressions",
+      "widenSetOperationTypes", "windowFrameCoercion")
+      .map("typeCoercion/native/" + _)
 
   /** flat, filesystem-safe name for goldens/databases. Lowercased: Spark
     * lowercases database identifiers, so the physical warehouse dir is
