@@ -286,14 +286,22 @@ object Pipeline {
           .persist()
         val bands = sigs.select(col("doc_id"), size(col("gs")).as("n"),
           explode(MinHashing.ngramBandKeys(col("mh"))).as("key"))
+        // Band-count prefilter replaces a plain distinct: a true j>=0.9 pair
+        // matches ~24*0.9^8 ~ 10 of the 24 bands (P(<2 matches) ~1e-6),
+        // while background ~0.5-similarity pairs match >=2 bands with
+        // P~0.004 — so requiring two matching bands cuts the candidate mass
+        // feeding the signature joins ~20x for free (the groupBy count costs
+        // what the distinct already paid).
         val cand = bands.as("x").join(bands.as("y"),
           col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
             // jaccard >= t forces min(|A|,|B|) >= t * max(|A|,|B|): a free
             // exact prune before the expensive set intersection
             least(col("x.n"), col("y.n")).cast(DoubleType) >=
               greatest(col("x.n"), col("y.n")) * 0.9)
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
+          .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .agg(count(lit(1)).as("_bands"))
+          .filter(col("_bands") >= 2)
+          .select(col("da"), col("db"))
         // Signature-estimate prefilter: the 192 minhash values are already
         // computed, and matching-positions/192 is an unbiased Jaccard
         // estimator with sd ~0.022 at j=0.9 — so keeping estimates >= 0.8
