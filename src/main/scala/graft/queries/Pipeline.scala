@@ -114,13 +114,14 @@ object Pipeline {
     math.min(MaxLshPlanes, math.max(MinLshPlanes, bits))
   }
 
-  /** Bucket id of an embedding in LSH table `t`: `planes` sign bits packed. */
-  private[graft] def lshBucket(emb: Column, table: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = array(lshPlanes(table)(p).map(lit): _*)
-      when(dot(emb, plane) > 0, 1 << p).otherwise(0)
-    }
-    bits.reduce(_ + _)
+  /** Bucket id of an embedding in LSH table `t`: `planes` sign bits packed,
+    * computed by the native codegen [[graft.functions.LshBucket]] expression
+    * (one fused loop; the HOF spelling materialized `planes` zip_with
+    * arrays per row).
+    */
+  private[graft] def lshBucket(s: SparkSession, emb: Column, table: Int, planes: Int): Column = {
+    graft.functions.LshBucket.bind((t, p) => lshPlanes(t).take(p))
+    graft.functions.LshBucket(s, emb, table, planes)
   }
 
   /** Multiprobe set: the exact bucket plus every Hamming-1 neighbor. Probing
@@ -147,7 +148,7 @@ object Pipeline {
     val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
     val buckets = (0 until LshTables).map { tb =>
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-        lshBucket(col("embedding"), tb, planes).as("bucket"))
+        lshBucket(s, col("embedding"), tb, planes).as("bucket"))
     }.reduce(_ unionAll _).persist()
     // Hamming-1 multiprobe on one side compensates the recall that corpus-
     // scaled EXTRA planes cost; at the baseline plane count the 8-table
@@ -363,7 +364,7 @@ object Pipeline {
         val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
         val buckets = (0 until LshTables).map { tb =>
           e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-            lshBucket(col("embedding"), tb, planes).as("bucket"))
+            lshBucket(s, col("embedding"), tb, planes).as("bucket"))
         }.reduce(_ unionAll _).persist()
         // multiprobe only the (tiny, broadcast) query side — the corpus
         // side stays one row per (table, vector)

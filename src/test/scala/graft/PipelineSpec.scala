@@ -96,7 +96,7 @@ class PipelineSpec extends AnyFunSuite {
     val planes = graft.queries.Pipeline.lshPlanesFor(n) // 8192/128 -> 6 bits... at least min
     val df = vecs.toDF("vec_id", "embedding")
     val sizes = df.select(
-      graft.queries.Pipeline.lshBucket(col("embedding"), 0, planes).as("b"))
+      graft.queries.Pipeline.lshBucket(spark, col("embedding"), 0, planes).as("b"))
       .groupBy("b").count().collect().map(_.getLong(1))
     val expected = n.toDouble / (1 << planes)
     // clustered data concentrates buckets, but the derived plane count must
