@@ -170,6 +170,97 @@ object Pipeline {
       .orderBy("va", "vb")
   }
 
+  /** Shingle-MinHash near-duplicate pairs above `thresh`: banded bucket
+    * equi-join for candidates, exact Jaccard verify on candidates only —
+    * never all-pairs. Shared by p03 (pair detection) and p19 (purge).
+    */
+  private def minhashNearDupPairs(s: SparkSession, d: String, thresh: Double): DataFrame = {
+    import s.implicits._
+    // signatures feed four plan branches (both band sides + both verify
+    // sides); persist so the typed kernel runs once — at real scale the
+    // signature table would be a checkpointed/stored artifact anyway
+    val sigs = t(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        MinHashing.signature(text).map { case (sh, mh) => (id, sh, mh) }
+      })
+      .toDF("doc_id", "sh", "mh")
+      .persist()
+    val bands = sigs.select(col("doc_id"), explode(MinHashing.bandKeys(col("mh"))).as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= thresh)
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation (the classic Spark/GraphX pattern): each round
+    * every node takes the min of its own and its neighbours' labels; rounds
+    * = component diameter, which for near-dup clusters is small (docs in a
+    * cluster are all mutually similar). Each round is one shuffle;
+    * localCheckpoint truncates the growing lineage so the plan stays flat.
+    * Returns (id, lbl) where lbl is the component's min doc_id.
+    */
+  private def connectedComponents(edges: DataFrame, maxIters: Int = 15): DataFrame = {
+    val und = edges.select(col("da").as("a"), col("db").as("b"))
+      .union(edges.select(col("db").as("a"), col("da").as("b")))
+      .persist()
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nb = und.join(labels, und("b") === labels("id"))
+        .select(und("a").as("id"), col("lbl"))
+      val next = labels.union(nb).groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** shared DuckDB CTE body: exact shingle-Jaccard near-dup pairs >= thresh
+    * (same as [[jaccardOracle]] but as reusable WITH clauses).
+    */
+  private def jaccardPairsCte(thresh: Double): String = s"""
+    tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+           FROM tok WHERE len(ts) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT da, db
+              FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thresh)"""
+
+  /** word n-grams `ts[i] .. ts[i+n-1]` as space-joined strings; index-safe
+    * for short docs (empty when the doc has fewer than n tokens).
+    */
+  private def wordNgrams(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
+
+  private def oWordNgrams(ts: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"$ts[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len($ts)-${n - 1}), i -> $parts)"
+  }
+
   private val stop = Seq("the", "a")
   // Arbitrary-but-fixed per-language marker words for the stopword-ratio
   // heuristic (the synthetic corpus shares one vocabulary, so the mechanics —
@@ -216,33 +307,7 @@ object Pipeline {
     // keys -> bucket equi-join for candidates -> exact Jaccard verify on the
     // candidate pairs only. Never all-pairs.
     QE("p03_minhash_neardup", Some(jaccardOracle(0.8)),
-      (s, d) => {
-        import s.implicits._
-        // signatures feed four plan branches (both band sides + both verify
-        // sides); persist so the typed kernel runs once — at real scale the
-        // signature table would be a checkpointed/stored artifact anyway
-        val sigs = t(s, d, "documents")
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .mapPartitions(_.flatMap { case (id, text) =>
-            MinHashing.signature(text).map { case (sh, mh) => (id, sh, mh) }
-          })
-          .toDF("doc_id", "sh", "mh")
-          .persist()
-        val bands = sigs.select(col("doc_id"), explode(MinHashing.bandKeys(col("mh"))).as("key"))
-        val cand = bands.as("x").join(bands.as("y"),
-          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
-        val sh = sigs.select(col("doc_id"), col("sh"))
-        cand
-          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-          .select(col("da"), col("db"),
-            (size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
-              size(array_union(col("sha"), col("shb")))).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-          .orderBy("da", "db")
-      }),
+      (s, d) => minhashNearDupPairs(s, d, 0.8).orderBy("da", "db")),
 
     // SimHash fingerprints, typed single-pass (engine-specific 64-bit
     // hashing -> rows-only check; locality asserted in PipelineSpec).
@@ -506,7 +571,112 @@ object Pipeline {
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_word"),
           size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Repetition-based quality signals (Gopher-style): fraction of tokens
+    // taken by the single most frequent token, and the duplicate-bigram
+    // fraction. Expression-only, codegen, one pass — no shuffle beyond the
+    // final presentation sort.
+    QE("p16_repetition_quality", Some(s"""
+      WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+      bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok)
+      SELECT doc_id,
+             CAST(list_max(list_transform(list_distinct(ts),
+                    tk -> len(list_filter(ts, x -> x = tk)))) AS DOUBLE) / len(ts) AS top_token_frac,
+             1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_bigram_frac,
+             (CAST(list_max(list_transform(list_distinct(ts),
+                    tk -> len(list_filter(ts, x -> x = tk)))) AS DOUBLE) / len(ts) <= 0.20)
+               AND (1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) <= 0.40) AS keep
+      FROM bg ORDER BY doc_id"""),
+      (s, d) => {
+        val ts = toks(col("text"))
+        val bgs = wordNgrams(ts, 2)
+        val topFrac = (array_max(transform(array_distinct(ts),
+          tk => size(filter(ts, x => x === tk)))).cast(DoubleType) / size(ts))
+        val dupBg = lit(1.0) - size(array_distinct(bgs)).cast(DoubleType) / size(bgs)
+        t(s, d, "documents")
+          .select(col("doc_id"), topFrac.as("top_token_frac"), dupBg.as("dup_bigram_frac"),
+            (topFrac <= 0.20 && dupBg <= 0.40).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // Deterministic language-rebalancing sample: each language is sampled
+    // toward a fixed per-language target (40 docs) with a hash-threshold
+    // Bernoulli rule — keep iff hash(doc_id) < target/count. No window, no
+    // per-strata shuffle: the per-language counts are a tiny broadcast agg
+    // and the keep decision is a pure pushdown-able filter, so the operator
+    // is a single corpus scan at any scale (vs row_number ranking, which
+    // shuffles the full corpus by a low-cardinality key and dies on skew).
+    QE("p17_stratified_sample", Some("""
+      WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang
+      FROM documents d JOIN n USING (lang)
+      WHERE CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE)
+            < least(1.0, 40.0 / cnt) * 2147483647.0
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val hk = ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).cast(DoubleType)
+        docs.join(broadcast(counts), "lang")
+          .filter(hk < least(lit(1.0), lit(40.0) / col("cnt")) * lit(2147483647.0))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      }),
+
+    // Benchmark decontamination: drop training docs sharing any 8-token
+    // n-gram with the eval set (source = 'src0'), the standard eval-overlap
+    // rule for LLM training corpora. The eval side is tiny by construction
+    // -> its distinct n-grams broadcast; the corpus side explodes n-grams
+    // but carries only (doc_id, gram) into a broadcast semi-join, so there
+    // is no shuffle proportional to corpus size.
+    QE("p18_decontaminate", Some(s"""
+      WITH tok AS (SELECT doc_id, source, str_split(text, ' ') AS ts FROM documents),
+      bench AS (SELECT DISTINCT unnest(${oWordNgrams("ts", 8)}) AS g FROM tok WHERE source = 'src0'),
+      corpus AS (SELECT doc_id, unnest(${oWordNgrams("ts", 8)}) AS g FROM tok WHERE source <> 'src0'),
+      bad AS (SELECT DISTINCT doc_id FROM corpus JOIN bench USING (g))
+      SELECT doc_id FROM documents
+      WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val grams = docs.select(col("doc_id"), col("source"),
+          explode(wordNgrams(toks(col("text")), 8)).as("g"))
+        val bench = grams.filter(col("source") === "src0").select("g").distinct()
+        val bad = grams.filter(col("source") =!= "src0")
+          .join(broadcast(bench), "g")
+          .select("doc_id").distinct()
+        docs.filter(col("source") =!= "src0")
+          .join(bad, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // End-to-end near-dup purge: MinHash near-dup pairs (>= 0.8) -> connected
+    // components -> keep each cluster's min-doc_id representative plus every
+    // unclustered doc. The component step is iterative min-label propagation
+    // (rounds = cluster diameter; near-dup clusters are mutually-similar sets
+    // so diameter stays small at any corpus size); the oracle walks the same
+    // graph with a recursive CTE over the exact-Jaccard pairs.
+    QE("p19_neardup_purge", Some(s"""
+      WITH RECURSIVE ${jaccardPairsCte(0.8)},
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+                       UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+      lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      purge AS (SELECT id FROM lbl WHERE id <> lbl)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM purge)
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val comp = connectedComponents(minhashNearDupPairs(s, d, 0.8).select("da", "db"))
+        val purge = comp.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+        t(s, d, "documents")
+          .join(purge, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      }))
 }
 
 /** Typed MinHash/SimHash kernels used by the pipeline operators: one string

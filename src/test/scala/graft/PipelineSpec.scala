@@ -140,4 +140,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches === 0, "ascii text: byte length == char length")
     assert(out.filter(col("brightness") < 0 || col("brightness") > 1).count() === 0)
   }
+
+  test("near-dup purge keeps exactly one representative per near-dup cluster") {
+    val docs = Tables.df(spark, sf, "documents").select("doc_id")
+    val survivors = SparkEntry.queries("p19_neardup_purge")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = SparkEntry.queries("p03_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every pair lost at least one side; the one kept is the cluster min
+    pairs.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)), s"pair ($a,$b) both survived")
+    }
+    // survivors + purged partition the corpus
+    val total = docs.count()
+    val purged = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet -- survivors
+    assert(survivors.size + purged.size === total)
+  }
+
+  test("stratified sample is deterministic and rebalances languages") {
+    val s1 = SparkEntry.queries("p17_stratified_sample")(spark, sf).collect()
+    val s2 = SparkEntry.queries("p17_stratified_sample")(spark, sf).collect()
+    assert(s1.map(_.toString).toSeq === s2.map(_.toString).toSeq, "hash rule is deterministic")
+    val perLang = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // Bernoulli at rate target/cnt: expected 40 per lang, allow 3-sigma slack
+    perLang.foreach { case (l, n) =>
+      assert(n > 10 && n < 80, s"lang $l sampled $n docs, expected ~40")
+    }
+  }
+
+  test("decontaminate drops exactly the docs sharing an 8-gram with the eval set") {
+    val out = SparkEntry.queries("p18_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(' ').sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._2 == "src0").flatMap(d => grams(d._3)).toSet
+    docs.filter(_._2 != "src0").foreach { case (id, _, text) =>
+      val contaminated = grams(text).exists(bench)
+      assert(out(id) === !contaminated, s"doc $id contamination=$contaminated survived=${out(id)}")
+    }
+  }
 }
