@@ -44,6 +44,8 @@ final class Operation(val session: PgSession, val statement: String) {
       session.touch() // a just-finished statement resets the idle clock
       sc.setLocalProperty("spark.scheduler.pool", null)
       sc.clearJobGroup()
+      ServerStats.record(StmtEvent(session.pid, statement.take(200),
+        state.get().toString, startedAt, System.currentTimeMillis() - startedAt))
     }
   }
 

@@ -113,4 +113,13 @@ object SessionRegistry {
   }
 
   private[server] def activeCount: Int = sessions.size()
+
+  /** (pid, busy, ms since last activity) per live session, for the UI. */
+  private[server] def snapshot: Seq[(Int, Boolean, Long)] = {
+    val now = System.currentTimeMillis()
+    import scala.jdk.CollectionConverters._
+    sessions.values().asScala.toVector
+      .map(s => (s.pid, s.busy, now - s.lastActivity))
+      .sortBy(_._1)
+  }
 }

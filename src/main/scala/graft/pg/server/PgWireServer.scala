@@ -40,6 +40,10 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
   /** Bound port after start (use port=0 for an ephemeral port in tests). */
   @volatile var boundPort: Int = -1
 
+  private val webUi = config.uiPort.map(new GraftWebUi(_))
+  /** Bound UI port after start, -1 when the UI is disabled. */
+  def uiBoundPort: Int = webUi.map(_.boundPort).getOrElse(-1)
+
   /** Netty SSL context from the configured keystore (reference negotiates an
     * SslHandler the same way, protocol.scala:929-953).
     */
@@ -66,9 +70,11 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
     channel = b.bind(port).sync().channel()
     boundPort = channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
     reaper.foreach(_.start())
+    webUi.foreach(_.start())
   }
 
   def stop(): Unit = {
+    webUi.foreach(_.stop())
     reaper.foreach(_.stop())
     if (channel != null) channel.close().sync()
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
@@ -96,7 +102,9 @@ final case class PgServerConfig(
       * views and conf visible across connections); default multi-session
       * isolates via newSession() per connection
       */
-    singleSession: Boolean = false)
+    singleSession: Boolean = false,
+    /** monitoring web UI port (0 = ephemeral); None disables the UI */
+    uiPort: Option[Int] = None)
 
 object PgServerConfig {
   /** Launcher-side construction from `spark.graft.server.*` confs. */
@@ -125,7 +133,8 @@ object PgServerConfig {
         opt("spark.graft.server.ssl.keyStorePassword").getOrElse(""),
       authenticator = auth,
       singleSession =
-        spark.conf.get("spark.graft.server.sessionMode", "multi") == "single")
+        spark.conf.get("spark.graft.server.sessionMode", "multi") == "single",
+      uiPort = opt("spark.graft.server.ui.port").map(_.toInt))
   }
 }
 
