@@ -19,10 +19,12 @@ object SparkEntry {
       graft.queries.SetsSorts.entries ++
       graft.queries.Subqueries.entries ++
       graft.queries.Extras.entries ++
-      graft.queries.TpchShapes.entries
+      graft.queries.TpchShapes.entries ++
+      graft.queries.Temporal.entries
 
   private def queries_pipeline: Seq[QE] =
     graft.queries.Pipeline.entries ++
+      graft.queries.Scrub.entries ++
       graft.queries.PgDialectQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

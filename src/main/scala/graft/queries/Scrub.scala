@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators beyond the reference's surface:
+  * PII / blocklist scrubbing and fixed-budget sequence packing — both
+  * expression-only single-pass transforms (codegen'd, no shuffle beyond the
+  * final aggregation), so they stream through a 100 TB corpus at scan speed.
+  */
+object Scrub {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** One alternation scanned once per document: blocklisted terms that occur
+    * in this corpus, plus email and IPv4 shapes (standard PII scrub targets;
+    * the regex dialect is the RE2-compatible subset so Spark's Java engine
+    * and the oracle agree). Non-capturing groups keep extract-all at match 0.
+    */
+  private val ScrubPattern =
+    "\\b(?:customer|supplier)\\b" +
+      "|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+      "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Pack budget in whitespace tokens: documents are concatenated in doc_id
+    * order within their source shard and split at budget boundaries — the
+    * standard concat-then-chunk LLM pretraining packing. Packing per source
+    * shard (not globally) is the scale choice: no global sort, one window
+    * pass per shard partition.
+    */
+  private val PackTokens = 512L
+
+  val entries: Seq[QE] = Seq(
+    QE("p20_pii_scrub", Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT) AS n_redactions,
+             md5(regexp_replace(text, '$ScrubPattern', '[REDACTED]', 'g')) AS clean_md5,
+             CAST(length(regexp_replace(text, '$ScrubPattern', '[REDACTED]', 'g')) AS BIGINT)
+               AS clean_chars
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val clean = regexp_replace(col("text"), ScrubPattern, "[REDACTED]")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+            .cast("long").as("n_redactions"),
+          md5(clean).as("clean_md5"),
+          length(clean).cast("long").as("clean_chars"))
+          .orderBy("doc_id")
+      }),
+
+    QE("p21_seq_packing", Some(s"""
+      WITH toks AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+      c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+            FROM toks)
+      SELECT source, CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY source, pack_id
+      ORDER BY source, pack_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / lit(PackTokens)))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "pack_id")
+      }))
+}

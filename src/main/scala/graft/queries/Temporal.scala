@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators the reference cannot express as single relational
+  * queries (its engine has no as-of join, session windows, or range joins —
+  * SURVEY.md §2B): each is rebuilt here as a composition of idiomatic Spark
+  * primitives chosen for the 100 TB case, with an ANSI-SQL oracle.
+  *
+  * Scale notes, per operator:
+  *  - as-of join: the textbook scalable formulation — union the two tagged
+  *    streams, one hash-partitioned window pass per key. No per-row probe,
+  *    no range explosion; cost is one shuffle on the join key.
+  *  - sessionization: Spark's native `session_window` (gap merge inside the
+  *    aggregation operator, map-side partial merge; state bounded per key).
+  *  - range join (no equi key): time-bucketed binning — each probe row
+  *    expands to the 3 covering buckets, the build side keeps its own
+  *    bucket, and the join becomes an equi-join on bucket with an exact
+  *    residual filter. Candidate mass stays linear in events-per-window
+  *    instead of the quadratic cartesian a naive theta join plans.
+  */
+object Temporal {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** ±5 minutes, in microseconds (events.ts is µs-normalized by Tables). */
+  private val RangeUs = 300000000L
+
+  val entries: Seq[QE] = Seq(
+    // As-of join: for every 'view' event, the timestamp of the same user's
+    // most recent 'purchase' at or before it. One window pass over the
+    // union, ordered so that an equal-timestamp purchase sorts before the
+    // view that observes it (oracle semantics: p.ts <= e.ts).
+    QE("q96_asof_join", Some("""
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             (SELECT CAST(max(p.ts) AS TIMESTAMP) FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts <= e.ts) AS last_purchase_ts
+      FROM events e WHERE e.event_type = 'view'
+      ORDER BY e.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val isP = (col("event_type") === "purchase").cast("int")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, isP.desc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_purchase_ts",
+            last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "last_purchase_ts")
+          .orderBy("event_id")
+      }),
+
+    // Gap-based sessionization: per-user activity sessions with a 6-hour
+    // inactivity gap, via the native session_window aggregation. The oracle
+    // rebuilds the same islands with lag + running-sum window SQL.
+    QE("q97_sessionize", Some("""
+      WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+            FROM o),
+      g AS (SELECT user_id, ts, value,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, first_ts"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+          .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+            count(lit(1)).as("n_events"), Q.dsum(col("value")).as("total_value"))
+          .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
+          .orderBy("user_id", "first_ts")),
+
+    // Pure range join (no equi key): for each 'error' event, how many
+    // 'click' events (any user) fall within ±5 minutes. Bucketing turns it
+    // into an equi-join on the 5-minute bin: the error side expands to its 3
+    // covering bins, each click stays in its own bin, so every true pair
+    // meets in exactly one bin and the residual |Δt| filter is exact.
+    QE("q98_range_join", Some("""
+      SELECT e.event_id,
+             (SELECT COUNT(*) FROM events c
+               WHERE c.event_type = 'click'
+                 AND ABS(epoch_us(CAST(c.ts AS TIMESTAMP))
+                         - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 300000000) AS n_nearby_clicks
+      FROM events e WHERE e.event_type = 'error'
+      ORDER BY e.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("eus"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), unix_micros(col("ts")).as("cus"))
+          .withColumn("bin", floor(col("cus") / RangeUs))
+        val b = floor(col("eus") / RangeUs)
+        errs.withColumn("bin", explode(array(b - 1, b, b + 1)))
+          .join(clicks, Seq("bin"), "left")
+          .groupBy("event_id")
+          .agg(count(when(abs(col("cus") - col("eus")) <= RangeUs, col("cid")))
+            .as("n_nearby_clicks"))
+          .orderBy("event_id")
+      }))
+}
