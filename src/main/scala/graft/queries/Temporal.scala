@@ -110,5 +110,26 @@ object Temporal {
           .agg(count(when(abs(col("cus") - col("eus")) <= RangeUs, col("cid")))
             .as("n_nearby_clicks"))
           .orderBy("event_id")
-      }))
+      }),
+
+    // The same sessions computed as a STREAM (session_window merging state,
+    // append mode, watermark-evicted): value-checked against the identical
+    // islands oracle as q97, so the streaming path is oracle-exact too.
+    QE("q99_stream_sessionize", Some("""
+      WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+            FROM o),
+      g AS (SELECT user_id, ts, value,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, first_ts"""),
+      (s, d) => graft.streaming.EventStream.sessionizedCounts(s, d)))
 }

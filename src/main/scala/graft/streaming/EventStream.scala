@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
 /** Structured Streaming over the events table: the reference has no
   * streaming at all (SURVEY.md §2B "Streaming: none"), so this is net-new
   * capability mapped to the idiomatic Spark constructs — readStream file
-  * source, event-time watermark, tumbling window aggregation, memory sink.
+  * source, event-time watermark, tumbling-window and session-window
+  * aggregation, memory sink.
   *
-  * Scale posture: APPEND output mode, so the windowed aggregation's keyed
-  * state really is bounded by the watermark — each window's state is emitted
-  * and evicted once the watermark passes its end, and each result row is
-  * written exactly once (complete mode would re-emit the whole result and
-  * retain all window state forever). Partial aggregation happens map-side
-  * before the state-store shuffle.
+  * Scale posture: APPEND output mode, so the aggregations' keyed state
+  * really is bounded by the watermark — each window's (or session's) state
+  * is emitted and evicted once the watermark passes its end, and each
+  * result row is written exactly once (complete mode would re-emit the
+  * whole result and retain all state forever). Partial aggregation happens
+  * map-side before the state-store shuffle.
   */
 object EventStream {
 
@@ -34,13 +35,38 @@ object EventStream {
   private val FlushTsNanos = 4102444800000000000L
   private val FlushType = "__flush__"
 
-  /** Run the stream over the static events parquet until all available data
-    * is processed, then return the result table. Every real row arrives
-    * before the sentinel-driven watermark passes its window, so the appended
-    * result equals the batch aggregation — which is exactly what the DuckDB
-    * oracle checks.
+  /** Tumbling-window counts: 1-hour windows per event_type. */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+    }.orderBy("win_start", "event_type")
+
+  /** Gap-based sessionization as a STREAM: the same 6-hour-gap sessions as
+    * the batch operator (q97), via `session_window` merging state. In
+    * append mode a session row is emitted exactly once — when the watermark
+    * passes its end (last event + gap) — so state per user is bounded by
+    * the watermark at any corpus size.
     */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      src.groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+        .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
+    }.orderBy("user_id", "first_ts")
+
+  /** Run a watermarked stream over the static events parquet plus the flush
+    * sentinel until all data is processed, then return the sink table.
+    * Every real row arrives before the sentinel-driven watermark passes its
+    * window, so the appended result equals the batch aggregation — which is
+    * exactly what the DuckDB oracles check.
+    */
+  private def runStaged(spark: SparkSession, sfDir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
     // the file stores ts as TIMESTAMP(NANOS); stream-read it as raw longs
     // (Tables.df sets the legacy conf) and normalize like the batch path
     val normalized = Tables.df(spark, sfDir, "events").schema
@@ -65,7 +91,7 @@ object EventStream {
       .findFirst().get()
     Files.move(part, dir.resolve("sentinel.parquet"))
 
-    val stream = spark.readStream
+    val stream = agg(spark.readStream
       .schema(rawSchema)
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -75,11 +101,7 @@ object EventStream {
       // Catalyst pushes non-event-time predicates BELOW the watermark node
       // (which would drop the sentinel before it advances the watermark),
       // but never predicates referencing the watermark attribute itself.
-      .filter(col("ts") < timestamp_micros(lit(FlushTsNanos / 1000)))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
-      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+      .filter(col("ts") < timestamp_micros(lit(FlushTsNanos / 1000))))
 
     val q = stream.writeStream
       .format("memory")
@@ -97,6 +119,6 @@ object EventStream {
         Files.deleteIfExists(d)
       }
     }
-    spark.table(sink).orderBy("win_start", "event_type")
+    spark.table(sink)
   }
 }

@@ -45,7 +45,8 @@ class QueriesSmokeSuite extends AnyFunSuite {
   }
 
   test("scale guards: no crossJoin/collect in pipeline operator plans") {
-    for (name <- Seq("p03_minhash_neardup", "p05_ngram_jaccard", "p07_ann_lsh")) {
+    for (name <- Seq("p03_minhash_neardup", "p05_ngram_jaccard", "p07_ann_lsh",
+        "q96_asof_join", "q98_range_join", "p21_seq_packing")) {
       val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("Cartesian"), s"$name must not plan a cartesian product")

@@ -27,4 +27,14 @@ class StreamingSuite extends AnyFunSuite {
       s"append mode must emit every window exactly once (got ${streamed.size}, want ${batch.size})")
     assert(streamed === batch)
   }
+
+  test("append-mode session stream equals the batch session_window result") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.sessionizedCounts(s, TestSpark.sfDir).collect().toSeq
+    val batch = SparkEntry.queries("q97_sessionize")(s, TestSpark.sfDir).collect().toSeq
+    assert(streamed.size === batch.size,
+      s"session stream must emit every session exactly once (got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
 }
