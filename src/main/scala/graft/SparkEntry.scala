@@ -25,6 +25,7 @@ object SparkEntry {
   private def queries_pipeline: Seq[QE] =
     graft.queries.Pipeline.entries ++
       graft.queries.Scrub.entries ++
+      graft.queries.IvfAnn.entries ++
       graft.queries.PgDialectQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -122,5 +122,81 @@ object TpchShapes {
           .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(50)
+      }),
+
+    // Q5 shape: local supplier volume — 6-table join where every dimension
+    // (region -> nation -> supplier) broadcasts and the only fact-fact
+    // shuffle is orders-lineitem on the order key. The s_nationkey =
+    // c_nationkey co-location predicate rides the supplier broadcast join
+    // as a residual, so it costs nothing extra.
+    QE("q104_tpch_q5", Some(s"""
+      SELECT n_name, ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      (s, d) => {
+        val nations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    // Q21 shape: suppliers who were the sole late shipper in multi-supplier
+    // orders — the classic EXISTS + NOT EXISTS double correlation. Left to
+    // Catalyst on purpose (the decorrelation into two aggregated semi/anti
+    // joins IS the thing this entry exercises); lateness adapted to the
+    // driver schema (no receipt/commit dates) as shipping >60 days after
+    // the order date.
+    QE("q105_tpch_q21", Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT s_name, COUNT(*) AS numwait
+          FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
       }))
 }

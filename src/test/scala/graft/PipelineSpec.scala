@@ -50,6 +50,21 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall vs brute force too low: $hits/${brute.size}")
   }
 
+  test("IVF ANN: deterministic, reranked, recall vs brute force") {
+    val brute = SparkEntry.queries("p06_ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = SparkEntry.queries("p22_ann_ivf")(spark, sf).collect()
+    val ivf2 = SparkEntry.queries("p22_ann_ivf")(spark, sf).collect()
+    assert(ivf1.map(_.toString).toSeq === ivf2.map(_.toString).toSeq, "must be deterministic")
+    ivf1.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse, "per-query cosine must be reranked")
+    }
+    val hits = ivf1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"IVF recall vs brute force too low: $hits/${brute.size}")
+  }
+
   test("embedding near-dup: LSH candidates reach full recall at a permissive threshold") {
     // brute-force pairs at cos >= 0.4 on real data (some exist, none >= 0.9)
     val e = Tables.df(spark, sf, "embeddings")
