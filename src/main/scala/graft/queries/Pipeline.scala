@@ -261,6 +261,17 @@ object Pipeline {
     s"list_transform(generate_series(1, len($ts)-${n - 1}), i -> $parts)"
   }
 
+  /** word n-grams as 64-bit hashes over an ALREADY-hashed token array (one
+    * n-ary xxhash64 per gram) — never materializes the joined string. The
+    * caller must bind the token-hash array to a real column first: passing
+    * the `transform(ts, xxhash64)` expression here would re-inline (and
+    * re-evaluate) the whole array at every element_at reference.
+    */
+  private def wordNgramHashes(th: Column, n: Int): Column =
+    when(size(th) < n, array().cast(ArrayType(LongType)))
+      .otherwise(transform(sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(th, i + k)): _*)))
+
   private val stop = Seq("the", "a")
   // Arbitrary-but-fixed per-language marker words for the stopword-ratio
   // heuristic (the synthetic corpus shares one vocabulary, so the mechanics —
@@ -575,8 +586,11 @@ object Pipeline {
 
     // Repetition-based quality signals (Gopher-style): fraction of tokens
     // taken by the single most frequent token, and the duplicate-bigram
-    // fraction. Expression-only, codegen, one pass — no shuffle beyond the
-    // final presentation sort.
+    // fraction. Computed explode-then-aggregate: per-token counts are a
+    // partial-agg'd groupBy, NOT a per-row lambda over the distinct set —
+    // the lambda form is O(tokens x distinct) per document, which measured
+    // 11s at sf0.1 and would be quadratic-per-row on real 100k-token
+    // documents; the explode form is linear and distributes.
     QE("p16_repetition_quality", Some(s"""
       WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
       bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok)
@@ -591,10 +605,19 @@ object Pipeline {
       (s, d) => {
         val ts = toks(col("text"))
         val bgs = wordNgrams(ts, 2)
-        val topFrac = (array_max(transform(array_distinct(ts),
-          tk => size(filter(ts, x => x === tk)))).cast(DoubleType) / size(ts))
-        val dupBg = lit(1.0) - size(array_distinct(bgs)).cast(DoubleType) / size(bgs)
-        t(s, d, "documents")
+        // top token count: explode -> (doc, token) counts -> per-doc max
+        val topCnt = t(s, d, "documents")
+          .select(col("doc_id"), size(ts).as("nt"), explode(ts).as("tk"))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"), first(col("nt")).as("nt"))
+          .groupBy("doc_id").agg(max(col("c")).as("topc"), first(col("nt")).as("nt"))
+        // bigram distinct/total: explode -> (doc, bigram) counts -> per-doc
+        val bgCnt = t(s, d, "documents")
+          .select(col("doc_id"), explode(bgs).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(count(lit(1)).as("nbd"), sum(col("c")).as("nb"))
+        val topFrac = col("topc").cast(DoubleType) / col("nt")
+        val dupBg = lit(1.0) - col("nbd").cast(DoubleType) / col("nb")
+        topCnt.join(bgCnt, "doc_id")
           .select(col("doc_id"), topFrac.as("top_token_frac"), dupBg.as("dup_bigram_frac"),
             (topFrac <= 0.20 && dupBg <= 0.40).as("keep"))
           .orderBy("doc_id")
@@ -640,8 +663,15 @@ object Pipeline {
       ORDER BY doc_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
+        // join on a 64-bit rolling hash of the n-gram, not the ~50-char
+        // string: tokens are hashed once and grams combined arithmetically,
+        // so the explode, the broadcast set, and the probe-side shuffle all
+        // carry longs. The false-positive budget (~n_grams^2 / 2^64) is
+        // vanishingly small at any corpus size where this runs.
         val grams = docs.select(col("doc_id"), col("source"),
-          explode(wordNgrams(toks(col("text")), 8)).as("g"))
+            transform(toks(col("text")), t => xxhash64(t)).as("th"))
+          .select(col("doc_id"), col("source"),
+            explode(wordNgramHashes(col("th"), 8)).as("g"))
         val bench = grams.filter(col("source") === "src0").select("g").distinct()
         val bad = grams.filter(col("source") =!= "src0")
           .join(broadcast(bench), "g")
