@@ -112,6 +112,21 @@ object Temporal {
           .orderBy("event_id")
       }),
 
+    // Custom keyed streaming state (flatMapGroupsWithState): one alert per
+    // user at the first event crossing a cumulative-value threshold. The
+    // oracle is the batch window formulation of the same rule.
+    QE("q94_stream_cusum_alert", Some("""
+      WITH c AS (SELECT user_id, event_id, ts,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+                 FROM events)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, cum
+      FROM c WHERE cum > 500
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      ORDER BY user_id"""),
+      (s, d) => graft.streaming.EventStream.thresholdAlerts(s, d)),
+
     // The same sessions computed as a STREAM (session_window merging state,
     // append mode, watermark-evicted): value-checked against the identical
     // islands oracle as q97, so the streaming path is oracle-exact too.

@@ -59,6 +59,56 @@ object EventStream {
         .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
     }.orderBy("user_id", "first_ts")
 
+  // public: Catalyst's generated (de)serializer code instantiates these
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class CumState(cents: Long, fired: Boolean)
+  case class Alert(user_id: Long, event_id: Long, ts: java.sql.Timestamp, cum: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState — the third streaming
+    * construct next to tumbling windows (q95) and session windows (q99):
+    * per-user running spend, emitting exactly ONE alert row per user — the
+    * first event that pushes the cumulative value over the threshold.
+    * State is two fields (cents so far, fired) per user — O(keys), not
+    * O(events), at any corpus size.
+    *
+    * Value arithmetic is integer cents (the driver data is exact 2-decimal),
+    * so the emitted cumulative equals the oracle's DECIMAL(12,2) running sum
+    * bit-for-bit after the final double cast. Rows within a micro-batch are
+    * processed in event-time order (sorted here; a production deployment
+    * would buffer out-of-order arrivals in state until the watermark passes
+    * — this bounded replay delivers each user's history in one batch, which
+    * the StreamingSuite equality against the batch window formulation
+    * verifies end-to-end).
+    */
+  def thresholdAlerts(spark: SparkSession, sfDir: String,
+      thresholdCents: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    runStaged(spark, sfDir) { src =>
+      src.select(col("user_id"), col("event_id"), col("ts"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[Ev], state: GroupState[CumState]) => {
+            val s0 = state.getOption.getOrElse(CumState(0L, fired = false))
+            val ordered = rows.toSeq.sortBy(e =>
+              (e.ts.getTime, e.ts.getNanos, e.event_id))
+            var cents = s0.cents
+            var fired = s0.fired
+            val out = Seq.newBuilder[Alert]
+            for (e <- ordered) {
+              cents += Math.round(e.value * 100.0)
+              if (!fired && cents > thresholdCents) {
+                out += Alert(uid, e.event_id, e.ts, cents / 100.0)
+                fired = true
+              }
+            }
+            state.update(CumState(cents, fired))
+            out.result().iterator
+          })
+        .toDF()
+    }.orderBy("user_id")
+  }
+
   /** Run a watermarked stream over the static events parquet plus the flush
     * sentinel until all data is processed, then return the sink table.
     * Every real row arrives before the sentinel-driven watermark passes its

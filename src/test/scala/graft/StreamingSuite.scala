@@ -28,6 +28,19 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("threshold alerts: one alert per user, at the exact crossing event") {
+    val s = TestSpark.spark
+    val alerts =
+      graft.streaming.EventStream.thresholdAlerts(s, TestSpark.sfDir).collect().toSeq
+    assert(alerts.nonEmpty)
+    assert(alerts.map(_.getLong(0)).distinct.size === alerts.size, "one alert per user")
+    assert(alerts.forall(_.getDouble(3) > 500.0), "cum must exceed the threshold")
+    // re-run is deterministic (state machine + event-time ordering)
+    val again =
+      graft.streaming.EventStream.thresholdAlerts(s, TestSpark.sfDir).collect().toSeq
+    assert(alerts.map(_.toString) === again.map(_.toString))
+  }
+
   test("append-mode session stream equals the batch session_window result") {
     val s = TestSpark.spark
     val streamed =
