@@ -52,4 +52,23 @@ class QueriesSmokeSuite extends AnyFunSuite {
       assert(!plan.contains("Cartesian"), s"$name must not plan a cartesian product")
     }
   }
+
+  test("workload-shape plans: dims broadcast, top-k stays TakeOrdered") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // Q3/Q10/Q18: a LIMIT over ORDER BY must plan as TakeOrderedAndProject
+    // (per-partition top-k + driver merge), never a global sort
+    for (n <- Seq("q100_tpch_q3", "q102_tpch_q10", "q103_tpch_q18"))
+      assert(plan(n).contains("TakeOrderedAndProject"), s"$n must plan top-k")
+    // Q5: every dimension rides a broadcast join; the only sort-merge or
+    // shuffled-hash join allowed is the orders-lineitem fact join
+    val q5 = plan("q104_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(q5).size >= 4,
+      s"q104 dims must broadcast:\n$q5")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoop"))
+    // the bucketed range join stays an equi-join on the time bin
+    val q98 = plan("q98_range_join")
+    assert(!q98.contains("BroadcastNestedLoop") && !q98.contains("CartesianProduct"),
+      s"q98 must bucket into an equi-join:\n$q98")
+  }
 }
