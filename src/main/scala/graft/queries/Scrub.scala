@@ -5,6 +5,7 @@ import graft.{QE, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Training-corpus preparation operators beyond the reference's surface:
   * PII / blocklist scrubbing and fixed-budget sequence packing — both
@@ -75,5 +76,38 @@ object Scrub {
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
           .orderBy("source", "pack_id")
+      }),
+
+    // Symmetric int8 quantization of the embedding column (the standard 4x
+    // storage cut for vector stores): per-vector max-abs scale, codes
+    // round(x/scale) in [-127,127] by construction, plus the exact L2
+    // reconstruction error. Expression-only single pass; the scale is bound
+    // to a real column before the element lambda references it (an inline
+    // expression would re-evaluate the array_max per element). The error
+    // fold starts at 0.0, and 0.0 + x is exact in IEEE, so Spark's
+    // zero-seeded fold and DuckDB's seedless list_reduce agree bit-for-bit
+    // (same trick as the p06 dot product).
+    QE("p23_embed_quantize", Some("""
+      WITH s AS (SELECT vec_id,
+                   list_max(list_transform(embedding,
+                     v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale,
+                   embedding
+                 FROM embeddings)
+      SELECT vec_id, scale,
+             list_reduce(list_transform(embedding,
+               v -> pow(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / scale) * scale, 2)),
+               (a, b) -> a + b) AS q_err
+      FROM s ORDER BY vec_id"""),
+      (s, d) => {
+        val x = col("embedding")
+        val scale = array_max(transform(x, v => abs(v.cast(DoubleType)))) / 127.0
+        t(s, d, "embeddings")
+          .select(col("vec_id"), scale.as("scale"), x)
+          .select(col("vec_id"), col("scale"),
+            aggregate(
+              transform(x, v =>
+                pow(v.cast(DoubleType) - round(v.cast(DoubleType) / col("scale")) * col("scale"), 2)),
+              lit(0.0), (a, b) => a + b).as("q_err"))
+          .orderBy("vec_id")
       }))
 }
