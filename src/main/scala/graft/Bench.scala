@@ -5,11 +5,29 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully
   * materialized through the `noop` sink — `.count()` would let Catalyst
   * prune all columns and under-measure projection-type queries.
+  *
+  * Self-defense (round-4 lesson: BENCH_r04.json was rc:124 with nothing
+  * parseable): the result line is re-emitted CUMULATIVELY after every
+  * timed query, so a timeout/kill at any point still leaves the driver a
+  * parseable line covering everything measured so far; the last line wins
+  * and carries "partial":false only when the full suite completed.
   */
 object Bench {
+  /** Streaming entries pay a fixed state-store/checkpoint setup cost per
+    * run that dwarfs their data work at bench SF; min-of-two is meaningless
+    * for fixed-cost entries, so they are timed once (pass 1 only).
+    */
+  private val StreamingEntries =
+    Set("q94_stream_cusum_alert", "q95_stream_window", "q99_stream_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // wall-clock budget for the optional second pass: once exceeded, the
+    // remaining pass-2 queries keep their pass-1 numbers and the bench still
+    // emits a complete line — a degraded host window can no longer turn the
+    // whole round's perf artifact into rc:124 silence
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,6 +42,8 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // one untimed warmup so per-query numbers reflect steady state rather
     // than first-query JIT/codegen/session costs (the reference benchmark
     // likewise warms up via 5 timed iterations, TPCDSQueryBenchmark.scala:196-200).
@@ -35,32 +55,57 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // Two timed passes over the whole suite, report each query's min — the
-    // reference's own benchmark harness runs 5 iterations and reports the
-    // best (TPCDSQueryBenchmark.scala:196-200). Two full passes (rather
-    // than back-to-back per-query iterations) because the noise being
-    // defended against is time-correlated: this VM intermittently stalls
-    // codegen compilation for a 1-2 minute burst (thread dumps show Janino
-    // RUNNABLE but ~50x slow; heap/GC/JIT-code-cache all ruled out), so
-    // consecutive iterations of one query both land in the burst, while
-    // the same query in a separated pass runs clean.
     def timeOne(q: QE): Double = {
-      val t0 = System.nanoTime()
+      val s0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - s0) / 1e9
       // free per-query persisted stages so queries don't interfere
       spark.catalog.clearCache()
       secs
     }
-    val pass1 = SparkEntry.all.map(q => q.name -> timeOne(q)).toMap
-    val results = SparkEntry.all.map(q => q.name -> math.min(pass1(q.name), timeOne(q)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
+      val qs = best.synchronized {
+        best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      }
+      val total = best.synchronized { if (best.nonEmpty) best.values.sum else 0.0 }
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}""")
+      System.out.flush()
+    }
+    // the driver kills an over-time bench with SIGTERM (rc 124) — the JVM
+    // still runs shutdown hooks, so everything measured so far reaches
+    // stdout as the one result line, flagged "partial":true. stdout stays
+    // single-line in every outcome (the round-4 artifact was unparseable
+    // precisely because the only println sat after the full suite).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
+    // Pass 1: every entry once; per-query progress to stderr (the driver
+    // keeps a stderr tail, so a hard kill still shows where time went).
+    SparkEntry.all.foreach { q =>
+      val t = timeOne(q)
+      best.synchronized { best(q.name) = t }
+      System.err.println(f"[bench] ${q.name} ${t}%.2fs")
+    }
+    // Pass 2 (budget-bounded), report per-query min — the reference's own
+    // harness runs 5 iterations and reports the best
+    // (TPCDSQueryBenchmark.scala:196-200). Two separated passes (rather
+    // than back-to-back per-query iterations) because the noise defended
+    // against is time-correlated: this VM intermittently stalls codegen
+    // compilation for 1-2 minute bursts (thread dumps show Janino RUNNABLE
+    // but ~50x slow), so consecutive iterations both land in the burst
+    // while the same query in a separated pass runs clean. Streaming
+    // entries skip pass 2: their time is fixed setup cost, not noise.
+    SparkEntry.all.foreach { q =>
+      if (!StreamingEntries.contains(q.name) && elapsed < budgetSecs) {
+        val t = timeOne(q)
+        best.synchronized { best(q.name) = math.min(best(q.name), t) }
+        System.err.println(f"[bench] ${q.name} pass2 ${t}%.2fs")
+      }
+    }
+    emit(partial = false)
     spark.stop()
   }
 }

@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.Subqueries.entries ++
       graft.queries.Extras.entries ++
       graft.queries.TpchShapes.entries ++
+      graft.queries.DsShapes.entries ++
       graft.queries.Temporal.entries
 
   private def queries_pipeline: Seq[QE] =

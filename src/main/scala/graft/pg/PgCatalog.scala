@@ -46,6 +46,30 @@ object PgCatalog {
   val defaultNamespace = "spark"
   val userRoleOid = 10
 
+  /** Fastpath-callable functions (FunctionCall 'F' → FunctionCallResponse):
+    * (oid, proname, arg type oids, result type oid). OIDs sit in PG's user
+    * range (≥16384); clients discover them by name from pg_proc — the same
+    * lookup libpq's large-object fastpath setup performs. The reference
+    * decodes the 'F' message but then throws "Not supported yet"
+    * (protocol.scala:506-533); here the call executes for real against the
+    * session's function registry, so these rows also seed pg_proc (which
+    * doubles as real `\df` output).
+    */
+  val fastpathFunctions: Seq[(Int, String, Seq[Int], Int)] = Seq(
+    (16384, "current_schema", Nil, 1043),
+    (16385, "pg_backend_pid", Nil, 23),
+    (16386, "pg_encoding_to_char", Seq(23), 1043),
+    (16387, "pg_get_userbyid", Seq(23), 1043),
+    (16388, "format_type", Seq(23, 23), 1043),
+    (16389, "pg_table_is_visible", Seq(23), 16),
+    (16390, "graft_stat", Seq(1043), 20),
+    (16391, "upper", Seq(1043), 1043),
+    (16392, "length", Seq(1043), 23),
+    (16393, "version", Nil, 1043))
+
+  def fastpathByOid(oid: Int): Option[(String, Seq[Int], Int)] =
+    fastpathFunctions.find(_._1 == oid).map(f => (f._2, f._3, f._4))
+
   def typeNameOf(oid: Int): String =
     pgTypes.find(_._1 == oid).map(_._2).getOrElse("unknown")
 
@@ -102,12 +126,15 @@ object PgCatalog {
     emptyView(spark, "pg_collation", "oid INT, collname STRING")
     // access methods: \dt on PG>=12 LEFT JOINs this (rows survive, am null)
     emptyView(spark, "pg_am", "oid INT, amname STRING")
-    emptyView(spark, "pg_proc",
-      "oid INT, proname STRING, prorettype INT, proargtypes ARRAY<INT>, " +
-        "pronamespace INT, proisagg BOOLEAN, proiswindow BOOLEAN, proretset BOOLEAN, " +
-        // prokind replaced proisagg/proiswindow in PG 11; \df on new
-        // announced versions reads it
-        "prokind STRING")
+    // seeded (not empty) since round 5: the fastpath registry is the source
+    // of truth, so FunctionCall clients can resolve OIDs by name and \df
+    // shows real rows. prokind replaced proisagg/proiswindow in PG 11; \df
+    // on new announced versions reads it.
+    fastpathFunctions.map { case (oid, name, argOids, retOid) =>
+      (oid, name, retOid, argOids, defaultNamespaceOid, false, false, false, "f")
+    }.toDF("oid", "proname", "prorettype", "proargtypes", "pronamespace",
+      "proisagg", "proiswindow", "proretset", "prokind")
+      .createOrReplaceTempView("pg_proc")
 
     // Runtime tables, populated from the live catalog so psql \d works:
     // pg_class with the reference's full 21-column schema

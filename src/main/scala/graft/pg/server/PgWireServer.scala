@@ -19,9 +19,10 @@ import io.netty.handler.codec.ByteToMessageDecoder
 import io.netty.handler.ssl.{SslContext, SslContextBuilder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.Internals
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{NullType, StringType, StructType}
 
 /** PostgreSQL V3 wire-protocol server over Spark SQL: the reference's
   * raison d'être (protocol.scala:59-65), rebuilt on public Spark 4 APIs.
@@ -453,7 +454,77 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       val reason = try readCStr(in) catch { case _: RuntimeException => "" }
       errorResponse(out, s"COPY aborted by client: $reason", "57014")
       readyForQuery(out)
-    case other => throw new IllegalArgumentException(s"Unsupported message type: $other")
+    case 'F' => functionCall(in, out)
+    case other =>
+      // a PG ErrorResponse + ReadyForQuery rather than an exception: an
+      // unknown type from a confused or hostile client must not wedge the
+      // connection — it gets a protocol error and can continue
+      ServerStats.statementsFailed.incrementAndGet()
+      errorResponse(out, s"unsupported frontend message type: '$other'", "08P01")
+      readyForQuery(out)
+  }
+
+  /** 'F' fastpath FunctionCall → 'V' FunctionCallResponse + ReadyForQuery
+    * (a fastpath cycle ends with ReadyForQuery per the PG protocol). The
+    * reference decodes this message then throws "Not supported yet"
+    * (protocol.scala:506-533); here the OID resolves through the pg_proc
+    * fastpath registry and the call executes against the session's function
+    * registry. Errors answer ErrorResponse + ReadyForQuery — the connection
+    * survives either way.
+    */
+  private def functionCall(in: ByteBuffer, out: ByteBuf): Unit = {
+    try {
+      val objId = in.getInt
+      val nFmts = in.getShort.toInt
+      val fmts = Array.fill(nFmts)(in.getShort.toInt)
+      val nParams = in.getShort.toInt
+      val params = Array.fill[Array[Byte]](nParams) {
+        val len = in.getInt
+        if (len < 0) null
+        else { val b = new Array[Byte](len); in.get(b); b }
+      }
+      val resultFormat = in.getShort.toInt
+      val (fname, argOids, _) = PgCatalog.fastpathByOid(objId).getOrElse(
+        throw new IllegalArgumentException(
+          s"fastpath function with OID $objId does not exist"))
+      if (nParams != argOids.length) {
+        throw new IllegalArgumentException(
+          s"fastpath function $fname expects ${argOids.length} arguments, got $nParams")
+      }
+      val lits = params.zip(argOids).zipWithIndex.map { case ((p, oid), i) =>
+        if (p == null) Literal(null, NullType)
+        else ParamCodec.decode(p, oid,
+          // 0 format codes = all text; 1 = that code for all; else per-arg
+          if (nFmts == 0) 0 else if (nFmts == 1) fmts(0) else fmts(i))
+      }
+      ServerStats.statementsRun.incrementAndGet()
+      val df = withOperation(s"fastpath $fname") {
+        session.spark.sql(s"SELECT $fname(${lits.map(_.sql).mkString(", ")})")
+      }
+      val row = Internals.executeCollect(df).head
+      if (row.isNullAt(0)) functionCallResponse(out, None)
+      else {
+        val fw = RowCodec.fieldWriter(df.schema.head.dataType, 0,
+          binary = resultFormat == 1, sessionZone)
+        val bb = ByteBuffer.allocate(1 << 16)
+        fw(row, bb)
+        bb.flip()
+        val len = bb.getInt
+        val bytes = new Array[Byte](len)
+        bb.get(bytes)
+        functionCallResponse(out, Some(bytes))
+      }
+      readyForQuery(out)
+    } catch {
+      case NonFatal(e) =>
+        ServerStats.statementsFailed.incrementAndGet()
+        val state = e match {
+          case _: IllegalArgumentException => "42883" // undefined_function
+          case _ => "XX000"
+        }
+        errorResponse(out, Option(e.getMessage).getOrElse(e.toString), state)
+        readyForQuery(out)
+    }
   }
 
   private def readCStr(b: ByteBuffer): String = {

@@ -593,15 +593,16 @@ object Pipeline {
     // documents; the explode form is linear and distributes.
     QE("p16_repetition_quality", Some(s"""
       WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
-      bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok)
-      SELECT doc_id,
-             CAST(list_max(list_transform(list_distinct(ts),
-                    tk -> len(list_filter(ts, x -> x = tk)))) AS DOUBLE) / len(ts) AS top_token_frac,
-             1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_bigram_frac,
-             (CAST(list_max(list_transform(list_distinct(ts),
-                    tk -> len(list_filter(ts, x -> x = tk)))) AS DOUBLE) / len(ts) <= 0.20)
-               AND (1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) <= 0.40) AS keep
-      FROM bg ORDER BY doc_id"""),
+      bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok),
+      fr AS (SELECT doc_id,
+               CAST(list_max(list_transform(list_distinct(ts),
+                      tk -> len(list_filter(ts, x -> x = tk)))) AS DOUBLE) / len(ts) AS top_token_frac,
+               CASE WHEN len(bgs) = 0 THEN NULL
+                    ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END AS dup_bigram_frac
+             FROM bg)
+      SELECT doc_id, top_token_frac, dup_bigram_frac,
+             (top_token_frac <= 0.20) AND coalesce(dup_bigram_frac <= 0.40, TRUE) AS keep
+      FROM fr ORDER BY doc_id"""),
       (s, d) => {
         val ts = toks(col("text"))
         val bgs = wordNgrams(ts, 2)
@@ -610,16 +611,21 @@ object Pipeline {
           .select(col("doc_id"), size(ts).as("nt"), explode(ts).as("tk"))
           .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"), first(col("nt")).as("nt"))
           .groupBy("doc_id").agg(max(col("c")).as("topc"), first(col("nt")).as("nt"))
-        // bigram distinct/total: explode -> (doc, bigram) counts -> per-doc
+        // bigram distinct/total: explode -> (doc, bigram) counts -> per-doc.
+        // LEFT join below: a doc with <2 tokens yields no bigram rows at all
+        // (explode of an empty array emits nothing), and an inner join would
+        // silently drop the whole document; it survives with a NULL
+        // dup_bigram_frac instead — no repetition evidence, so `keep` treats
+        // the bigram test as passed (mirrored in the oracle's CASE/coalesce).
         val bgCnt = t(s, d, "documents")
           .select(col("doc_id"), explode(bgs).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(count(lit(1)).as("nbd"), sum(col("c")).as("nb"))
         val topFrac = col("topc").cast(DoubleType) / col("nt")
         val dupBg = lit(1.0) - col("nbd").cast(DoubleType) / col("nb")
-        topCnt.join(bgCnt, "doc_id")
+        topCnt.join(bgCnt, Seq("doc_id"), "left")
           .select(col("doc_id"), topFrac.as("top_token_frac"), dupBg.as("dup_bigram_frac"),
-            (topFrac <= 0.20 && dupBg <= 0.40).as("keep"))
+            (topFrac <= 0.20 && coalesce(dupBg <= 0.40, lit(true))).as("keep"))
           .orderBy("doc_id")
       }),
 

@@ -87,6 +87,10 @@ object Scrub {
     // fold starts at 0.0, and 0.0 + x is exact in IEEE, so Spark's
     // zero-seeded fold and DuckDB's seedless list_reduce agree bit-for-bit
     // (same trick as the p06 dot product).
+    // An all-zero embedding gives scale=0; dividing by it would make q_err
+    // NaN in Spark while DuckDB's division semantics differ — both sides
+    // short-circuit degenerate vectors to q_err=0.0 (codes are all zero, so
+    // reconstruction is exact by definition).
     QE("p23_embed_quantize", Some("""
       WITH s AS (SELECT vec_id,
                    list_max(list_transform(embedding,
@@ -94,9 +98,10 @@ object Scrub {
                    embedding
                  FROM embeddings)
       SELECT vec_id, scale,
-             list_reduce(list_transform(embedding,
-               v -> pow(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / scale) * scale, 2)),
-               (a, b) -> a + b) AS q_err
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(embedding,
+                    v -> pow(CAST(v AS DOUBLE) - round(CAST(v AS DOUBLE) / scale) * scale, 2)),
+                    (a, b) -> a + b) END AS q_err
       FROM s ORDER BY vec_id"""),
       (s, d) => {
         val x = col("embedding")
@@ -104,10 +109,11 @@ object Scrub {
         t(s, d, "embeddings")
           .select(col("vec_id"), scale.as("scale"), x)
           .select(col("vec_id"), col("scale"),
-            aggregate(
-              transform(x, v =>
-                pow(v.cast(DoubleType) - round(v.cast(DoubleType) / col("scale")) * col("scale"), 2)),
-              lit(0.0), (a, b) => a + b).as("q_err"))
+            when(col("scale") === 0, lit(0.0)).otherwise(
+              aggregate(
+                transform(x, v =>
+                  pow(v.cast(DoubleType) - round(v.cast(DoubleType) / col("scale")) * col("scale"), 2)),
+                lit(0.0), (a, b) => a + b)).as("q_err"))
           .orderBy("vec_id")
       }))
 }

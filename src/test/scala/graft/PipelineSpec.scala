@@ -65,6 +65,36 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF recall vs brute force too low: $hits/${brute.size}")
   }
 
+  test("IVF ANN: sampled Lloyd training beats the first-N seed quantizer") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // (a) the spherical-k-means objective (mean nearest-centroid cosine)
+    // must strictly improve — Lloyd iterations climb it by construction
+    val objSeed = graft.queries.IvfAnn.quantizerObjective(spark, sf, trained = false)
+    val objTrained = graft.queries.IvfAnn.quantizerObjective(spark, sf, trained = true)
+    assert(objTrained > objSeed,
+      s"training must improve the quantizer objective: $objTrained !> $objSeed")
+    // (b) recall at the entry's NProbe on UNBIASED queries (vec_id 100-119;
+    // the default queries 0-4 are themselves seed centroids, so the seed
+    // quantizer is accidentally overfit to them): trained must not lose.
+    val e = graft.Tables.df(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val unbiasedBrute = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.CosineSimilarity(spark, col("qe"), col("embedding")).as("cos"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(trained: Boolean): Int =
+      graft.queries.IvfAnn.query(spark, sf, trained, queryRange = (100L, 120L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).count(unbiasedBrute)
+    val (seedR, trainedR) = (recall(trained = false), recall(trained = true))
+    assert(trainedR >= seedR,
+      s"trained recall $trainedR/${unbiasedBrute.size} regressed vs seed $seedR")
+  }
+
   test("embedding near-dup: LSH candidates reach full recall at a permissive threshold") {
     // brute-force pairs at cos >= 0.4 on real data (some exist, none >= 0.9)
     val e = Tables.df(spark, sf, "embeddings")

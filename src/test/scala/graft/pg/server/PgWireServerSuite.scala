@@ -297,6 +297,45 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("fastpath FunctionCall 'F' executes and unknown types get a protocol error") {
+    import graft.pg.PgCatalog
+    def i32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def i16(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def oidOf(name: String): Int = PgCatalog.fastpathFunctions.find(_._2 == name).get._1
+    val c = new RawClient
+    c.startup()
+
+    // no-arg text call: pg_backend_pid() -> int4 text "0"
+    c.send('F', i32(oidOf("pg_backend_pid")) ++ i16(0) ++ i16(0) ++ i16(0))
+    val r1 = c.drainUntilReady()
+    val v1 = r1.find(_._1 == 'V').getOrElse(fail(s"no FunctionCallResponse: ${r1.map(_._1)}"))._2
+    val b1 = java.nio.ByteBuffer.wrap(v1)
+    val n1 = b1.getInt; val s1 = new Array[Byte](n1); b1.get(s1)
+    assert(new String(s1, UTF_8) === "0")
+
+    // one text arg, BINARY result: length('hello') -> int4 binary 5
+    val arg = "hello".getBytes(UTF_8)
+    c.send('F', i32(oidOf("length")) ++ i16(0) ++ i16(1) ++ i32(arg.length) ++ arg ++ i16(1))
+    val r2 = c.drainUntilReady()
+    val v2 = r2.find(_._1 == 'V').get._2
+    val b2 = java.nio.ByteBuffer.wrap(v2)
+    assert(b2.getInt === 4)
+    assert(b2.getInt === 5)
+
+    // unknown OID: ErrorResponse then ReadyForQuery, connection survives
+    c.send('F', i32(999999) ++ i16(0) ++ i16(0) ++ i16(0))
+    val r3 = c.drainUntilReady()
+    assert(r3.exists(_._1 == 'E') && r3.last._1 == 'Z')
+
+    // junk message type: protocol error, connection survives
+    c.send('z', Array.empty)
+    val r4 = c.drainUntilReady()
+    assert(r4.exists(_._1 == 'E') && r4.last._1 == 'Z')
+    c.send('Q', c.cstr("SELECT 7"))
+    assert(c.drainUntilReady().exists(_._1 == 'D'), "connection must stay usable")
+    c.close()
+  }
+
   test("extended flow: error skips pipelined frames until Sync") {
     val c = new RawClient
     c.startup()
