@@ -42,6 +42,17 @@ object PgCatalog {
     (6201, "map", -1, 0, "mapin"),
     (6202, "struct", -1, 0, "structin"))
 
+  /** Textual type name -> OID for `'name'::regtype` literal resolution
+    * (see PgRewrite): the seeded types plus the pseudo-types psql's \df
+    * queries compare prorettype against (fixed PG OIDs from pg_type.dat).
+    */
+  val typeOidByName: Map[String, Int] =
+    pgTypes.map { case (oid, name, _, _, _) => name -> oid }.toMap ++ Map(
+      "text" -> 25, "oid" -> 26, "record" -> 2249, "cstring" -> 2275,
+      "any" -> 2276, "anyarray" -> 2277, "void" -> 2278, "trigger" -> 2279,
+      "language_handler" -> 2280, "internal" -> 2281, "anyelement" -> 2283,
+      "event_trigger" -> 3838)
+
   val defaultNamespaceOid = 2200
   val defaultNamespace = "spark"
   val userRoleOid = 10

@@ -34,6 +34,33 @@ object PgRewrite {
     "bool" -> "boolean", "oid" -> "int",
     "regclass" -> "", "regproc" -> "", "regtype" -> "")
 
+  /** If the emitted SQL ends with a single-quoted literal naming a known
+    * type (optionally pg_catalog-qualified), replace it in place with the
+    * type's OID and return true; otherwise leave it untouched. Type names
+    * never contain quotes, so a simple backwards scan to the opening quote
+    * is unambiguous here (a literal WITH a quote will not match the name
+    * map and is left as-is).
+    */
+  private def replaceRegtypeLiteral(out: mutable.StringBuilder): Boolean = {
+    var end = out.length - 1
+    while (end >= 0 && out.charAt(end).isWhitespace) end -= 1
+    if (end < 1 || out.charAt(end) != '\'') return false
+    var start = end - 1
+    while (start >= 0 && out.charAt(start) != '\'') start -= 1
+    if (start < 0) return false
+    val body = out.substring(start + 1, end)
+    val name = (if (body.toLowerCase.startsWith("pg_catalog.")) {
+      body.substring("pg_catalog.".length)
+    } else body).toLowerCase
+    PgCatalog.typeOidByName.get(name) match {
+      case Some(oid) =>
+        out.setLength(start)
+        out.append(oid)
+        true
+      case None => false
+    }
+  }
+
   /** keywords that can directly precede a unary operator */
   private val preUnaryKeywords = Set(
     "select", "where", "and", "or", "not", "when", "then", "else", "on",
@@ -259,9 +286,16 @@ object PgRewrite {
               readIdent(jq + 1)
             } else (word0, jq)
           typeAlias.get(word.toLowerCase) match {
+            case Some("") if word.equalsIgnoreCase("regtype") &&
+                replaceRegtypeLiteral(out) =>
+              // `'name'::regtype` on a literal resolves to the type OID (PG
+              // semantics) — psql's back-version \df compares prorettype
+              // (an int) against such casts, so the textual form would be a
+              // runtime cast error once pg_proc has rows
+              i = j2
             case Some("") =>
-              // drop reg* casts: the value stays its textual self (the
-              // reference resolves these via catalog functions,
+              // drop other reg* casts: the value stays its textual self
+              // (the reference resolves these via catalog functions,
               // PgParser.scala:163-186)
               i = j2
             case Some(mapped) => out.append("::").append(mapped); i = j2

@@ -18,6 +18,19 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // HA active/standby (reference SQLServer.scala:209-237): with
+    // recoveryMode=ZOOKEEPER every instance joins a leader election and
+    // only the elected leader binds the port; losing leadership exits -1
+    // so a standby takes over.
+    if (spark.conf.get("spark.graft.server.recoveryMode", "") == "ZOOKEEPER") {
+      val zkUrl = spark.conf.get("spark.graft.server.zookeeper.url")
+      val ha = new HaLeaderElection(zkUrl)
+      ha.start()
+      // scalastyle:off println
+      println(s"HA mode: waiting for leader election via $zkUrl")
+      // scalastyle:on println
+      ha.awaitLeadership()
+    }
     // TLS / auth / session-mode come from spark.graft.server.* confs
     // (set via --conf or spark-defaults); defaults are trust + multi-session
     val server = new PgWireServer(spark, port, config = PgServerConfig.fromConf(spark))

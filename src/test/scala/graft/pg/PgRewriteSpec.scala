@@ -85,4 +85,16 @@ class PgRewriteSpec extends AnyFunSuite {
       "SELECT ''::string, 1::int, x::int, n::string")
     assert(PgRewrite("SELECT 'pg_type'::regclass") === "SELECT 'pg_type'")
   }
+
+  test("regtype literal casts resolve to type OIDs (psql back-version \\df)") {
+    // psql <= 10's \df: CASE WHEN p.prorettype = 'pg_catalog.trigger'::pg_catalog.regtype
+    assert(PgRewrite("WHEN p.prorettype = 'pg_catalog.trigger'::pg_catalog.regtype THEN 'trigger'") ===
+      "WHEN p.prorettype = 2279 THEN 'trigger'")
+    assert(PgRewrite("SELECT 'int4'::regtype") === "SELECT 23")
+    assert(PgRewrite("SELECT 'text'::regtype, 'void'::regtype") === "SELECT 25, 2278")
+    // unknown names and non-literal operands keep the old drop-the-cast behavior
+    assert(PgRewrite("SELECT 'no_such_type'::regtype") === "SELECT 'no_such_type'")
+    assert(PgRewrite("SELECT t.typname::regtype FROM pg_type t") ===
+      "SELECT t.typname FROM pg_type t")
+  }
 }
