@@ -150,5 +150,193 @@ object DsShapes {
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
           ORDER BY lvl, r_name NULLS LAST, n_name NULLS LAST""")
+      }),
+
+    // DS q74/q11 shape: year-over-year growth per customer. The canonical
+    // DS form self-joins a per-(customer, year) CTE; that plans as TWO fact
+    // scans + shuffles, so this linearizes to conditional aggregation —
+    // ONE orders scan, ONE shuffle on custkey, growth computed per group.
+    // Ratio divides in DOUBLE from exact decimal sums; ties broken by key.
+    QE("q110_ds_yoy_growth", Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1996
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS s96,
+               SUM(CASE WHEN CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1997
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS s97
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey AS custkey, CAST(s97 AS DOUBLE) / CAST(s96 AS DOUBLE) AS growth
+      FROM per WHERE s96 IS NOT NULL AND s97 IS NOT NULL
+      ORDER BY growth DESC, custkey LIMIT 100"""),
+      (s, d) => {
+        val yr = year(col("o_orderdate"))
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(when(yr === 1996, col("o_totalprice").cast(Q.dec))).as("s96"),
+            sum(when(yr === 1997, col("o_totalprice").cast(Q.dec))).as("s97"))
+          .filter(col("s96").isNotNull && col("s97").isNotNull)
+          .select(col("o_custkey").as("custkey"),
+            (col("s97").cast(DoubleType) / col("s96").cast(DoubleType)).as("growth"))
+          .orderBy(col("growth").desc, col("custkey"))
+          .limit(100)
+      }),
+
+    // DS q51 shape: two per-month channel series (returned vs accepted
+    // lines), each with a running cumulative window, FULL OUTER JOINed on
+    // month, keeping months where the returns curve overtakes. The windows
+    // run over ALREADY-aggregated rows (one per month), so window + full
+    // join cost is O(months) regardless of fact size; each branch is one
+    // pushed-filter scan with partial aggregation.
+    QE("q111_ds_cumulative_channels", Some("""
+      WITH r AS (
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 12 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS mon,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+      a AS (
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 12 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS mon,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+      rc AS (SELECT mon, CAST(SUM(rev) OVER (ORDER BY mon) AS DOUBLE) AS ret_cum FROM r),
+      ac AS (SELECT mon, CAST(SUM(rev) OVER (ORDER BY mon) AS DOUBLE) AS ack_cum FROM a)
+      SELECT COALESCE(rc.mon, ac.mon) AS mon, ret_cum, ack_cum
+      FROM rc FULL OUTER JOIN ac ON rc.mon = ac.mon
+      WHERE ret_cum > ack_cum ORDER BY mon"""),
+      (s, d) => {
+        def series(flag: String, out: String) = {
+          val mon = (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast(IntegerType).as("mon")
+          val agg = t(s, d, "lineitem").filter(col("l_returnflag") === flag)
+            .groupBy(mon).agg(sum(col("l_extendedprice").cast(Q.dec)).as("rev"))
+          agg.select(col("mon"),
+            sum(col("rev")).over(Window.orderBy("mon")).cast(DoubleType).as(out))
+        }
+        val rc = series("R", "ret_cum")
+        val ac = series("A", "ack_cum").withColumnRenamed("mon", "amon")
+        rc.join(ac, col("mon") === col("amon"), "full_outer")
+          .select(coalesce(col("mon"), col("amon")).as("mon"),
+            col("ret_cum"), col("ack_cum"))
+          .filter(col("ret_cum") > col("ack_cum"))
+          .orderBy("mon")
+      }),
+
+    // DS q88 shape: many conditional aggregates in ONE fact scan — the DS
+    // original cross-joins 8 scalar subqueries (8 scans); conditional
+    // aggregation collapses them into a single pass with map-side partials
+    // feeding a 1-row final aggregate. No shuffle carries raw rows.
+    QE("q112_ds_multi_conditional", Some("""
+      SELECT COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+             COUNT(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 25) AS n_mid,
+             COUNT(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 40) AS n_large,
+             COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
+             COUNT(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS n_disc_supp,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS returned_rev
+      FROM lineitem WHERE l_linestatus = 'F'"""),
+      (s, d) => {
+        val q = col("l_quantity")
+        t(s, d, "lineitem").filter(col("l_linestatus") === "F")
+          .agg(
+            count(when(q < 10, 1)).as("n_small"),
+            count(when(q >= 10 && q < 25, 1)).as("n_mid"),
+            count(when(q >= 25 && q < 40, 1)).as("n_large"),
+            count(when(q >= 40, 1)).as("n_bulk"),
+            countDistinct(when(col("l_discount") > 0.05, col("l_suppkey"))).as("n_disc_supp"),
+            sum(when(col("l_returnflag") === "R",
+              col("l_extendedprice").cast(Q.dec))).cast(DoubleType).as("returned_rev"))
+      }),
+
+    // DS q16/q93 shape: fact-fact ANTI join — orders having NO returned
+    // line, aggregated by customer segment. The anti side is a pushed-filter
+    // lineitem scan projected to the join key only; at scale both sides
+    // shuffle on orderkey once (or the returned-key side broadcasts when it
+    // qualifies under AQE) and no fact column survives past the join.
+    QE("q113_ds_no_returns", Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS clean_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => {
+        val returned = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey")
+        t(s, d, "orders")
+          .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            Q.dsum(col("o_totalprice")).as("clean_rev"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // DS q1/q30 shape: customers whose spend exceeds 1.3x their nation's
+    // average — the correlated above-group-average pattern. The per-nation
+    // average re-aggregates the per-customer rollup (no second fact scan)
+    // and at 25 rows broadcasts back into it; avg computed as decimal-sum /
+    // count in DOUBLE so both engines divide identical operands.
+    QE("q114_ds_above_nation_avg", Some("""
+      WITH spend AS (
+        SELECT c_custkey, c_nationkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_nationkey),
+      navg AS (
+        SELECT c_nationkey, CAST(SUM(s) AS DOUBLE) / COUNT(*) AS nation_avg
+        FROM spend GROUP BY c_nationkey)
+      SELECT c_custkey AS custkey, CAST(s AS DOUBLE) AS spend, nation_avg
+      FROM spend JOIN navg USING (c_nationkey)
+      WHERE CAST(s AS DOUBLE) > 1.3 * nation_avg
+      ORDER BY custkey"""),
+      (s, d) => {
+        val spend = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_nationkey")
+          .agg(sum(col("o_totalprice").cast(Q.dec)).as("s"))
+        val navg = spend.groupBy("c_nationkey")
+          .agg((sum(col("s")).cast(DoubleType) / count(lit(1))).as("nation_avg"))
+        spend.join(broadcast(navg), Seq("c_nationkey"))
+          .filter(col("s").cast(DoubleType) > lit(1.3) * col("nation_avg"))
+          .select(col("c_custkey").as("custkey"),
+            col("s").cast(DoubleType).as("spend"), col("nation_avg"))
+          .orderBy("custkey")
+      }),
+
+    // DS q5/q77 shape: channel report — UNION ALL of per-channel slices
+    // (urgent vs routine priority) rolled up with ROLLUP(channel, segment).
+    // Each branch is a pushed-filter scan; the rollup expands on partial
+    // aggregates, and the grand-total row falls out of the same pass.
+    QE("q115_ds_channel_rollup", Some("""
+      WITH chan AS (
+        SELECT 'urgent' AS channel, c_mktsegment AS seg,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'routine' AS channel, c_mktsegment AS seg,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority <> '1-URGENT')
+      SELECT channel, seg, CAST(SUM(v) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+      FROM chan GROUP BY ROLLUP(channel, seg)
+      ORDER BY channel NULLS LAST, seg NULLS LAST"""),
+      (s, d) => {
+        // the UNION branches share source lineage, which trips Spark's
+        // ambiguous-self-join guard under the DataFrame rollup; the SQL
+        // form resolves cleanly through the parser (same plan)
+        Tables.views(s, d)
+        s.sql("""
+          WITH chan AS (
+            SELECT 'urgent' AS channel, c_mktsegment AS seg,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS v
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'routine' AS channel, c_mktsegment AS seg,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS v
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority <> '1-URGENT')
+          SELECT channel, seg, CAST(SUM(v) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+          FROM chan GROUP BY ROLLUP(channel, seg)
+          ORDER BY channel NULLS LAST, seg NULLS LAST""")
       }))
 }
