@@ -112,6 +112,15 @@ object Temporal {
           .orderBy("event_id")
       }),
 
+    // Streaming exact dedup with watermark-bounded key state
+    // (dropDuplicatesWithinWatermark): emits the distinct (user, type) set;
+    // key-only projection makes it arrival-order-insensitive, so the batch
+    // DISTINCT is an exact oracle.
+    QE("q93_stream_dedup", Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""),
+      (s, d) => graft.streaming.EventStream.streamDedup(s, d)),
+
     // Custom keyed streaming state (flatMapGroupsWithState): one alert per
     // user at the first event crossing a cumulative-value threshold. The
     // oracle is the batch window formulation of the same rule.

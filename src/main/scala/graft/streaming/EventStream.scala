@@ -59,6 +59,24 @@ object EventStream {
         .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
     }.orderBy("user_id", "first_ts")
 
+  /** Streaming exact deduplication with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): the streaming member of the dedup
+    * family (p01/p02 are the batch members). State holds one entry per key
+    * seen within the watermark horizon and is evicted as the watermark
+    * advances — at a continuous 100 TB-scale ingest the state size is
+    * bounded by keys-per-watermark-window, where plain streaming
+    * `dropDuplicates` state grows with all keys ever seen. The output
+    * projects the key columns only, so the emitted set is the distinct key
+    * set regardless of which duplicate of a key arrived first
+    * (order-insensitive, hence batch-DISTINCT-oracle-exact).
+    */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      src.select(col("ts"), col("user_id"), col("event_type"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+    }.orderBy("user_id", "event_type")
+
   // public: Catalyst's generated (de)serializer code instantiates these
   case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class CumState(cents: Long, fired: Boolean)

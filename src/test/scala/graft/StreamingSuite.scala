@@ -50,4 +50,17 @@ class StreamingSuite extends AnyFunSuite {
       s"session stream must emit every session exactly once (got ${streamed.size}, want ${batch.size})")
     assert(streamed === batch)
   }
+
+  test("watermarked streaming dedup equals the batch distinct key set") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.streamDedup(s, TestSpark.sfDir).collect().toSeq
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+      .collect().toSeq
+    assert(streamed.size === batch.size,
+      s"dedup must emit each key exactly once (got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
 }
