@@ -18,8 +18,8 @@ object Bench {
     * for fixed-cost entries, so they are timed once (pass 1 only).
     */
   private val StreamingEntries =
-    Set("q93_stream_dedup", "q94_stream_cusum_alert", "q95_stream_window",
-      "q99_stream_sessionize")
+    Set("q92_stream_stream_join", "q93_stream_dedup", "q94_stream_cusum_alert",
+      "q95_stream_window", "q99_stream_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

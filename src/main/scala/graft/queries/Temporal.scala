@@ -112,6 +112,18 @@ object Temporal {
           .orderBy("event_id")
       }),
 
+    // Watermarked stream-stream inner join (clicks x same-user errors
+    // within 1 hour): both sides' join state is watermark-evicted; the
+    // emitted id-pair set is arrival-order-independent, so the batch
+    // self-join is an exact oracle.
+    QE("q92_stream_stream_join", Some("""
+      SELECT c.event_id AS click_id, e.event_id AS error_id
+      FROM events c JOIN events e ON c.user_id = e.user_id
+       AND c.event_type = 'click' AND e.event_type = 'error'
+       AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, error_id"""),
+      (s, d) => graft.streaming.EventStream.clickErrorJoin(s, d)),
+
     // Streaming exact dedup with watermark-bounded key state
     // (dropDuplicatesWithinWatermark): emits the distinct (user, type) set;
     // key-only projection makes it arrival-order-insensitive, so the batch

@@ -77,6 +77,31 @@ object EventStream {
         .select("user_id", "event_type")
     }.orderBy("user_id", "event_type")
 
+  /** Watermarked STREAM-STREAM inner join — the fourth streaming state
+    * construct next to windows (q95), sessions (q99), and keyed state
+    * (q94): clicks matched to same-user errors within the following hour.
+    * Both sides carry the source watermark and the join predicate bounds
+    * event time on both ends, so each side's join state is evicted once
+    * the watermark passes the interval — state is O(rows per watermark
+    * horizon), not O(stream length), at any ingest rate. The emitted
+    * (click, error) id pairs are a set, independent of arrival order, so
+    * the batch self-join is an exact oracle.
+    */
+  def clickErrorJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val errors = src.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts").as("e_ts"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("error_id"))
+    }.orderBy("click_id", "error_id")
+
   // public: Catalyst's generated (de)serializer code instantiates these
   case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class CumState(cents: Long, fired: Boolean)

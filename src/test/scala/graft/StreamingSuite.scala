@@ -51,6 +51,25 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream join equals the batch self-join") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.clickErrorJoin(s, TestSpark.sfDir).collect().toSeq
+    val ev = Tables.df(s, TestSpark.sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("error_id"), col("ts").as("ets"))
+    val batch = clicks.join(errors,
+        col("cu") === col("eu") && col("ets") >= col("cts") &&
+          col("ets") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "error_id").orderBy("click_id", "error_id")
+      .collect().toSeq
+    assert(streamed.size === batch.size,
+      s"join must emit each match exactly once (got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
+
   test("watermarked streaming dedup equals the batch distinct key set") {
     val s = TestSpark.spark
     val streamed =
