@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.SetsSorts.entries ++
       graft.queries.Subqueries.entries ++
       graft.queries.Extras.entries ++
+      graft.queries.Sources.entries ++
       graft.queries.TpchShapes.entries ++
       graft.queries.DsShapes.entries ++
       graft.queries.Temporal.entries

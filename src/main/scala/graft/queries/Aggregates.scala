@@ -155,5 +155,29 @@ object Aggregates {
           .groupBy("l_returnflag")
           .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
           .orderBy("l_returnflag")
-      }))
+      }),
+
+    // Exact distribution statistics: percentile() with linear interpolation
+    // matches DuckDB's quantile_cont bit-for-bit (same interpolation on the
+    // same doubles). Scale note: exact percentiles buffer each group's
+    // values (TypedImperativeAggregate) — fine for bounded-cardinality
+    // group x measure combinations like this; an unbounded-cardinality
+    // 100 TB profile would switch to approx_percentile (t-digest, mergeable
+    // partial state) and accept the approximation.
+    QE("q29_percentiles", Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS p25,
+             quantile_cont(l_extendedprice, 0.5) AS p50,
+             quantile_cont(l_extendedprice, 0.75) AS p75,
+             quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+            percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+            percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+          .orderBy("l_returnflag")))
 }

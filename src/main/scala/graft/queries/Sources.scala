@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{Q, QE, Tables}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format round-trips beyond parquet (q77): CSV, JSON (incl. a
+  * nested struct), and ORC, each written from the driver tables, read back
+  * through the format's own reader, and aggregated to a DuckDB-oracle-exact
+  * result computed over the ORIGINAL parquet — proving the write+read path
+  * loses nothing. The reference serves any Spark-readable format the same
+  * way (its SQL layer delegates scans to Spark); these entries pin that
+  * capability with value-level checks.
+  *
+  * Only bigint/double columns cross the text formats (CSV/JSON): Java
+  * double text round-trips bit-exactly, while timestamp text formats are
+  * engine-config-dependent — the columnar ORC entry carries the timestamp.
+  */
+object Sources {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val entries: Seq[QE] = Seq(
+    // CSV: header + explicit read schema (no inference pass — schema
+    // inference is a second full scan at 100 TB and type-guesses).
+    QE("q86_csv_roundtrip", Some("""
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 300000
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, d) => {
+        val dir = tmp("graft_csv")
+        Tables.df(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(dir)
+          .filter(col("o_totalprice") > 300000)
+          .groupBy("o_custkey")
+          .agg(Q.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      }),
+
+    // JSON with a NESTED struct: the measure round-trips inside a struct
+    // field and is re-extracted after read — the semi-structured path.
+    QE("q87_json_roundtrip", Some("""
+      SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_quantity >= 25
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) => {
+        val dir = tmp("graft_json")
+        Tables.df(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            struct(col("l_quantity").as("qty"), col("l_extendedprice").as("price")).as("m"))
+          .write.mode("overwrite").json(dir)
+        s.read.schema("l_returnflag STRING, m STRUCT<qty: DOUBLE, price: DOUBLE>")
+          .json(dir)
+          .filter(col("m.qty") >= 25)
+          .groupBy("l_returnflag")
+          .agg(Q.dsum(col("m.price")).as("total"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ORC: the other columnar format — carries the timestamp column and
+    // keeps predicate pushdown + column pruning at the scan (same posture
+    // as the parquet entries).
+    QE("q88_orc_roundtrip", Some("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY yr ORDER BY yr"""),
+      (s, d) => {
+        val dir = tmp("graft_orc")
+        Tables.df(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(year(col("o_orderdate")).cast(IntegerType).as("yr"))
+          .agg(Q.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+          .orderBy("yr")
+      }))
+}
