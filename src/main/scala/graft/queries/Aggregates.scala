@@ -172,12 +172,19 @@ object Aggregates {
              quantile_cont(l_quantity, 0.5) AS med_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, d) =>
+        // one percentile(array) call per measure: the buffer of group
+        // values is built ONCE and probed at all three cut points, instead
+        // of three separate aggregates each buffering the full group
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-            percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+            percentile(col("l_extendedprice"),
+              array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
             percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).as("p25"),
+            element_at(col("ps"), 2).as("p50"),
+            element_at(col("ps"), 3).as("p75"),
+            col("med_qty"))
           .orderBy("l_returnflag")))
 }
