@@ -338,5 +338,142 @@ object DsShapes {
           SELECT channel, seg, CAST(SUM(v) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
           FROM chan GROUP BY ROLLUP(channel, seg)
           ORDER BY channel NULLS LAST, seg NULLS LAST""")
+      }),
+
+    // DS q35/q10 shape: DISJUNCTIVE correlated EXISTS — customers reachable
+    // through EITHER channel. Spark 4 decorrelates OR'd EXISTS into
+    // ExistenceJoins (older engines reject subqueries in disjunctions —
+    // the reference's forked-parser era predates this); each branch is a
+    // pushed-filter semi probe on the same key, no fact row duplication.
+    QE("q116_ds_exists_or", Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         OR EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT c_mktsegment, COUNT(*) AS n_cust
+          FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             OR EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      }),
+
+    // DS q31 shape: quarter-over-quarter growth via LAG over an aggregated
+    // series. The lag window partitions by nation over (nation, year,
+    // quarter) rows — O(nations x quarters) regardless of fact size; one
+    // fact shuffle builds the series, dims broadcast.
+    QE("q117_ds_quarter_growth", Some("""
+      WITH nq AS (
+        SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, yr, qtr),
+      g AS (
+        SELECT n_name, yr, qtr,
+               CAST(rev AS DOUBLE) /
+                 CAST(lag(rev) OVER (PARTITION BY n_name ORDER BY yr, qtr) AS DOUBLE) AS growth
+        FROM nq)
+      SELECT n_name, yr, qtr, growth FROM g
+      WHERE growth > 1.2 ORDER BY n_name, yr, qtr"""),
+      (s, d) => {
+        val nq = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+          .agg(sum(col("o_totalprice").cast(Q.dec)).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("yr", "qtr")
+        nq.select(col("n_name"), col("yr"), col("qtr"),
+            (col("rev").cast(DoubleType) /
+              lag(col("rev"), 1).over(w).cast(DoubleType)).as("growth"))
+          .filter(col("growth") > 1.2)
+          .orderBy("n_name", "yr", "qtr")
+      }),
+
+    // DS q49 shape: rank parts by return ratio. The rank's window input is
+    // the aggregated per-part table (|parts| rows, never facts); ratio
+    // divides exact decimal sums in DOUBLE, and the rank order is made
+    // total with the key tie-break so top-20 is deterministic.
+    QE("q118_ds_return_ratio_rank", Some("""
+      WITH pr AS (
+        SELECT l_partkey,
+               SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_qty,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tot_qty
+        FROM lineitem GROUP BY l_partkey),
+      r AS (SELECT l_partkey, CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS ratio
+            FROM pr)
+      SELECT l_partkey, ratio, rnk FROM (
+        SELECT l_partkey, ratio,
+               rank() OVER (ORDER BY ratio DESC, l_partkey) AS rnk FROM r) t
+      WHERE rnk <= 20 ORDER BY rnk"""),
+      (s, d) => {
+        val pr = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(
+            sum(when(col("l_returnflag") === "R", col("l_quantity").cast(Q.dec))
+              .otherwise(lit(0).cast(Q.dec))).as("ret_qty"),
+            sum(col("l_quantity").cast(Q.dec)).as("tot_qty"))
+        val ratio = col("ret_qty").cast(DoubleType) / col("tot_qty").cast(DoubleType)
+        pr.select(col("l_partkey"), ratio.as("ratio"))
+          .withColumn("rnk", rank()
+            .over(Window.orderBy(col("ratio").desc, col("l_partkey")))
+            .cast(LongType))
+          .filter(col("rnk") <= 20)
+          .orderBy("rnk")
+      }),
+
+    // DS q39 shape: per-(supplier, month) demand variability — mean, stddev,
+    // coefficient of variation, keeping volatile combinations (cov > 0.5).
+    // stddev comes from exact SUFFICIENT STATISTICS (decimal sum(x),
+    // sum(x^2), count) with the final formula evaluated in DOUBLE with
+    // identical op order on both sides — bit-exact with no rounding, where
+    // stddev_samp's central-moment merges perturb the last ulp with
+    // partition order (measured: a var_samp ulp gap between engines on
+    // identical data). The sufficient-statistics form is ALSO the 100 TB
+    // pattern: two mergeable partial sums per group instead of an
+    // order-sensitive moment merge.
+    QE("q119_ds_supplier_variability", Some("""
+      WITH sm AS (
+        SELECT l_suppkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mon,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+               SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS s2,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_suppkey, mon HAVING COUNT(*) >= 5),
+      v AS (
+        SELECT l_suppkey, mon,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1)) AS sd,
+               CAST(s AS DOUBLE) / n AS mean_q
+        FROM sm)
+      SELECT l_suppkey, mon, sd, sd / mean_q AS cov
+      FROM v WHERE sd / mean_q > 0.5 ORDER BY l_suppkey, mon"""),
+      (s, d) => {
+        val q = col("l_quantity")
+        val sm = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"), month(col("l_shipdate")).as("mon"))
+          .agg(
+            sum(q.cast(Q.dec)).as("s"),
+            sum((q * q).cast(DecimalType(18, 4))).as("s2"),
+            count(lit(1)).as("n"))
+          .filter(col("n") >= 5)
+        val sd = sqrt((col("s2").cast(DoubleType) -
+          col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n")) /
+          (col("n") - 1))
+        val meanQ = col("s").cast(DoubleType) / col("n")
+        sm.select(col("l_suppkey"), col("mon"), sd.as("sd"), meanQ.as("mean_q"))
+          .filter(col("sd") / col("mean_q") > 0.5)
+          .select(col("l_suppkey"), col("mon"), col("sd"),
+            (col("sd") / col("mean_q")).as("cov"))
+          .orderBy("l_suppkey", "mon")
       }))
 }

@@ -71,4 +71,28 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(!q98.contains("BroadcastNestedLoop") && !q98.contains("CartesianProduct"),
       s"q98 must bucket into an equi-join:\n$q98")
   }
+
+  test("DS-shape plans: single-scan linearizations hold") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // q110 linearizes the DS q74 self-join to conditional aggregation: the
+    // whole query must stay ONE fact scan + ONE hash shuffle + top-k
+    val q110 = plan("q110_ds_yoy_growth")
+    assert("FileScan".r.findAllIn(q110).size == 1, s"q110 must scan once:\n$q110")
+    assert("Exchange hashpartitioning".r.findAllIn(q110).size == 1,
+      s"q110 must shuffle once:\n$q110")
+    assert(q110.contains("TakeOrderedAndProject"), s"q110 must plan top-k:\n$q110")
+    // q112 collapses DS q88's 8 scalar subqueries into one pass
+    val q112 = plan("q112_ds_multi_conditional")
+    assert("FileScan".r.findAllIn(q112).size == 1, s"q112 must scan once:\n$q112")
+    // q116's disjunctive EXISTS must decorrelate to joins, not a nested loop
+    // over the fact side
+    val q116 = plan("q116_ds_exists_or")
+    assert(!q116.contains("CartesianProduct"), s"q116 must decorrelate:\n$q116")
+    // q118's global rank must run over the aggregated per-part table: the
+    // single-partition exchange may carry only post-aggregate attributes
+    val q118 = plan("q118_ds_return_ratio_rank")
+    assert("FileScan".r.findAllIn(q118).size == 1, s"q118 must scan once:\n$q118")
+    assert(q118.contains("Window"), s"q118 must plan a rank window:\n$q118")
+  }
 }
