@@ -26,8 +26,10 @@ object SparkEntry {
 
   private def queries_pipeline: Seq[QE] =
     graft.queries.Pipeline.entries ++
+      graft.queries.Corpus.entries ++
       graft.queries.Scrub.entries ++
       graft.queries.IvfAnn.entries ++
+      graft.queries.PqAnn.entries ++
       graft.queries.PgDialectQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -256,7 +256,7 @@ object Pipeline {
       .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
 
-  private def oWordNgrams(ts: String, n: Int): String = {
+  private[queries] def oWordNgrams(ts: String, n: Int): String = {
     val parts = (0 until n).map(k => s"$ts[i+$k]").mkString(" || ' ' || ")
     s"list_transform(generate_series(1, len($ts)-${n - 1}), i -> $parts)"
   }
@@ -267,7 +267,7 @@ object Pipeline {
     * the `transform(ts, xxhash64)` expression here would re-inline (and
     * re-evaluate) the whole array at every element_at reference.
     */
-  private def wordNgramHashes(th: Column, n: Int): Column =
+  private[queries] def wordNgramHashes(th: Column, n: Int): Column =
     when(size(th) < n, array().cast(ArrayType(LongType)))
       .otherwise(transform(sequence(lit(1), size(th) - (n - 1)),
         i => xxhash64((0 until n).map(k => element_at(th, i + k)): _*)))

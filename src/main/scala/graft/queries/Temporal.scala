@@ -167,5 +167,19 @@ object Temporal {
              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM g GROUP BY user_id, sid
       ORDER BY user_id, first_ts"""),
-      (s, d) => graft.streaming.EventStream.sessionizedCounts(s, d)))
+      (s, d) => graft.streaming.EventStream.sessionizedCounts(s, d)),
+
+    // Stream-static enrichment join (broadcast dimension, stateless join,
+    // watermarked day-window agg downstream). The oracle is the equivalent
+    // batch join + group-by; the day bucket is epoch-aligned UTC, which
+    // date_trunc reproduces exactly.
+    QE("q120_stream_static_join", Some("""
+      SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+             c.c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY day_start, c_mktsegment"""),
+      (s, d) => graft.streaming.EventStream.enrichedSegmentSpend(s, d)))
 }

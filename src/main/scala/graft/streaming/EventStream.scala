@@ -5,7 +5,7 @@ import java.util.UUID
 
 import graft.Tables
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,6 +34,22 @@ object EventStream {
     */
   private val FlushTsNanos = 4102444800000000000L
   private val FlushType = "__flush__"
+
+  /** Pushdown-safe `event_type` predicate. A bare `event_type === t` filter
+    * does not reference the event-time column, so Catalyst pushes it below
+    * the EventTimeWatermark node all the way to the scan — which drops the
+    * flush sentinel (whose type is [[FlushType]]) before it can advance the
+    * watermark, freezing it at max-real-ts minus the delay and silently
+    * holding the final windows in state forever (q120 lost its last day this
+    * way; q92 only masked the same hazard because inner joins emit matches
+    * eagerly). OR-ing in a term on the watermark attribute pins the filter
+    * above the watermark node; the disjunct matches only the sentinel, which
+    * [[runStaged]]'s ts guard removes right after the watermark node, so
+    * query semantics are unchanged.
+    */
+  private def typeIs(t: String): Column =
+    col("event_type") === t ||
+      col("ts") >= timestamp_micros(lit(FlushTsNanos / 1000))
 
   /** Tumbling-window counts: 1-hour windows per event_type. */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -89,10 +105,10 @@ object EventStream {
     */
   def clickErrorJoin(spark: SparkSession, sfDir: String): DataFrame =
     runStaged(spark, sfDir) { src =>
-      val clicks = src.filter(col("event_type") === "click")
+      val clicks = src.filter(typeIs("click"))
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))
-      val errors = src.filter(col("event_type") === "error")
+      val errors = src.filter(typeIs("error"))
         .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
           col("ts").as("e_ts"))
       clicks.join(errors,
@@ -101,6 +117,30 @@ object EventStream {
           col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("click_id"), col("error_id"))
     }.orderBy("click_id", "error_id")
+
+  /** STREAM-STATIC enrichment join — the fifth streaming construct next to
+    * windowed aggs (q95), sessions (q99), keyed state (q94), and
+    * stream-stream joins (q92): purchase events enriched against the static
+    * customer dimension, then aggregated per (day, market segment). The
+    * static side is broadcast, so the join is STATELESS — each micro-batch
+    * probes the dimension hash table with no state store at all; only the
+    * downstream windowed aggregation carries watermark-bounded state. This
+    * is the standard streaming-ETL enrichment shape: at production scale the
+    * dimension is re-broadcast per batch (picking up slowly-changing dims)
+    * while the event stream's cost stays one map-side probe per row.
+    */
+  def enrichedSegmentSpend(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val dim = broadcast(Tables.df(spark, sfDir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      src.filter(typeIs("purchase"))
+        .join(dim, Seq("user_id"))
+        .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .select(col("window.start").as("day_start"), col("c_mktsegment"),
+          col("n"), col("total"))
+    }.orderBy("day_start", "c_mktsegment")
 
   // public: Catalyst's generated (de)serializer code instantiates these
   case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -228,4 +228,99 @@ class PipelineSpec extends AnyFunSuite {
       assert(out(id) === !contaminated, s"doc $id contamination=$contaminated survived=${out(id)}")
     }
   }
+
+  test("bloom decontaminate flags exactly the complement of p18's survivors") {
+    // p24 (bloom prefilter + exact confirm) and p18 (plain broadcast
+    // semi-join) implement the same contamination rule from opposite ends:
+    // flagged(p24) must equal corpus \ survivors(p18), which proves the
+    // bloom pass lost nothing (no false negatives) and the confirm join
+    // killed every false positive.
+    val flagged = SparkEntry.queries("p24_bloom_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val survivors = SparkEntry.queries("p18_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val corpus = Tables.df(spark, sf, "documents")
+      .filter(col("source") =!= "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === (corpus -- survivors))
+    assert((flagged & survivors).isEmpty)
+  }
+
+  test("chunk overlap: geometry covers every token and md5s chain correctly") {
+    val chunks = SparkEntry.queries("p25_chunk_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = Tables.df(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, rs) =>
+      val toks = docs(id).split(' ')
+      val sorted = rs.sortBy(_._2)
+      // starts advance by the stride, first at 0, and every token is covered
+      assert(sorted.head._3 === 0L)
+      sorted.foreach { case (_, idx, st, n, m) =>
+        assert(st === idx * 192)
+        assert(n === math.min(256, toks.length - st).toLong)
+        val expect = toks.slice(st.toInt, st.toInt + 256).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(m === md, s"doc $id chunk $idx content mismatch")
+      }
+      assert(sorted.last._3 + sorted.last._4 === toks.length.toLong,
+        s"doc $id chunks must cover the tail")
+    }
+  }
+
+  test("keyword extract: rarity weighting prefers rarer terms at equal tf") {
+    val rows = SparkEntry.queries("p26_keyword_extract")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.length <= 3)
+      val scores = rs.sortBy(_._2).map(_._6)
+      assert(scores === scores.sorted.reverse, s"doc $id ranks out of score order")
+    }
+    // the score formula itself: tf x (N - df)
+    val n = Tables.df(spark, sf, "documents").count()
+    rows.foreach { case (_, _, _, tf, df, score) =>
+      assert(score === tf * (n - df))
+    }
+  }
+
+  test("PQ encode: deterministic, codes in range, exact recon error") {
+    val e1 = SparkEntry.queries("p27_pq_encode")(spark, sf).collect()
+    val e2 = SparkEntry.queries("p27_pq_encode")(spark, sf).collect()
+    assert(e1.map(_.toString).toSeq === e2.map(_.toString).toSeq, "must be deterministic")
+    val total = Tables.df(spark, sf, "embeddings").count()
+    assert(e1.length.toLong === total, "every vector gets a code word")
+    e1.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === 8, "8 subspaces")
+      assert(codes.forall(c => c >= 0 && c < 16), "4-bit codes")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("PQ training: sampled Lloyd lowers reconstruction error vs the seed codebook") {
+    val seed = graft.queries.PqAnn.sampleObjective(spark, sf, trained = false)
+    val trained = graft.queries.PqAnn.sampleObjective(spark, sf, trained = true)
+    assert(trained <= seed,
+      s"k-means monotonicity violated on the training sample: $trained > $seed")
+    assert(trained < seed, s"training should strictly improve here: $trained vs $seed")
+  }
+
+  test("PQ ADC search: deterministic, reranked, recall vs brute force") {
+    val brute = SparkEntry.queries("p06_ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = SparkEntry.queries("p28_ann_pq")(spark, sf).collect()
+    val pq2 = SparkEntry.queries("p28_ann_pq")(spark, sf).collect()
+    assert(pq1.map(_.toString).toSeq === pq2.map(_.toString).toSeq, "must be deterministic")
+    pq1.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse, "per-query cosine must be reranked")
+    }
+    val hits = pq1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"PQ-ADC recall vs brute force too low: $hits/${brute.size}")
+  }
 }

@@ -82,4 +82,24 @@ class StreamingSuite extends AnyFunSuite {
       s"dedup must emit each key exactly once (got ${streamed.size}, want ${batch.size})")
     assert(streamed === batch)
   }
+
+  test("stream-static enrichment join equals the batch join + aggregation") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.enrichedSegmentSpend(s, TestSpark.sfDir).collect().toSeq
+    val dim = Tables.df(s, TestSpark.sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .join(dim, Seq("user_id"))
+      .groupBy(date_trunc("day", col("ts")).as("day_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+      .orderBy("day_start", "c_mktsegment")
+      .collect().toSeq
+    assert(streamed.size === batch.size,
+      s"append mode must emit each (day, segment) exactly once " +
+        s"(got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
 }
