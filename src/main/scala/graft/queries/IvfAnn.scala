@@ -99,13 +99,13 @@ object IvfAnn {
       .agg(avg(col("best"))).head().getDouble(0)
   }
 
-  private def scoreAgainst(s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def scoreAgainst(s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         graft.functions.CosineSimilarity(s, col("embedding"), col("ce")).as("cos"))
 
   /** Deterministic seed: the first NumCells vectors. */
-  private def seedCentroids(e: DataFrame): DataFrame =
+  private[queries] def seedCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
 
@@ -113,7 +113,7 @@ object IvfAnn {
     * TrainIters times. Every stage is a distributed aggregate; the only
     * materialized object is the NumCells-row centroid table per iteration.
     */
-  private def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+  private[queries] def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
     val sample = e.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0)
     var cents = seedCentroids(e)
     for (_ <- 1 to TrainIters) {

@@ -40,22 +40,24 @@ object PqAnn {
   private val NumQueries = 5
   private val Shortlist = 20 // ADC candidates kept for exact rerank
   private val TopK = 3
+  private val IvfProbe = 4   // coarse cells probed per query in p29
 
   val entries: Seq[QE] = Seq(
     QE("p27_pq_encode", None, (s, d) => encode(s, d)),
-    QE("p28_ann_pq", None, (s, d) => query(s, d)))
+    QE("p28_ann_pq", None, (s, d) => query(s, d)),
+    QE("p29_ann_ivfpq", None, (s, d) => ivfPqQuery(s, d)))
 
   /** Squared L2 between two float vectors, as a deterministic left-to-right
     * fold (0.0-seeded; 0.0 + x is exact, so the fold order is the array
     * order on both engines).
     */
-  private def l2sq(a: Column, b: Column): Column =
+  private[queries] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
   /** (vec_id, m, sub): each vector exploded into its M subvectors. */
-  private def subvectors(e: DataFrame): DataFrame =
+  private[queries] def subvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       posexplode(array((0 until M).map(m =>
         slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
@@ -70,7 +72,7 @@ object PqAnn {
   /** Per-(vector, subspace) nearest centroid: broadcast codebook join,
     * argmin by (distance, cid) — fully deterministic ties.
     */
-  private def assign(subs: DataFrame, books: DataFrame): DataFrame =
+  private[queries] def assign(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("sub"), col("cid"),
         l2sq(col("sub"), col("ce")).as("dist"))
@@ -178,5 +180,66 @@ object PqAnn {
     val sample = e.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0)
     encode(s, sample, trained)
       .agg(avg(col("recon_err"))).head().getDouble(0)
+  }
+
+  /** p29: IVF-PQ — the composed architecture a 100 TB vector store actually
+    * deploys, assembled from the two independently-tested halves. The IVF
+    * coarse quantizer (p22's trained centroids) routes each query to its
+    * `NProbe` nearest cells; within those cells only, vectors are scored by
+    * PQ asymmetric distance through their 8 codes (this is the flat-codebook
+    * IVF-PQ variant — production systems often encode residuals against the
+    * cell centroid for tighter codes; the routing/scoring plan is identical);
+    * the shortlist is exact-cosine reranked. At scale the codes table is
+    * bucketed by cell, so a query reads NProbe buckets of 4-byte codewords —
+    * neither the full corpus nor any raw embedding outside the final rerank.
+    */
+  def ivfPqQuery(s: SparkSession, d: String): DataFrame =
+    ivfPqQuery(s, d, (0L, NumQueries.toLong))
+
+  def ivfPqQuery(s: SparkSession, d: String, queryRange: (Long, Long)): DataFrame = {
+    val e = Tables.df(s, d, "embeddings")
+    // coarse routing (IVF): one broadcast-centroid scan assigns cells
+    val cents = IvfAnn.trainCentroids(s, e)
+    val scored = IvfAnn.scoreAgainst(s, e, cents)
+    val cells = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
+    val probes = scored
+      .filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
+      .filter(col("_rn") <= IvfProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    // fine scoring (PQ): codes for vectors in the probed cells only
+    val books = trainCodebooks(s, e)
+    val codes = assign(subvectors(e), books)
+      .select(col("vec_id"), col("m"), col("cid"))
+      .join(cells, Seq("vec_id"))
+    val queries = e.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qtab = subvectors(queries.select(col("qid").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(books), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"), l2sq(col("qsub"), col("ce")).as("qdist"))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qtab), Seq("qid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("qdist")))).as("parts"))
+      // qtab holds every (qid, m, cid) combination, so the join scores all M
+      // subspaces of each candidate; the fold stays subspace-ordered and
+      // bit-stable under any shuffle order
+      .select(col("qid"), col("vec_id"),
+        aggregate(transform(col("parts"), p => p.getField("qdist")),
+          lit(0.0), (acc, v) => acc + v).as("adist"))
+    val wShort = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val shortlist = adc.withColumn("_rn", row_number().over(wShort))
+      .filter(col("_rn") <= Shortlist).select("qid", "vec_id")
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(queries, Seq("qid")).join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.CosineSimilarity(s, col("qe"), col("embedding")).as("cos"))
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") <= TopK).drop("_rn")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 }

@@ -323,4 +323,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size >= 0.2,
       s"PQ-ADC recall vs brute force too low: $hits/${brute.size}")
   }
+
+  test("IVF-PQ: deterministic, reranked, candidates within probed cells only") {
+    val r1 = SparkEntry.queries("p29_ann_ivfpq")(spark, sf).collect()
+    val r2 = SparkEntry.queries("p29_ann_ivfpq")(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq, "must be deterministic")
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs === cs.sorted.reverse, "per-query cosine must be reranked")
+    }
+    // composing IVF routing over the PQ scorer can only shrink the candidate
+    // set vs full-corpus ADC: every IVF-PQ hit at equal shortlist should be
+    // one the unrouted ADC search (p28) could also reach or better — so
+    // recall vs brute force stays in the same regime
+    val brute = SparkEntry.queries("p06_ann_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = r1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"IVF-PQ recall vs brute force too low: $hits/${brute.size}")
+  }
 }
