@@ -475,5 +475,40 @@ object DsShapes {
           .select(col("l_suppkey"), col("mon"), col("sd"),
             (col("sd") / col("mean_q")).as("cov"))
           .orderBy("l_suppkey", "mon")
-      }))
+      }),
+
+    // DS q36 shape: ROLLUP over a product hierarchy with RANK within each
+    // grouping LEVEL — the window partitions on GROUPING() outputs, so
+    // detail rows rank against siblings under the same parent while
+    // subtotal rows rank against other subtotals. One fact scan (broadcast
+    // dim join), one rollup aggregation, one window over the ~|types x
+    // brands| aggregate — the window never sees fact rows. The ratio is a
+    // single double division of exact decimal sums (bit-identical across
+    // engines); ORDER BY pins NULLS FIRST because DuckDB's ASC default is
+    // NULLS LAST, Spark's is NULLS FIRST.
+    {
+      val rollupRankSql = s"""
+      WITH g AS (
+        SELECT CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT) AS grp_level,
+               p_type, p_brand,
+               CAST(GROUPING(p_brand) AS INT) AS gb,
+               ${Q.oSumRev("l_extendedprice", "l_discount")} AS revs,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qtys
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP(p_type, p_brand))
+      SELECT grp_level, p_type, p_brand, revs / qtys AS ratio,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM (SELECT *, RANK() OVER (
+              PARTITION BY grp_level, CASE WHEN gb = 0 THEN p_type END
+              ORDER BY revs / qtys DESC) AS rnk FROM g)
+      WHERE rnk <= 3
+      ORDER BY grp_level, p_type NULLS FIRST, p_brand NULLS FIRST"""
+      QE("q121_ds_rollup_rank", Some(rollupRankSql),
+        // The rollup output feeding a window keyed on grouping columns trips
+        // the DataFrame ambiguous-self-join guard (as with q115); the same
+        // text through the parser resolves cleanly and yields the identical
+        // plan: broadcast dim join -> one rollup aggregate -> window over
+        // the ~|types x brands| aggregate only, never over fact rows.
+        (s, d) => { Tables.views(s, d); s.sql(rollupRankSql) })
+    })
 }
