@@ -151,5 +151,58 @@ object Corpus {
           .filter(col("rnk") <= TopKeywords)
           .select("doc_id", "rnk", "tok", "tf", "df", "score")
           .orderBy("doc_id", "rnk")
-      }))
+      }),
+
+    // Source-mixture sampling weights — the knob a training run turns to
+    // rebalance domains (web/code/books/...) before sampling. Per-source
+    // exact token counts (one scan, BIGINT-exact partial aggregation),
+    // then the temperature-scaled relative weight sqrt(tokens_s) /
+    // sqrt(max tokens) — alpha=0.5 mixture flattening spelled with sqrt,
+    // not pow(x, 0.5): IEEE sqrt is correctly rounded in every engine so
+    // the oracle compares bit-exact, while pow is not so guaranteed. The
+    // cross-source max rides a window over the ~|sources| aggregate (max
+    // is order-insensitive — exact under any partitioning, unlike a
+    // double sum). At 100 TB this is one corpus scan into a KB-sized
+    // aggregate; the weights then drive p17-style stratified sampling.
+    QE("p30_mixture_weights", Some("""
+      SELECT source, n_docs, tokens,
+             sqrt(CAST(tokens AS DOUBLE)) / sqrt(CAST(MAX(tokens) OVER () AS DOUBLE)) AS w_rel
+      FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tokens
+            FROM documents GROUP BY source)
+      ORDER BY source"""),
+      (s, d) => {
+        val perSrc = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(toks(col("text"))).cast("long")).as("tokens"))
+        val w = Window.partitionBy()
+        perSrc.select(col("source"), col("n_docs"), col("tokens"),
+            (sqrt(col("tokens").cast("double")) /
+              sqrt(max(col("tokens")).over(w).cast("double"))).as("w_rel"))
+          .orderBy("source")
+      }),
+
+    // First BPE merge step — vocabulary induction's inner loop: count
+    // adjacent character pairs across every token occurrence and surface
+    // the merge candidates. Pure expression expansion (explode tokens →
+    // per-token pair array via sequence+transform) into a partial-agg'd
+    // count — one scan, one shuffle of (pair, partial-count) rows, never
+    // materializing per-occurrence pairs across the wire beyond the
+    // map-side combine. Deterministic tie-break on the pair itself.
+    QE("p31_bpe_pair_stats", Some("""
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT substring(t, CAST(i AS INT), 2) AS pair FROM (
+          SELECT t, unnest(range(1, length(t))) AS i FROM (
+            SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+          WHERE length(t) >= 2))
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 10"""),
+      (s, d) => t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("t"))
+        .where(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(10)))
 }

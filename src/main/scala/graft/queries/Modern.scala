@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QE, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Modern-SQL surface the reference era predates: LATERAL correlated
+  * subqueries in FROM (reference grammar has only LATERAL VIEW,
+  * AstBuilder.scala:916-936), GROUP BY ALL, LIMIT ... OFFSET pagination,
+  * UNION by column NAME with missing-column fill, and the MAP column
+  * constructors/accessors. Each runs the same shape in DuckDB as the
+  * oracle, so all five are hash-exact-checkable.
+  */
+object Modern {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val entries: Seq[QE] = Seq(
+    // SQL-standard LATERAL correlated subquery in FROM — top-2 customers
+    // per nation by balance. Catalyst decorrelates the LATERAL into a
+    // ranked window join (DecorrelateInnerQuery), so the plan is one
+    // customer scan + per-nation rank, never a per-nation re-scan: at
+    // 1000 nations x 100 TB the naive interpretation is 1000 scans, the
+    // decorrelated plan is one. Tie-break on c_custkey inside the LIMIT,
+    // then a fully-deterministic outer ORDER BY.
+    QE("q122_lateral_join", Some("""
+      SELECT n_name, c_name, c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n_name, c_acctbal DESC, c_name"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT n_name, c_name, c_acctbal
+          FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          ORDER BY n_name, c_acctbal DESC, c_name""")
+      }),
+
+    // GROUP BY ALL — group keys inferred from the non-aggregate select
+    // list. Same physical plan as the explicit form (partial agg +
+    // exchange on the inferred keys); the construct is purely analysis-
+    // time, so it costs nothing at scale.
+    QE("q123_group_by_all", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""")
+      }),
+
+    // LIMIT ... OFFSET pagination over a total order. Spark plans the
+    // combination as a single GlobalLimit(offset+limit) with the offset
+    // applied after the take — still a top-(k+offset) per partition plus
+    // one final merge, never a global sort materialization. (Deep
+    // pagination at 100 TB should keyset-paginate on the sort key
+    // instead — the plan cost grows with offset — but the operator
+    // itself is the right primitive for bounded pages.)
+    QE("q124_limit_offset", Some("""
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20""")
+      }),
+
+    // UNION by column NAME across heterogeneous schemas: the supplier
+    // side lists its columns in a different order and lacks `bal`;
+    // unionByName(allowMissingColumns) aligns by name and null-fills.
+    // Resolution is analysis-time only — the physical plan is the same
+    // zero-shuffle UnionExec as a positional UNION ALL.
+    QE("q125_union_by_name", Some("""
+      SELECT * FROM (
+        SELECT 'c' AS src, c_custkey AS id, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL BY NAME
+        SELECT s_name AS name, 's' AS src, s_suppkey AS id
+        FROM supplier WHERE s_suppkey <= 50)
+      ORDER BY src, id"""),
+      (s, d) => {
+        val cust = t(s, d, "customer").where(col("c_custkey") <= 100)
+          .select(lit("c").as("src"), col("c_custkey").as("id"),
+            col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val supp = t(s, d, "supplier").where(col("s_suppkey") <= 50)
+          .select(col("s_name").as("name"), lit("s").as("src"),
+            col("s_suppkey").as("id"))
+        cust.unionByName(supp, allowMissingColumns = true)
+          .orderBy("src", "id")
+      }),
+
+    // MAP columns: construct from arrays, access by key, enumerate keys.
+    // The map is built and consumed inside one projection — codegen'd
+    // expressions end-to-end, no shuffle. Output flattens to plain
+    // columns so the oracle (which computes the same values directly)
+    // compares engine-neutrally.
+    QE("q126_map_functions", Some("""
+      SELECT vec_id, CAST(len(embedding) AS DOUBLE) AS dim_v,
+             CAST(label AS DOUBLE) AS lbl_v,
+             CAST(2 AS BIGINT) AS nkeys, 'dim,lbl' AS keys
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id"""),
+      (s, d) => t(s, d, "embeddings")
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          map_from_arrays(
+            array(lit("dim"), lit("lbl")),
+            array(size(col("embedding")).cast("double"),
+              col("label").cast("double"))).as("m"))
+        .select(col("vec_id"),
+          element_at(col("m"), "dim").as("dim_v"),
+          element_at(col("m"), "lbl").as("lbl_v"),
+          size(col("m")).cast("long").as("nkeys"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy("vec_id")))
+}
