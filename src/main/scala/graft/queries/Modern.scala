@@ -122,5 +122,52 @@ object Modern {
           element_at(col("m"), "lbl").as("lbl_v"),
           size(col("m")).cast("long").as("nkeys"),
           array_join(map_keys(col("m")), ",").as("keys"))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // UNPIVOT — PIVOT's (q27) inverse: wide per-nation metrics melt into
+    // (metric, value) rows. Plans as a zero-shuffle Expand over the
+    // aggregate (each input row fans out to |metrics| rows in place), so
+    // at scale the cost is the aggregation, not the reshape.
+    QE("q127_unpivot", Some("""
+      SELECT n_name, metric, val FROM (
+        SELECT n_name,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      UNPIVOT (val FOR metric IN (bal, cnt))
+      ORDER BY n_name, metric"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT n_name, metric, val FROM (
+            SELECT n_name,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+          UNPIVOT (val FOR metric IN (bal, cnt))
+          ORDER BY n_name, metric""")
+      }),
+
+    // VARIANT — Spark 4's semi-structured type: parse once into the
+    // binary variant encoding, then typed path extraction
+    // (`variant_get`) and schema inference (`schema_of_variant`), all
+    // codegen'd expressions over the string column — the open-schema
+    // counterpart to q67's fixed-path get_json_object. The oracle pins
+    // the same values via DuckDB's JSON operators (and the inferred
+    // schema/nested-path results as constants the data guarantees).
+    QE("q128_variant", Some("""
+      SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val,
+             'OBJECT<k: BIGINT>' AS sch, CAST(2 AS INT) AS nested
+      FROM events WHERE event_id < 50 ORDER BY event_id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT event_id,
+                 variant_get(parse_json(props), '$.k', 'bigint') AS k_val,
+                 schema_of_variant(parse_json(props)) AS sch,
+                 variant_get(parse_json('{"a":{"b":[1,2,3]}}'), '$.a.b[1]', 'int') AS nested
+          FROM events WHERE event_id < 50 ORDER BY event_id""")
+      }))
 }

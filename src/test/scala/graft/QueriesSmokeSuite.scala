@@ -94,5 +94,24 @@ class QueriesSmokeSuite extends AnyFunSuite {
     val q118 = plan("q118_ds_return_ratio_rank")
     assert("FileScan".r.findAllIn(q118).size == 1, s"q118 must scan once:\n$q118")
     assert(q118.contains("Window"), s"q118 must plan a rank window:\n$q118")
+    // q121's rank window must consume the rollup AGGREGATE (Expand feeds
+    // HashAggregate feeds Window), never fact rows, and the rank<=3 filter
+    // must push into the sort as a WindowGroupLimit
+    val q121 = plan("q121_ds_rollup_rank")
+    assert(q121.contains("Expand"), s"q121 must plan a rollup Expand:\n$q121")
+    assert(q121.contains("WindowGroupLimit"),
+      s"q121 must push rank<=3 into WindowGroupLimit:\n$q121")
+    assert(q121.contains("BroadcastHashJoin"), s"q121 dim must broadcast:\n$q121")
+  }
+
+  test("LATERAL subquery decorrelates to one scan + rank window") {
+    val df = SparkEntry.queries("q122_lateral_join")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one customer scan total — the naive reading is |nation| re-scans
+    assert("customer\\.parquet".r.findAllIn(plan).size == 1,
+      s"q122 must scan customer exactly once:\n$plan")
+    assert(plan.contains("Window"), s"q122 must decorrelate to a rank window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q122 must not plan a nested loop:\n$plan")
   }
 }
