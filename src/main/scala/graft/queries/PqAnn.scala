@@ -82,6 +82,23 @@ object PqAnn {
       .select(col("vec_id"), col("m"), col("best.cid").as("cid"),
         col("best.dist").as("dist"), col("best.sub").as("sub"))
 
+  /** Trained codebooks are a build-once artifact (fit offline, shipped
+    * with the index — never re-fit per query); memoized per dataset dir
+    * exactly like IvfAnn's coarse quantizer. Training is deterministic,
+    * so the memo changes no result.
+    */
+  private val bookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, List[Float])]]
+
+  private def trainedBooks(s: SparkSession, d: String): DataFrame = {
+    val rows = bookCache.getOrElseUpdate(d,
+      trainCodebooks(s, Tables.df(s, d, "embeddings")).collect().toSeq
+        .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
+          r.getSeq[Float](r.fieldIndex("ce")).toList)))
+    import s.implicits._
+    rows.toDF("m", "cid", "ce")
+  }
+
   /** Sampled per-subspace Lloyd fit (k-means proper: L2 assignment, plain
     * elementwise means in exact decimal).
     */
@@ -111,10 +128,12 @@ object PqAnn {
     * double is bit-stable run to run).
     */
   def encode(s: SparkSession, d: String): DataFrame =
-    encode(s, Tables.df(s, d, "embeddings"), trained = true)
+    encodeWith(s, Tables.df(s, d, "embeddings"), trainedBooks(s, d))
 
-  def encode(s: SparkSession, e: DataFrame, trained: Boolean): DataFrame = {
-    val books = if (trained) trainCodebooks(s, e) else seedCodebooks(e)
+  def encode(s: SparkSession, e: DataFrame, trained: Boolean): DataFrame =
+    encodeWith(s, e, if (trained) trainCodebooks(s, e) else seedCodebooks(e))
+
+  private def encodeWith(s: SparkSession, e: DataFrame, books: DataFrame): DataFrame = {
     assign(subvectors(e), books)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("dist")))).as("parts"))
@@ -138,7 +157,7 @@ object PqAnn {
   def query(s: SparkSession, d: String, trained: Boolean,
       queryRange: (Long, Long)): DataFrame = {
     val e = Tables.df(s, d, "embeddings")
-    val books = if (trained) trainCodebooks(s, e) else seedCodebooks(e)
+    val books = if (trained) trainedBooks(s, d) else seedCodebooks(e)
     val codes = assign(subvectors(e), books)
       .select(col("vec_id"), col("m"), col("cid"))
     val queries = e.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
@@ -199,7 +218,7 @@ object PqAnn {
   def ivfPqQuery(s: SparkSession, d: String, queryRange: (Long, Long)): DataFrame = {
     val e = Tables.df(s, d, "embeddings")
     // coarse routing (IVF): one broadcast-centroid scan assigns cells
-    val cents = IvfAnn.trainCentroids(s, e)
+    val cents = IvfAnn.trainedCentroids(s, d)
     val scored = IvfAnn.scoreAgainst(s, e, cents)
     val cells = scored.groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
@@ -210,7 +229,7 @@ object PqAnn {
       .filter(col("_rn") <= IvfProbe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     // fine scoring (PQ): codes for vectors in the probed cells only
-    val books = trainCodebooks(s, e)
+    val books = trainedBooks(s, d)
     val codes = assign(subvectors(e), books)
       .select(col("vec_id"), col("m"), col("cid"))
       .join(cells, Seq("vec_id"))
