@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * prune all columns and under-measure projection-type queries.
   *
   * Self-defense (round-4 lesson: BENCH_r04.json was rc:124 with nothing
-  * parseable): the result line is re-emitted CUMULATIVELY after every
-  * timed query, so a timeout/kill at any point still leaves the driver a
-  * parseable line covering everything measured so far; the last line wins
-  * and carries "partial":false only when the full suite completed.
+  * parseable; round-5 lesson: the full 148-entry result line is ~4 KB, so
+  * the driver artifact's 2 KB stdout tail held a HEAD-TRUNCATED line and
+  * recorded "parsed": null): on completion OR kill the full result line is
+  * printed, followed by a compact <300-byte summary line (totals + counts,
+  * no per-query map) that always fits whole inside any tail window — a
+  * tail-parser finds a complete JSON line in every outcome. The full
+  * per-query record is additionally written to bench_full.json in the
+  * working directory so it survives independent of stdout capture.
   */
 object Bench {
   /** Streaming entries pay a fixed state-store/checkpoint setup cost per
@@ -70,12 +74,25 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
-      val qs = best.synchronized {
-        best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val (qs, total, n) = best.synchronized {
+        (best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
+          if (best.nonEmpty) best.values.sum else 0.0,
+          best.size)
       }
-      val total = best.synchronized { if (best.nonEmpty) best.values.sum else 0.0 }
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}""")
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}"""
+      println(full)
+      // compact trailer: same totals plus only the 8 slowest entries —
+      // guaranteed to fit complete inside a size-bounded stdout tail (see
+      // scaladoc), and the slow tail is what per-entry triage needs first
+      val worst = best.synchronized {
+        best.toSeq.sortBy(-_._2).take(8)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      }
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$worst,"n_queries":$n,"sf":"$sfDir","partial":$partial,"full_record":"bench_full.json"}""")
       System.out.flush()
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+      catch { case _: Throwable => } // read-only cwd must not kill the emit
     }
     // the driver kills an over-time bench with SIGTERM (rc 124) — the JVM
     // still runs shutdown hooks, so everything measured so far reaches

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Access to the driver-generated parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -15,25 +15,72 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS); Spark has no
-    * nanosecond timestamp type. We read it via the long-nanos escape hatch and
-    * normalize to a microsecond TimestampType column so every downstream
-    * operator sees a plain timestamp. `div` is exact long division — a double
-    * `/` here would lose 1µs on ~12% of rows because nanos ~1.7e18 > 2^53.
+  /** The driver's `events.parquet` has shipped `ts` in two on-disk formats so
+    * far — parquet TIMESTAMP(NANOS) (rounds ≤4) and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (round 5+, which Spark reads as TIMESTAMP_NTZ).
+    * Normalize BY ACTUAL TYPE so every downstream operator sees a plain
+    * session-zone TimestampType column regardless of which format the driver
+    * generated:
+    *  - LongType: the nanos escape hatch fired — exact long division to µs
+    *    (a double `/` would lose 1µs on ~12% of rows; nanos ~1.7e18 > 2^53).
+    *  - TimestampNTZType: every entrypoint (Bench/Verify/Serve/tests) pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast is a value-preserving
+    *    wall-clock reinterpretation.
+    * Silently mishandling a third future format is how round 5 lost its whole
+    * event-time family, so [[assertSaneEventTime]] (memoized per dir in
+    * [[df]]) fails loudly rather than letting 1970-range values flow on.
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType)) {
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else df
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** Loud format-drift tripwire: all driver-generated event data lives well
+    * after 2000-01-01; a mis-scaled read collapses into 1970. Run once per
+    * events dir per JVM (from [[df]]) and by the drift regression suite.
+    */
+  def assertSaneEventTime(df: DataFrame): Unit = {
+    val schema = df.schema("ts").dataType
+    require(schema == TimestampType,
+      s"events.ts normalized to $schema, expected TimestampType — " +
+        "driver data format drifted; update Tables.normalizeTs")
+    val maxTs = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    require(maxTs > 946684800000000L, // 2000-01-01T00:00Z in µs
+      s"events.ts max is ${java.time.Instant.ofEpochMilli(maxTs / 1000)} — " +
+        "event time collapsed (mis-scaled read); update Tables.normalizeTs")
+  }
+
+  private val saneDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      // Deterministically opt into the long-nanos read rather than
-      // try/catch-ing (which would mask unrelated read failures).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTs(spark.read.parquet(path))
+      val norm = normalizeTs(rawEvents(spark, sfDir))
+      // one cheap max() scan per dir per JVM — the price of never again
+      // silently shipping a 1000x-dilated event-time family
+      if (saneDirs.add(path)) {
+        try assertSaneEventTime(norm)
+        catch { case e: Throwable => saneDirs.remove(path); throw e }
+      }
+      norm
     } else spark.read.parquet(path)
+  }
+
+  /** The events table as Spark reads it off disk, pre-normalization: nanos
+    * files surface `ts` as LongType (via the legacy escape hatch), micros/NTZ
+    * files as TimestampNTZType. The streaming path reads with this schema so
+    * both paths share one normalization and drift together.
+    */
+  private[graft] def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // Deterministically opt into the long-nanos read rather than
+    // try/catch-ing (which would mask unrelated read failures).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
   }
 
   // weak keys: long-lived servers create a session per connection — a

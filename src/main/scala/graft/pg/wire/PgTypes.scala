@@ -104,7 +104,7 @@ object PgTypes {
   def binaryCapable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | BinaryType | DateType |
-        TimestampType | CalendarIntervalType => true
+        TimestampType | TimestampNTZType | CalendarIntervalType => true
     case _ => false
   }
 }

@@ -145,6 +145,12 @@ object RowCodec {
         .getTotalSeconds
       b.putInt(8); b.putLong(micros + offsetSec * 1000000L - PgTypes.PG_EPOCH_MICROS)
     }
+    case (TimestampNTZType, true) => (r, b) => {
+      // NTZ micros are already wall-clock — 1114's binary value needs only
+      // the PG-epoch shift, no session-zone adjustment (contrast the LTZ
+      // case above)
+      b.putInt(8); b.putLong(r.getLong(i) - PgTypes.PG_EPOCH_MICROS)
+    }
     case (CalendarIntervalType, true) => (r, b) => {
       // PG interval_recv wire order: time-in-day micros (int64), days
       // (int32), months (int32) — not the struct's field order

@@ -510,5 +510,146 @@ object DsShapes {
         // plan: broadcast dim join -> one rollup aggregate -> window over
         // the ~|types x brands| aggregate only, never over fact rows.
         (s, d) => { Tables.views(s, d); s.sql(rollupRankSql) })
-    })
+    },
+
+    // DS q64 shape: the multi-round-trip — (customer, part) pairs bought in
+    // TWO different years at a DECREASING average price. The DS original
+    // builds the same CTE twice and self-joins (two full fact passes +
+    // a shuffle join of the two copies); conditional aggregation linearizes
+    // it to ONE lineitem⋈orders pass and one (custkey, partkey) shuffle,
+    // with both years' averages falling out of the same group — the same
+    // linearization family as q110/q112. Averages divide exact decimal sums
+    // by exact counts in DOUBLE, so both engines divide identical operands.
+    QE("q129_ds_repeat_purchase", Some("""
+      WITH pp AS (
+        SELECT o_custkey, l_partkey,
+               SUM(CASE WHEN CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1996
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s96,
+               COUNT(*) FILTER (WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1996) AS n96,
+               SUM(CASE WHEN CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1997
+                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS s97,
+               COUNT(*) FILTER (WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1997) AS n97
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey)
+      SELECT o_custkey AS custkey, l_partkey AS partkey,
+             CAST(s96 AS DOUBLE) / n96 AS avg96,
+             CAST(s97 AS DOUBLE) / n97 AS avg97
+      FROM pp
+      WHERE n96 > 0 AND n97 > 0
+        AND CAST(s97 AS DOUBLE) / n97 < CAST(s96 AS DOUBLE) / n96
+      ORDER BY custkey, partkey"""),
+      (s, d) => {
+        val yr = year(col("o_orderdate"))
+        val price = col("l_extendedprice").cast(Q.dec)
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(
+            sum(when(yr === 1996, price)).as("s96"),
+            count(when(yr === 1996, 1)).as("n96"),
+            sum(when(yr === 1997, price)).as("s97"),
+            count(when(yr === 1997, 1)).as("n97"))
+          .filter(col("n96") > 0 && col("n97") > 0)
+          .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"),
+            (col("s96").cast(DoubleType) / col("n96")).as("avg96"),
+            (col("s97").cast(DoubleType) / col("n97")).as("avg97"))
+          .filter(col("avg97") < col("avg96"))
+          .orderBy("custkey", "partkey")
+      }),
+
+    // DS q78 shape: cross-channel anti-correlation — customers whose
+    // urgent-priority spend GREW year-over-year while routine spend FELL.
+    // The DS original computes each (channel, year) series as its own CTE
+    // and chains three joins (four fact passes); here all four series are
+    // conditional aggregates of ONE orders scan with a single custkey
+    // shuffle. Growth ratios divide exact decimal sums in DOUBLE.
+    QE("q130_ds_channel_anticorr", Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1996
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS u96,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1997
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS u97,
+               SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1996
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r96,
+               SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) = 1997
+                   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r97
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey AS custkey,
+             CAST(u97 AS DOUBLE) / CAST(u96 AS DOUBLE) AS urgent_growth,
+             CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE) AS routine_growth
+      FROM per
+      WHERE u96 IS NOT NULL AND u97 IS NOT NULL
+        AND r96 IS NOT NULL AND r97 IS NOT NULL
+        AND CAST(u97 AS DOUBLE) > CAST(u96 AS DOUBLE)
+        AND CAST(r97 AS DOUBLE) < CAST(r96 AS DOUBLE)
+      ORDER BY custkey"""),
+      (s, d) => {
+        val yr = year(col("o_orderdate"))
+        val urgent = col("o_orderpriority") === "1-URGENT"
+        val v = col("o_totalprice").cast(Q.dec)
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(when(urgent && yr === 1996, v)).as("u96"),
+            sum(when(urgent && yr === 1997, v)).as("u97"),
+            sum(when(!urgent && yr === 1996, v)).as("r96"),
+            sum(when(!urgent && yr === 1997, v)).as("r97"))
+          .filter(col("u96").isNotNull && col("u97").isNotNull &&
+            col("r96").isNotNull && col("r97").isNotNull &&
+            col("u97").cast(DoubleType) > col("u96").cast(DoubleType) &&
+            col("r97").cast(DoubleType) < col("r96").cast(DoubleType))
+          .select(col("o_custkey").as("custkey"),
+            (col("u97").cast(DoubleType) / col("u96").cast(DoubleType)).as("urgent_growth"),
+            (col("r97").cast(DoubleType) / col("r96").cast(DoubleType)).as("routine_growth"))
+          .orderBy("custkey")
+      }),
+
+    // DS q47 shape: monthly deviation-from-yearly-average with lag/lead
+    // context — months where a nation's revenue spikes >1.2x its own
+    // yearly mean, reported with the neighbouring months' revenue. Three
+    // window functions (avg, lag, lead) over the SAME aggregated
+    // (nation, year, month) series: the fact table shuffles once into the
+    // aggregate; every window sees O(nations x months) rows, never facts;
+    // dims broadcast. Mean divides exact decimal sums by counts in DOUBLE.
+    QE("q131_ds_monthly_deviation", Some("""
+      WITH nm AS (
+        SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, yr, mon),
+      w AS (
+        SELECT n_name, yr, mon, CAST(rev AS DOUBLE) AS rev,
+               CAST(SUM(rev) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY n_name, yr) AS yr_avg,
+               CAST(lag(rev) OVER (PARTITION BY n_name ORDER BY yr, mon) AS DOUBLE) AS prev_rev,
+               CAST(lead(rev) OVER (PARTITION BY n_name ORDER BY yr, mon) AS DOUBLE) AS next_rev
+        FROM nm)
+      SELECT n_name, yr, mon, rev, yr_avg, prev_rev, next_rev
+      FROM w WHERE rev > 1.2 * yr_avg
+      ORDER BY n_name, yr, mon"""),
+      (s, d) => {
+        val nm = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+          .agg(sum(col("o_totalprice").cast(Q.dec)).as("_rev"))
+        val wy = Window.partitionBy("n_name", "yr")
+        val ws = Window.partitionBy("n_name").orderBy("yr", "mon")
+        nm.select(col("n_name"), col("yr"), col("mon"),
+            col("_rev").cast(DoubleType).as("rev"),
+            (sum(col("_rev")).over(wy).cast(DoubleType) /
+              count(lit(1)).over(wy)).as("yr_avg"),
+            lag(col("_rev"), 1).over(ws).cast(DoubleType).as("prev_rev"),
+            lead(col("_rev"), 1).over(ws).cast(DoubleType).as("next_rev"))
+          .filter(col("rev") > lit(1.2) * col("yr_avg"))
+          .orderBy("n_name", "yr", "mon")
+      }))
 }

@@ -125,7 +125,11 @@ object PqAnn {
 
   /** p27: every vector as its 8 codes + exact reconstruction error (the sum
     * of per-subspace quantization errors, folded in subspace order so the
-    * double is bit-stable run to run).
+    * double is bit-stable run to run). `codes` is emitted as the
+    * comma-joined string "c0,c1,...,c7" rather than a raw array column —
+    * the driver's rows-only checker sorts output columns and a numpy array
+    * cell is unhashable/unsortable there (CORRECTNESS_r05 p27 err), while
+    * the string is lossless for fixed M and deterministic.
     */
   def encode(s: SparkSession, d: String): DataFrame =
     encodeWith(s, Tables.df(s, d, "embeddings"), trainedBooks(s, d))
@@ -138,7 +142,8 @@ object PqAnn {
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("dist")))).as("parts"))
       .select(col("vec_id"),
-        transform(col("parts"), p => p.getField("cid")).as("codes"),
+        concat_ws(",",
+          transform(col("parts"), p => p.getField("cid").cast("string"))).as("codes"),
         aggregate(transform(col("parts"), p => p.getField("dist")),
           lit(0.0), (acc, v) => acc + v).as("recon_err"))
       .orderBy("vec_id")

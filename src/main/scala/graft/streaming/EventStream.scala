@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Far-future flush sentinel (2100-01-01 in parquet nanos). Append-mode
+  /** Far-future flush sentinel (2100-01-01 UTC, in epoch micros). Append-mode
     * windows only emit once the watermark passes their end, so a bounded
     * replay would otherwise hold the final ~watermark-delay of windows in
     * state forever. A single sentinel event past every real timestamp — the
@@ -32,7 +32,7 @@ object EventStream {
     * watermark past all real windows; the sentinel itself is filtered out
     * before aggregation so it never forms a group.
     */
-  private val FlushTsNanos = 4102444800000000000L
+  private val FlushTsMicros = 4102444800000000L
   private val FlushType = "__flush__"
 
   /** Pushdown-safe `event_type` predicate. A bare `event_type === t` filter
@@ -49,7 +49,7 @@ object EventStream {
     */
   private def typeIs(t: String): Column =
     col("event_type") === t ||
-      col("ts") >= timestamp_micros(lit(FlushTsNanos / 1000))
+      col("ts") >= timestamp_micros(lit(FlushTsMicros))
 
   /** Tumbling-window counts: 1-hour windows per event_type. */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -225,11 +225,15 @@ object EventStream {
 
   private def runStaged(spark: SparkSession, sfDir: String)(
       agg: DataFrame => DataFrame): DataFrame = {
-    // the file stores ts as TIMESTAMP(NANOS); stream-read it as raw longs
-    // (Tables.df sets the legacy conf) and normalize like the batch path
-    val normalized = Tables.df(spark, sfDir, "events").schema
-    val rawSchema = StructType(normalized.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    // Stream-read with the RAW on-disk schema (long nanos in old driver data,
+    // TIMESTAMP_NTZ micros in round-5+ data) and run it through the same
+    // type-driven normalization as the batch path — one place tracks driver
+    // data-format drift for both. The round-5 event-time collapse came from
+    // this method hardcoding the nanos assumption; Tables.df's sanity assert
+    // (max real ts > 2000-01-01, evaluated below before staging) now fails
+    // loudly on any future drift instead.
+    Tables.df(spark, sfDir, "events") // triggers the memoized drift assert
+    val rawSchema = Tables.rawEvents(spark, sfDir).schema
     val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
 
     // stage a stream directory: the real file (linked, not copied) plus the
@@ -240,26 +244,46 @@ object EventStream {
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>
       Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
+    // the sentinel row's ts must be written in the same raw type the real
+    // file uses, or the two parquet files' schemas diverge and the stream
+    // read fails (or worse, coerces)
+    val flushTs: Any = rawSchema("ts").dataType match {
+      case LongType => FlushTsMicros * 1000L // epoch nanos
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(FlushTsMicros / 1000000L, 0,
+          java.time.ZoneOffset.UTC)
+      case TimestampType =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L))
+      case other => throw new IllegalStateException(
+        s"events.ts raw type $other unsupported — update EventStream.runStaged")
+    }
+    val sentinelVals = rawSchema.fields.map { f =>
+      f.name match {
+        case "ts" => flushTs
+        case "event_type" => FlushType
+        case "value" => 0.0
+        case _ if f.dataType == LongType => -1L
+        case _ => null
+      }
+    }
     val sentinel = spark.createDataFrame(
-      java.util.List.of(Row(-1L, FlushTsNanos, -1L, FlushType, 0.0, null)),
-      rawSchema)
+      java.util.List.of(Row(sentinelVals: _*)), rawSchema)
     val sentinelOut = Files.createTempDirectory("graft_stream_sentinel")
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelOut.toString)
     val part = Files.list(sentinelOut).filter(_.getFileName.toString.endsWith(".parquet"))
       .findFirst().get()
     Files.move(part, dir.resolve("sentinel.parquet"))
 
-    val stream = agg(spark.readStream
-      .schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = agg(Tables.normalizeTs(spark.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString))
       .withWatermark("ts", "2 hours")
       // the sentinel must pass THROUGH the watermark node (to advance it)
       // but never reach the aggregation. Filter on the event-time column:
       // Catalyst pushes non-event-time predicates BELOW the watermark node
       // (which would drop the sentinel before it advances the watermark),
       // but never predicates referencing the watermark attribute itself.
-      .filter(col("ts") < timestamp_micros(lit(FlushTsNanos / 1000))))
+      .filter(col("ts") < timestamp_micros(lit(FlushTsMicros))))
 
     // a streaming query pins its state-store partitioning from this conf at
     // start; scope the stream-sized value to the start call and restore the

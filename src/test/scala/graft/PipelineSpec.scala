@@ -294,7 +294,8 @@ class PipelineSpec extends AnyFunSuite {
     val total = Tables.df(spark, sf, "embeddings").count()
     assert(e1.length.toLong === total, "every vector gets a code word")
     e1.foreach { r =>
-      val codes = r.getSeq[Int](1)
+      // codes ship as the comma-joined string (driver-sortable; see p27 doc)
+      val codes = r.getString(1).split(",").map(_.toInt).toSeq
       assert(codes.length === 8, "8 subspaces")
       assert(codes.forall(c => c >= 0 && c < 16), "4-bit codes")
       assert(r.getDouble(2) >= 0.0)

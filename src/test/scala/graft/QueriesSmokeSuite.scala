@@ -102,6 +102,25 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(q121.contains("WindowGroupLimit"),
       s"q121 must push rank<=3 into WindowGroupLimit:\n$q121")
     assert(q121.contains("BroadcastHashJoin"), s"q121 dim must broadcast:\n$q121")
+    // q129 linearizes DS q64's CTE self-join: both fact tables are scanned
+    // exactly ONCE (the DS original pays two passes over each)
+    val q129 = plan("q129_ds_repeat_purchase")
+    assert("FileScan".r.findAllIn(q129).size == 2, s"q129 must scan each fact once:\n$q129")
+    assert(!q129.contains("CartesianProduct"), s"q129 must stay equi-join:\n$q129")
+    // q130 collapses DS q78's four channel-year passes into one scan + one
+    // custkey shuffle
+    val q130 = plan("q130_ds_channel_anticorr")
+    assert("FileScan".r.findAllIn(q130).size == 1, s"q130 must scan once:\n$q130")
+    assert("Exchange hashpartitioning".r.findAllIn(q130).size == 1,
+      s"q130 must shuffle once:\n$q130")
+    // q131's three windows all consume the aggregated series, with the
+    // nation dim broadcast — no window may sit below the aggregate
+    val q131 = plan("q131_ds_monthly_deviation")
+    assert(q131.contains("Window"), s"q131 must plan windows:\n$q131")
+    assert(q131.contains("BroadcastHashJoin"), s"q131 dims must broadcast:\n$q131")
+    assert(!q131.contains("CartesianProduct"), s"q131 must stay equi-join:\n$q131")
+    assert(q131.indexOf("Window") < q131.indexOf("HashAggregate"),
+      s"q131 windows must run over the aggregate (window above agg in plan):\n$q131")
   }
 
   test("LATERAL subquery decorrelates to one scan + rank window") {

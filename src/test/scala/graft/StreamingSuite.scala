@@ -39,6 +39,23 @@ class StreamingSuite extends AnyFunSuite {
     val again =
       graft.streaming.EventStream.thresholdAlerts(s, TestSpark.sfDir).collect().toSeq
     assert(alerts.map(_.toString) === again.map(_.toString))
+    // value-equality INCLUDING the alert timestamp against the batch window
+    // formulation (q94's oracle shape) — the round-5 data drift produced
+    // right rows with 1970 timestamps, which only a ts-inclusive compare
+    // catches
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .withColumn("cum",
+        sum(col("value").cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+      .filter(col("cum") > 500.0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("user_id", "event_id", "ts", "cum")
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(alerts.map(_.toString) === batch.map(_.toString),
+      "streamed alerts (incl. ts) must equal the batch window formulation")
   }
 
   test("append-mode session stream equals the batch session_window result") {

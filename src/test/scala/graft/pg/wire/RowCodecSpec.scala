@@ -142,6 +142,14 @@ class RowCodecSpec extends AnyFunSuite {
       "2024-01-15 12:34:56")
   }
 
+  test("timestamp_ntz binary is the PG-epoch shift with NO zone adjustment") {
+    val micros = java.time.LocalDateTime.parse("2024-01-15T12:34:56")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val b = payload(write(TimestampNTZType, micros, binary = true))
+    assert(ByteBuffer.wrap(b).getLong === micros - PgTypes.PG_EPOCH_MICROS)
+    assert(PgTypes.binaryCapable(TimestampNTZType))
+  }
+
   test("timestamp text renders in the session zone") {
     val epoch = 0L // 1970-01-01 00:00:00 UTC
     val row = new GenericInternalRow(1)
