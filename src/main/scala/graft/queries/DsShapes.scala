@@ -651,5 +651,94 @@ object DsShapes {
             lead(col("_rev"), 1).over(ws).cast(DoubleType).as("next_rev"))
           .filter(col("rev") > lit(1.2) * col("yr_avg"))
           .orderBy("n_name", "yr", "mon")
+      }),
+
+    // DS q34/q73 shape: order-frequency banding — count orders per
+    // customer, band the counts, count customers per band. Two cascaded
+    // aggregations: the custkey shuffle carries pre-aggregated counts and
+    // the band aggregate is O(bands). The CASE banding is a plain
+    // projection between them — no join, no second fact pass (the DS
+    // original routes through a HAVING + self-join).
+    QE("q136_ds_order_bands", Some("""
+      WITH per AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey),
+      banded AS (
+        SELECT CASE WHEN n_orders <= 5 THEN '01-05'
+                    WHEN n_orders <= 10 THEN '06-10'
+                    WHEN n_orders <= 15 THEN '11-15'
+                    ELSE '16+' END AS band, o_custkey
+        FROM per)
+      SELECT band, COUNT(*) AS n_cust
+      FROM banded GROUP BY band ORDER BY band"""),
+      (s, d) => {
+        val per = t(s, d, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        per.select(
+            when(col("n_orders") <= 5, "01-05")
+              .when(col("n_orders") <= 10, "06-10")
+              .when(col("n_orders") <= 15, "11-15")
+              .otherwise("16+").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_cust"))
+          .orderBy("band")
+      }),
+
+    // DS q15 shape: regions contributing more than a fixed share of global
+    // revenue — an aggregate gated by a scalar subquery over ITSELF. The
+    // per-region rollup is computed once and reused for both the total and
+    // the filter (self-referential CTE, no second fact pass); the 1-row
+    // total broadcasts into the 5-row compare. Share compares in DOUBLE
+    // from exact decimal sums on both sides.
+    QE("q137_ds_region_share", Some("""
+      WITH rr AS (
+        SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name)
+      SELECT r_name, CAST(rev AS DOUBLE) AS revenue
+      FROM rr
+      WHERE CAST(rev AS DOUBLE) > 0.2 * (SELECT CAST(SUM(rev) AS DOUBLE) FROM rr)
+      ORDER BY r_name"""),
+      (s, d) => {
+        val rr = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(sum(col("o_totalprice").cast(Q.dec)).as("rev"))
+        val total = rr.agg(sum(col("rev")).cast(DoubleType).as("_tot"))
+        rr.crossJoin(broadcast(total))
+          .filter(col("rev").cast(DoubleType) > lit(0.2) * col("_tot"))
+          .select(col("r_name"), col("rev").cast(DoubleType).as("revenue"))
+          .orderBy("r_name")
+      }),
+
+    // DS q90 shape: AM/PM activity ratio per user over the events table —
+    // two time-window counts from ONE scan via conditional aggregation
+    // (the DS original cross-joins two scalar-subquery scans), keeping
+    // morning-heavy users. The hour bucket comes from the normalized
+    // event-time column, so this entry also regression-covers the NTZ
+    // ingestion path in a plain batch aggregate.
+    QE("q138_ds_ampm_ratio", Some("""
+      WITH h AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) < 12) AS am,
+               COUNT(*) FILTER (WHERE CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) >= 12) AS pm
+        FROM events GROUP BY user_id)
+      SELECT user_id, am, pm, CAST(am AS DOUBLE) / (am + pm) AS am_frac
+      FROM h WHERE am > 0 AND pm > 0 AND CAST(am AS DOUBLE) / (am + pm) > 0.52
+      ORDER BY user_id"""),
+      (s, d) => {
+        val hr = hour(col("ts"))
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(count(when(hr < 12, 1)).as("am"),
+            count(when(hr >= 12, 1)).as("pm"))
+          .filter(col("am") > 0 && col("pm") > 0)
+          .withColumn("am_frac", col("am").cast(DoubleType) / (col("am") + col("pm")))
+          .filter(col("am_frac") > 0.52)
+          .select("user_id", "am", "pm", "am_frac")
+          .orderBy("user_id")
       }))
 }

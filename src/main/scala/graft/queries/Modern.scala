@@ -169,5 +169,90 @@ object Modern {
                  schema_of_variant(parse_json(props)) AS sch,
                  variant_get(parse_json('{"a":{"b":[1,2,3]}}'), '$.a.b[1]', 'int') AS nested
           FROM events WHERE event_id < 50 ORDER BY event_id""")
+      }),
+
+    // WITH RECURSIVE — Spark 4's recursive CTE (planned as UnionLoop):
+    // bounded-depth reachability over the supplier co-supply graph (edges =
+    // supplier pairs appearing in the same order). Each iteration is one
+    // equi-join of the frontier against the edge list — the standard
+    // relational BFS; the explicit depth bound keeps the UNION ALL
+    // iteration finite on a cyclic graph (Spark additionally guards with
+    // spark.sql.cteRecursionLevelLimit), and the outer DISTINCT collapses
+    // revisits. Identical text runs in DuckDB — recursion semantics agree.
+    {
+      // the high-value predicate is pushed to BOTH self-join scans, cutting
+      // the edge build ~3x — which matters doubly here because the UnionLoop
+      // re-evaluates the edges CTE every iteration (a production deployment
+      // materializes the edge list once; in single-statement SQL the filter
+      // is the available lever)
+      val recursiveSql = """
+      WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey <> b.l_suppkey
+          AND a.l_extendedprice > 50000 AND b.l_extendedprice > 50000),
+      reach(node, depth) AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+        UNION ALL
+        SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 2)
+      SELECT DISTINCT node FROM reach ORDER BY node"""
+      QE("q132_recursive_cte", Some(recursiveSql),
+        (s, d) => { Tables.views(s, d); s.sql(recursiveSql) })
+    },
+
+    // Lateral column alias — a SELECT item referencing an alias defined
+    // earlier in the SAME select list (net -> gross), resolved at analysis
+    // time with the expression inlined once into the projection; no
+    // subquery nesting, no recomputation. Exact decimal term, doubles only
+    // at the output boundary, identical op order in DuckDB.
+    QE("q133_lateral_alias", Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) * 2 AS DOUBLE) AS doubled
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => {
+        Tables.views(s, d)
+        // the Spark text really exercises the lateral alias: `doubled` is
+        // built FROM `net`, not re-derived — the oracle spells it out
+        // because DuckDB inlines identically either way
+        s.sql("""
+          SELECT l_orderkey, l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net,
+                 CAST(net * 2 AS DOUBLE) AS doubled
+          FROM lineitem WHERE l_orderkey < 100
+          ORDER BY l_orderkey, l_linenumber""")
+      }),
+
+    // IDENTIFIER() clause — templated object names without string-splicing
+    // SQL (the injection-safe form of dynamic table dispatch; the
+    // reference's dialect has nothing comparable). The oracle just names
+    // the table directly: IDENTIFIER is pure name resolution, so results
+    // must be identical.
+    QE("q134_identifier_clause", Some("""
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("SELECT r_regionkey, r_name FROM IDENTIFIER('region') ORDER BY r_regionkey")
+      }),
+
+    // Native parameterized SQL — named parameter markers bound through the
+    // session API (spark.sql(text, args)), the engine-level analog of the
+    // PG-wire `$n` binding in A8 (PgParser.bind): the parameter arrives as
+    // a Literal in the analyzed plan, never via string interpolation. The
+    // oracle inlines the same constant.
+    QE("q135_parameterized_sql", Some("""
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_totalprice > 450000 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql(
+          "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price " +
+            "FROM orders WHERE o_totalprice > :minPrice ORDER BY o_orderkey",
+          Map("minPrice" -> 450000))
       }))
 }

@@ -611,12 +611,18 @@ object Pipeline {
     // 11s at sf0.1 and would be quadratic-per-row on real 100k-token
     // documents; the explode form is linear and distributes.
     //
-    // Single-pass since round 6: tokens and bigrams ride ONE explode as
-    // tagged (kind, gram) rows, so the corpus is scanned once and the plan
-    // is two partial-agg'd shuffles ((doc,kind,gram) counts -> per-doc
-    // stats) with no join — the previous two-branch form scanned the
-    // parquet twice and shuffled four times, and was the suite's heaviest
-    // bench entry (29s on the round-5 driver host).
+    // Two independent explode branches, ON PURPOSE. Two single-pass
+    // "optimizations" were measured head-to-head at sf0.1 and both LOST to
+    // this form (A/B in one JVM, 3 iterations): a struct-tagged combined
+    // explode (5.6s vs 3.5s) and a string-concat explode exploiting that
+    // tokens never contain the space a bigram always does (5.6s vs 3.5s).
+    // The combined forms funnel tokens+bigrams through ONE (doc, gram)
+    // aggregation whose per-partition hash state is the union of both
+    // populations, while the branches pipeline independently with narrower
+    // keys — and the duplicated parquet scan they save is the cheapest part
+    // of the plan. The round-5 driver's 29s outlier for this entry was
+    // host degradation amplifying the suite's heaviest (but linear,
+    // correctly-shaped) entry, not plan cost.
     QE("p16_repetition_quality", Some(s"""
       WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
       bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok),
@@ -632,29 +638,24 @@ object Pipeline {
       (s, d) => {
         val ts = toks(col("text"))
         val bgs = wordNgrams(ts, 2)
-        // one explode carries both populations: kind 0 = token, 1 = bigram
-        val tagged = t(s, d, "documents")
-          .select(col("doc_id"), size(ts).as("nt"),
-            explode(concat(
-              transform(ts, x => struct(lit(0).as("k"), x.as("g"))),
-              transform(bgs, x => struct(lit(1).as("k"), x.as("g"))))).as("e"))
-          .select(col("doc_id"), col("nt"), col("e.k").as("k"), col("e.g").as("g"))
-        // A doc with <2 tokens yields no bigram rows at all, so its bigram
-        // aggregates come out 0 (count) / NULL (sum): dup_bigram_frac is
-        // NULL — no repetition evidence — and `keep` treats the bigram test
-        // as passed (mirrored in the oracle's CASE/coalesce). Every doc has
-        // >= 1 token, so no document drops out of the explode entirely.
-        val stats = tagged
-          .groupBy("doc_id", "k", "g")
-          .agg(count(lit(1)).as("c"), first(col("nt")).as("nt"))
-          .groupBy("doc_id")
-          .agg(first(col("nt")).as("nt"),
-            max(when(col("k") === 0, col("c"))).as("topc"),
-            count(when(col("k") === 1, lit(1))).as("nbd"),
-            sum(when(col("k") === 1, col("c"))).as("nb"))
+        // top token count: explode -> (doc, token) counts -> per-doc max
+        val topCnt = t(s, d, "documents")
+          .select(col("doc_id"), size(ts).as("nt"), explode(ts).as("tk"))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"), first(col("nt")).as("nt"))
+          .groupBy("doc_id").agg(max(col("c")).as("topc"), first(col("nt")).as("nt"))
+        // bigram distinct/total: explode -> (doc, bigram) counts -> per-doc.
+        // LEFT join below: a doc with <2 tokens yields no bigram rows at all
+        // (explode of an empty array emits nothing), and an inner join would
+        // silently drop the whole document; it survives with a NULL
+        // dup_bigram_frac instead — no repetition evidence, so `keep` treats
+        // the bigram test as passed (mirrored in the oracle's CASE/coalesce).
+        val bgCnt = t(s, d, "documents")
+          .select(col("doc_id"), explode(bgs).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(count(lit(1)).as("nbd"), sum(col("c")).as("nb"))
         val topFrac = col("topc").cast(DoubleType) / col("nt")
         val dupBg = lit(1.0) - col("nbd").cast(DoubleType) / col("nb")
-        stats
+        topCnt.join(bgCnt, Seq("doc_id"), "left")
           .select(col("doc_id"), topFrac.as("top_token_frac"), dupBg.as("dup_bigram_frac"),
             (topFrac <= 0.20 && coalesce(dupBg <= 0.40, lit(true))).as("keep"))
           .orderBy("doc_id")
