@@ -181,5 +181,22 @@ object Temporal {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       WHERE e.event_type = 'purchase'
       GROUP BY 1, 2 ORDER BY day_start, c_mktsegment"""),
-      (s, d) => graft.streaming.EventStream.enrichedSegmentSpend(s, d)))
+      (s, d) => graft.streaming.EventStream.enrichedSegmentSpend(s, d)),
+
+    // Spark 4 transformWithState (the modern arbitrary-state API, RocksDB
+    // state store, named ValueState per user): every event strictly
+    // exceeding its user's running-max value. The oracle is the batch
+    // window formulation — max over the event-time-ordered preceding rows.
+    // Values pass through unchanged (no arithmetic), so strict-> compares
+    // identical doubles in both engines and the hash check is exact.
+    QE("q139_stream_record_events", Some("""
+      WITH w AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM events)
+      SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value
+      FROM w WHERE prev_max IS NULL OR value > prev_max
+      ORDER BY user_id, event_id"""),
+      (s, d) => graft.streaming.EventStream.recordBreakingEvents(s, d)))
 }

@@ -146,6 +146,67 @@ object EventStream {
   case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   case class CumState(cents: Long, fired: Boolean)
   case class Alert(user_id: Long, event_id: Long, ts: java.sql.Timestamp, cum: Double)
+  case class Rec(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** StatefulProcessor for [[recordBreakingEvents]]: per-user running max
+    * in a single ValueState cell. Spark 4's transformWithState replaces the
+    * flatMapGroupsWithState generation (q94) with named, independently
+    * evolvable state variables on the RocksDB store — this is the modern
+    * arbitrary-state API a production deployment targets, so the engine
+    * exercises both. State is one double per user: O(keys) at any scale.
+    */
+  class RecordBreakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Rec] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var runMax: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      runMax = getHandle.getValueState[Double]("runmax", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Rec] = {
+      val batch = rows.toSeq
+      // same single-batch replay contract as thresholdAlerts: cross-batch
+      // event-time order is not guaranteed, so fail loudly rather than
+      // emit records against a partial history
+      if (runMax.exists() && batch.nonEmpty) {
+        throw new IllegalStateException(
+          s"recordBreakingEvents: user $user got events in a second micro-batch; " +
+            "single-batch replay assumption violated")
+      }
+      val ordered = batch.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      var mx = Double.NegativeInfinity
+      val out = Seq.newBuilder[Rec]
+      for (e <- ordered) {
+        if (e.value > mx) {
+          out += Rec(user, e.event_id, e.ts, e.value)
+          mx = e.value
+        }
+      }
+      if (ordered.nonEmpty) runMax.update(mx)
+      out.result().iterator
+    }
+  }
+
+  /** Per-user record-breaking events via transformWithState — every event
+    * whose value strictly exceeds that user's running maximum. Emission is
+    * a pure function of each user's event-time-ordered history, so the
+    * batch window formulation (value > max over preceding rows) is an
+    * exact oracle.
+    */
+  def recordBreakingEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    runStaged(spark, sfDir, rocksDbState = true) { src =>
+      src.select(col("user_id"), col("event_id"), col("ts"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RecordBreakProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.orderBy("user_id", "event_id")
+  }
 
   /** Custom keyed state via flatMapGroupsWithState — the third streaming
     * construct next to tumbling windows (q95) and session windows (q99):
@@ -223,7 +284,8 @@ object EventStream {
     */
   private val StreamShufflePartitions = "4"
 
-  private def runStaged(spark: SparkSession, sfDir: String)(
+  private def runStaged(spark: SparkSession, sfDir: String,
+      rocksDbState: Boolean = false)(
       agg: DataFrame => DataFrame): DataFrame = {
     // Stream-read with the RAW on-disk schema (long nanos in old driver data,
     // TIMESTAMP_NTZ micros in round-5+ data) and run it through the same
@@ -285,18 +347,35 @@ object EventStream {
       // but never predicates referencing the watermark attribute itself.
       .filter(col("ts") < timestamp_micros(lit(FlushTsMicros))))
 
-    // a streaming query pins its state-store partitioning from this conf at
-    // start; scope the stream-sized value to the start call and restore the
-    // session's batch setting right after
+    // a streaming query pins its state-store partitioning (and provider)
+    // from these confs at start; scope the stream-sized values to the
+    // start call and restore the session's batch settings right after.
+    // transformWithState requires the RocksDB provider (its multi-column-
+    // family state layout is not supported by the default HDFS-backed
+    // store), so that stream opts in per-query.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    if (rocksDbState) {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
     val q =
       try stream.writeStream
         .format("memory")
         .queryName(sink)
         .outputMode("append")
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        if (rocksDbState) {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
+      }
     try {
       // processes the data batch, then the watermark-advance batch that
       // emits + evicts every closed window, before returning

@@ -119,4 +119,28 @@ class StreamingSuite extends AnyFunSuite {
         s"(got ${streamed.size}, want ${batch.size})")
     assert(streamed === batch)
   }
+
+  test("transformWithState record-breaking events equal the batch window form") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.expressions.Window
+    val streamed =
+      graft.streaming.EventStream.recordBreakingEvents(s, TestSpark.sfDir).collect().toSeq
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .withColumn("prev_max", max(col("value")).over(w))
+      .filter(col("prev_max").isNull || col("value") > col("prev_max"))
+      .select("user_id", "event_id", "ts", "value")
+      .orderBy("user_id", "event_id")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.size === batch.size,
+      s"record events must match the window formulation " +
+        s"(got ${streamed.size}, want ${batch.size})")
+    assert(streamed.map(_.toString) === batch.map(_.toString))
+    // re-run is deterministic (RocksDB state + event-time ordering)
+    val again =
+      graft.streaming.EventStream.recordBreakingEvents(s, TestSpark.sfDir).collect().toSeq
+    assert(streamed.map(_.toString) === again.map(_.toString))
+  }
 }
