@@ -684,11 +684,13 @@ object DsShapes {
       }),
 
     // DS q15 shape: regions contributing more than a fixed share of global
-    // revenue — an aggregate gated by a scalar subquery over ITSELF. The
-    // per-region rollup is computed once and reused for both the total and
-    // the filter (self-referential CTE, no second fact pass); the 1-row
-    // total broadcasts into the 5-row compare. Share compares in DOUBLE
-    // from exact decimal sums on both sides.
+    // revenue — an aggregate gated by its OWN total. The oracle spells it
+    // as a scalar subquery over the shared CTE; the Spark side computes
+    // the total as an unpartitioned window over the 5-row rollup, so the
+    // fact side is aggregated exactly ONCE (the naive scalar-subquery
+    // translation re-plans the whole rollup for the total — a second full
+    // fact pass at 100 TB). Share compares in DOUBLE from exact decimal
+    // sums on both sides.
     QE("q137_ds_region_share", Some("""
       WITH rr AS (
         SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
@@ -707,8 +709,10 @@ object DsShapes {
           .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name")
           .agg(sum(col("o_totalprice").cast(Q.dec)).as("rev"))
-        val total = rr.agg(sum(col("rev")).cast(DoubleType).as("_tot"))
-        rr.crossJoin(broadcast(total))
+        // unpartitioned window over the |regions|-row aggregate — NOT over
+        // fact rows; the single-partition exchange carries 5 rows
+        val tot = sum(col("rev")).over(Window.partitionBy()).cast(DoubleType)
+        rr.withColumn("_tot", tot)
           .filter(col("rev").cast(DoubleType) > lit(0.2) * col("_tot"))
           .select(col("r_name"), col("rev").cast(DoubleType).as("revenue"))
           .orderBy("r_name")

@@ -121,6 +121,24 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(!q131.contains("CartesianProduct"), s"q131 must stay equi-join:\n$q131")
     assert(q131.indexOf("Window") < q131.indexOf("HashAggregate"),
       s"q131 windows must run over the aggregate (window above agg in plan):\n$q131")
+    // q136's banding cascades two aggregations off ONE orders scan — the
+    // DS original's HAVING + self-join would scan twice
+    val q136 = plan("q136_ds_order_bands")
+    assert("FileScan".r.findAllIn(q136).size == 1, s"q136 must scan once:\n$q136")
+    // q137's share gate reuses its own rollup via an unpartitioned window:
+    // the fact side is scanned and aggregated exactly once, dims broadcast
+    val q137 = plan("q137_ds_region_share")
+    assert("orders\\.parquet".r.findAllIn(q137).size == 1,
+      s"q137 must aggregate the fact side once:\n$q137")
+    assert("BroadcastHashJoin".r.findAllIn(q137).size >= 2,
+      s"q137 dims must broadcast:\n$q137")
+    assert(q137.contains("Window"), s"q137 total must come from a window:\n$q137")
+    // q138 is one conditional-agg pass over events: single scan, single
+    // hash shuffle on user_id
+    val q138 = plan("q138_ds_ampm_ratio")
+    assert("FileScan".r.findAllIn(q138).size == 1, s"q138 must scan once:\n$q138")
+    assert("Exchange hashpartitioning".r.findAllIn(q138).size == 1,
+      s"q138 must shuffle once:\n$q138")
   }
 
   test("LATERAL subquery decorrelates to one scan + rank window") {
