@@ -744,5 +744,81 @@ object DsShapes {
           .filter(col("am_frac") > 0.52)
           .select("user_id", "am", "pm", "am_frac")
           .orderBy("user_id")
+      }),
+
+    // DS q44 shape: best-vs-worst rank join — top-10 parts by total
+    // quantity paired positionally with the bottom-10. BOTH ranks are
+    // windows over the SAME per-part aggregate (one fact pass; the window
+    // input is |parts| rows), and the pairing is a self-join of that tiny
+    // ranked table on rank position. Rank ties break on the key so top/
+    // bottom lists are total orders; rank() cast to BIGINT for DuckDB
+    // type parity.
+    QE("q140_ds_best_worst", Some("""
+      WITH pa AS (
+        SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem GROUP BY l_partkey),
+      r AS (
+        SELECT l_partkey, qty,
+               rank() OVER (ORDER BY CAST(qty AS DOUBLE) DESC, l_partkey) AS rb,
+               rank() OVER (ORDER BY CAST(qty AS DOUBLE) ASC, l_partkey) AS rw
+        FROM pa)
+      SELECT b.rb AS rnk, b.l_partkey AS best_part, CAST(b.qty AS DOUBLE) AS best_qty,
+             w.l_partkey AS worst_part, CAST(w.qty AS DOUBLE) AS worst_qty
+      FROM r b JOIN r w ON b.rb = w.rw
+      WHERE b.rb <= 10 ORDER BY rnk"""),
+      (s, d) => {
+        val pa = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(col("l_quantity").cast(Q.dec)).as("qty"))
+        val qd = col("qty").cast(DoubleType)
+        val r = pa.select(col("l_partkey"), col("qty"),
+          rank().over(Window.orderBy(qd.desc, col("l_partkey"))).cast(LongType).as("rb"),
+          rank().over(Window.orderBy(qd.asc, col("l_partkey"))).cast(LongType).as("rw"))
+        val best = r.filter(col("rb") <= 10)
+          .select(col("rb").as("rnk"), col("l_partkey").as("best_part"),
+            col("qty").cast(DoubleType).as("best_qty"))
+        val worst = r
+          .select(col("rw").as("wrnk"), col("l_partkey").as("worst_part"),
+            col("qty").cast(DoubleType).as("worst_qty"))
+        best.join(worst, col("rnk") === col("wrnk"))
+          .select("rnk", "best_part", "best_qty", "worst_part", "worst_qty")
+          .orderBy("rnk")
+      }),
+
+    // DS q54 shape: temporal purchase sequencing — customers whose FIRST
+    // urgent order is later followed by a routine order, counted per
+    // segment. The per-customer anchor date is a conditional aggregate
+    // (one pushed-filter pass); the "later routine order" test is a
+    // LEFT SEMI join on custkey with the date residual evaluated inside
+    // the join — no fact row survives the probe, and the customer dim
+    // joins the ~|customers| anchor table, not raw orders.
+    QE("q141_ds_sequenced_purchase", Some("""
+      WITH uf AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey)
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM uf
+      JOIN customer ON c_custkey = uf.o_custkey
+      WHERE EXISTS (SELECT 1 FROM orders r
+                    WHERE r.o_custkey = uf.o_custkey
+                      AND r.o_orderpriority <> '1-URGENT'
+                      AND r.o_orderdate > first_urgent)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => {
+        val uf = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_custkey")
+          .agg(min(col("o_orderdate")).as("first_urgent"))
+        val routine = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey").as("r_custkey"), col("o_orderdate").as("r_date"))
+        uf.join(routine,
+            col("o_custkey") === col("r_custkey") && col("r_date") > col("first_urgent"),
+            "left_semi")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("c_mktsegment")
       }))
 }
