@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
   * parseable; round-5 lesson: the full 148-entry result line is ~4 KB, so
   * the driver artifact's 2 KB stdout tail held a HEAD-TRUNCATED line and
   * recorded "parsed": null): on completion OR kill the full result line is
-  * printed, followed by a compact <300-byte summary line (totals + counts,
-  * no per-query map) that always fits whole inside any tail window — a
-  * tail-parser finds a complete JSON line in every outcome. The full
-  * per-query record is additionally written to bench_full.json in the
-  * working directory so it survives independent of stdout capture.
+  * printed, followed by a compact summary line (totals, entry count, and
+  * ONLY the 8 slowest entries — ~400-600 bytes) printed LAST so a 2 KB
+  * tail window always contains it whole — a tail-parser finds a complete
+  * JSON line in every outcome. The full per-query record is additionally
+  * written to bench_full.json in the working directory so it survives
+  * independent of stdout capture.
   */
 object Bench {
   /** Streaming entries pay a fixed state-store/checkpoint setup cost per
@@ -23,7 +24,8 @@ object Bench {
     */
   private val StreamingEntries =
     Set("q92_stream_stream_join", "q93_stream_dedup", "q94_stream_cusum_alert",
-      "q95_stream_window", "q99_stream_sessionize", "q120_stream_static_join")
+      "q95_stream_window", "q99_stream_sessionize", "q120_stream_static_join",
+      "q139_stream_record_events")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +89,11 @@ object Bench {
       // scaladoc), and the slow tail is what per-entry triage needs first
       val worst = best.synchronized {
         best.toSeq.sortBy(-_._2).take(8)
-          .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+          // Locale.ROOT: a comma-decimal default locale would render 1,23
+          // and silently break the one line whose whole job is to parse
+          .map { case (k, v) =>
+            "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+          }.mkString("{", ",", "}")
       }
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$worst,"n_queries":$n,"sf":"$sfDir","partial":$partial,"full_record":"bench_full.json"}""")
       System.out.flush()

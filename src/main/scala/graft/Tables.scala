@@ -48,7 +48,10 @@ object Tables {
     require(schema == TimestampType,
       s"events.ts normalized to $schema, expected TimestampType — " +
         "driver data format drifted; update Tables.normalizeTs")
-    val maxTs = df.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val row = df.agg(max(unix_micros(col("ts")))).head()
+    require(!row.isNullAt(0),
+      "events table has no rows — cannot sanity-check event time")
+    val maxTs = row.getLong(0)
     require(maxTs > 946684800000000L, // 2000-01-01T00:00Z in µs
       s"events.ts max is ${java.time.Instant.ofEpochMilli(maxTs / 1000)} — " +
         "event time collapsed (mis-scaled read); update Tables.normalizeTs")
