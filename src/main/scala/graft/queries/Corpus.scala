@@ -204,5 +204,74 @@ object Corpus {
           "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(10)))
+        .limit(10)),
+
+    // Corpus-internal boilerplate-span detection — the C4/CCNet cleaning
+    // primitive that p05 (pairwise similarity) and p18 (external-eval
+    // decontamination) do NOT cover: find 5-token spans that recur across
+    // MANY documents (navigation chrome, license headers, templated
+    // footers) and count them per document. Spans are distinct per doc
+    // before the df count, so a doc repeating its own phrase doesn't
+    // inflate the corpus df. One explode pass → distinct → df aggregate;
+    // the surviving repeated-span table is tiny by construction (only
+    // spans with df >= 3) and broadcasts back over the span stream. At
+    // 100 TB the gram key would be xxhash64(gram) so shuffles carry 8
+    // bytes, not strings — kept as text here so the DuckDB oracle can
+    // reproduce the exact counts (DuckDB's hash() is a different
+    // function; a collision at 64 bits is ~1e-9 even corpus-wide).
+    QE("p32_boilerplate_spans", Some("""
+      WITH d AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+      pos AS (SELECT doc_id, arr, unnest(range(len(arr) - 4)) AS i
+              FROM d WHERE len(arr) >= 5),
+      sh AS (SELECT DISTINCT doc_id,
+                    array_to_string(list_slice(arr, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' ') AS gram
+             FROM pos),
+      c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY gram)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM sh JOIN c USING (gram) WHERE df >= 3
+      GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("arr"))
+          .where(size(col("arr")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(arr) - 5), i -> concat_ws(' ', slice(arr, i + 1, 5)))")).as("gram"))
+          .distinct()
+        val repeated = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 3)
+        sh.join(broadcast(repeated), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+          .orderBy("doc_id")
+      }),
+
+    // Token-rarity scoring — rank documents by the mean corpus document
+    // frequency of their tokens, surfacing rare-vocabulary outliers
+    // (OCR noise, non-language junk, genuinely novel text) that
+    // length/punctuation heuristics (p09) never see. Two passes: the
+    // |vocab|-sized df table (sublinear in the corpus) broadcasts back
+    // over the token stream — a map-side join, no token-keyed shuffle —
+    // then one per-doc aggregate. Exactness: SUM(df) is an integer, so
+    // mean_df = sum/count is one deterministic IEEE division on both
+    // engines; ordering ties break on doc_id.
+    QE("p33_token_rarity", Some("""
+      WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      dfc AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY tok)
+      SELECT doc_id,
+             CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM tok JOIN dfc USING (tok)
+      GROUP BY doc_id ORDER BY mean_df ASC, doc_id LIMIT 50"""),
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        val dfc = tok.distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        tok.join(broadcast(dfc), "tok")
+          .groupBy("doc_id")
+          .agg((sum("df").cast("double") / count(lit(1))).as("mean_df"),
+            count(lit(1)).as("n_toks"))
+          .orderBy(col("mean_df").asc, col("doc_id"))
+          .limit(50)
+      }))
 }

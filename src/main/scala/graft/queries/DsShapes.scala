@@ -820,5 +820,150 @@ object DsShapes {
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_cust"))
           .orderBy("c_mktsegment")
+      }),
+
+    // DS q64 shape: multi-round-trip — the same (customer, part) pair
+    // bought in two consecutive years, with both years' quantities side by
+    // side. The fact-fact lineitem⋈orders join happens ONCE; both "trips"
+    // come from a self-join of the per-(cust, part, year) AGGREGATE on the
+    // +1-year key, so the second pass probes |cust×part×year| pre-agg'd
+    // rows, never raw facts (the DS original re-scans store_sales per
+    // round trip). Catalyst's ReuseExchange dedups the shared agg subplan.
+    QE("q142_ds_cross_year", Some("""
+      WITH cp AS (
+        SELECT o_custkey AS cust, l_partkey AS part,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2, 3)
+      SELECT a.cust AS cust, a.part AS part,
+             CAST(a.qty AS DOUBLE) AS qty_y1, CAST(b.qty AS DOUBLE) AS qty_y2
+      FROM cp a JOIN cp b
+        ON a.cust = b.cust AND a.part = b.part AND b.yr = a.yr + 1
+      WHERE a.yr = 1996
+      ORDER BY cust, part"""),
+      (s, d) => {
+        val cp = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(sum(col("l_quantity").cast(Q.dec)).as("qty"))
+        val a = cp.filter(col("yr") === 1996)
+          .select(col("cust"), col("part"), col("yr"), col("qty").as("qty_a"))
+        val b = cp.select(col("cust").as("cust_b"), col("part").as("part_b"),
+          col("yr").as("yr_b"), col("qty").as("qty_b"))
+        a.join(b, col("cust") === col("cust_b") && col("part") === col("part_b") &&
+            col("yr_b") === col("yr") + 1)
+          .select(col("cust"), col("part"),
+            col("qty_a").cast(DoubleType).as("qty_y1"),
+            col("qty_b").cast(DoubleType).as("qty_y2"))
+          .orderBy("cust", "part")
+      }),
+
+    // DS q1 shape: outliers vs their group's average — customers whose
+    // returned quantity exceeds 1.2x their NATION's mean returned
+    // quantity. The oracle spells the mean as a correlated scalar
+    // subquery; the Spark side computes it as a window over the
+    // per-customer AGGREGATE partitioned by nation, so the fact pass runs
+    // once and the "second scan" the DS original implies is a shuffle of
+    // |customers| pre-agg'd rows. Mean = exact decimal sum / count, cast
+    // to double on both sides, so the boundary filter is bit-identical.
+    QE("q143_ds_return_outliers", Some("""
+      WITH ret AS (
+        SELECT c_custkey, c_nationkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS rq
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2)
+      SELECT c_custkey, CAST(rq AS DOUBLE) AS ret_qty
+      FROM ret r1
+      WHERE CAST(rq AS DOUBLE) > 1.2 * (
+        SELECT CAST(SUM(rq) AS DOUBLE) / COUNT(*) FROM ret r2
+        WHERE r2.c_nationkey = r1.c_nationkey)
+      ORDER BY c_custkey"""),
+      (s, d) => {
+        val ret = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_nationkey")
+          .agg(sum(col("l_quantity").cast(Q.dec)).as("rq"))
+        val wn = Window.partitionBy("c_nationkey")
+        ret.withColumn("_nat_avg",
+            sum(col("rq")).over(wn).cast(DoubleType) / count(lit(1)).over(wn))
+          .filter(col("rq").cast(DoubleType) > lit(1.2) * col("_nat_avg"))
+          .select(col("c_custkey"), col("rq").cast(DoubleType).as("ret_qty"))
+          .orderBy("c_custkey")
+      }),
+
+    // DS q49 shape: per-channel worst-return ranking — return ratio per
+    // part within each line status "channel", rank inside the channel,
+    // keep the top 10. Both the returned and total quantity come from ONE
+    // conditional-aggregate scan (the DS original unions three
+    // channel-specific subqueries, each with its own scan); the window
+    // input is the |channel x part| aggregate. WindowGroupLimit pushes the
+    // rank<=10 cap below the sort at scale. Ratio ranks in DOUBLE with a
+    // part-key tiebreak so ordering is total on both engines.
+    QE("q144_ds_return_rank", Some("""
+      WITH base AS (
+        SELECT l_linestatus AS channel, l_partkey,
+               SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_q,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tot_q
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT channel, l_partkey,
+               CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) AS ratio,
+               rank() OVER (PARTITION BY channel
+                 ORDER BY CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) DESC,
+                          l_partkey) AS rnk
+        FROM base)
+      SELECT channel, l_partkey, ratio, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 10 ORDER BY channel, rnk"""),
+      (s, d) => {
+        val base = t(s, d, "lineitem")
+          .groupBy(col("l_linestatus").as("channel"), col("l_partkey"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", col("l_quantity").cast(Q.dec))
+              .otherwise(lit(0).cast(Q.dec))).as("ret_q"),
+            sum(col("l_quantity").cast(Q.dec)).as("tot_q"))
+        val ratio = col("ret_q").cast(DoubleType) / col("tot_q").cast(DoubleType)
+        base.select(col("channel"), col("l_partkey"), ratio.as("ratio"),
+            rank().over(Window.partitionBy("channel")
+              .orderBy(ratio.desc, col("l_partkey"))).cast(LongType).as("rnk"))
+          .filter(col("rnk") <= 10)
+          .orderBy("channel", "rnk")
+      }),
+
+    // DS q88 shape: multi-bucket census in ONE scan — eight 3-hour
+    // activity counts over the events table as a single-row conditional
+    // aggregate. The DS original cross-joins eight scalar-subquery scans
+    // of store_sales; here all eight counts share one pushed scan and one
+    // partial-agg pipeline, so the plan cost is one fact pass regardless
+    // of bucket count. Also regression-covers NTZ-normalized event time in
+    // a plain batch aggregate (hour() on the normalized column).
+    QE("q145_ds_hour_census", Some("""
+      SELECT
+        COUNT(*) FILTER (WHERE h >= 0  AND h < 3)  AS h00_02,
+        COUNT(*) FILTER (WHERE h >= 3  AND h < 6)  AS h03_05,
+        COUNT(*) FILTER (WHERE h >= 6  AND h < 9)  AS h06_08,
+        COUNT(*) FILTER (WHERE h >= 9  AND h < 12) AS h09_11,
+        COUNT(*) FILTER (WHERE h >= 12 AND h < 15) AS h12_14,
+        COUNT(*) FILTER (WHERE h >= 15 AND h < 18) AS h15_17,
+        COUNT(*) FILTER (WHERE h >= 18 AND h < 21) AS h18_20,
+        COUNT(*) FILTER (WHERE h >= 21 AND h < 24) AS h21_23
+      FROM (SELECT CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+            FROM events)"""),
+      (s, d) => {
+        val h = hour(col("ts"))
+        def bucket(lo: Int, hi: Int, name: String) =
+          count(when(h >= lo && h < hi, 1)).as(name)
+        t(s, d, "events").agg(
+          bucket(0, 3, "h00_02"), bucket(3, 6, "h03_05"),
+          bucket(6, 9, "h06_08"), bucket(9, 12, "h09_11"),
+          bucket(12, 15, "h12_14"), bucket(15, 18, "h15_17"),
+          bucket(18, 21, "h18_20"), bucket(21, 24, "h21_23"))
       }))
 }

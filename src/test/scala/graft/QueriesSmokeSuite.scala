@@ -46,7 +46,8 @@ class QueriesSmokeSuite extends AnyFunSuite {
 
   test("scale guards: no crossJoin/collect in pipeline operator plans") {
     for (name <- Seq("p03_minhash_neardup", "p05_ngram_jaccard", "p07_ann_lsh",
-        "q96_asof_join", "q98_range_join", "p21_seq_packing")) {
+        "q96_asof_join", "q98_range_join", "p21_seq_packing",
+        "p32_boilerplate_spans", "p33_token_rarity")) {
       val plan = SparkEntry.queries(name)(spark, TestSpark.sfDir)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("Cartesian"), s"$name must not plan a cartesian product")
@@ -139,6 +140,30 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert("FileScan".r.findAllIn(q138).size == 1, s"q138 must scan once:\n$q138")
     assert("Exchange hashpartitioning".r.findAllIn(q138).size == 1,
       s"q138 must shuffle once:\n$q138")
+    // q142's round-trip join must probe the per-(cust, part, year)
+    // AGGREGATE on both sides — pre-agg rows, never raw facts — and stay
+    // an equi-join; each branch's year filter pushes to its scan (year
+    // partition pruning at scale)
+    val q142 = plan("q142_ds_cross_year")
+    assert(!q142.contains("CartesianProduct") && !q142.contains("BroadcastNestedLoop"),
+      s"q142 must stay equi-join:\n$q142")
+    assert("HashAggregate".r.findAllIn(q142).size >= 4,
+      s"q142 both round-trip sides must pre-aggregate:\n$q142")
+    // q143's nation mean rides a window OVER the per-customer aggregate
+    // (never a correlated re-plan of the fact join); window above agg
+    val q143 = plan("q143_ds_return_outliers")
+    assert(q143.contains("Window"), s"q143 mean must come from a window:\n$q143")
+    assert(q143.indexOf("Window") < q143.indexOf("HashAggregate"),
+      s"q143 window must consume the aggregate:\n$q143")
+    assert(!q143.contains("CartesianProduct"), s"q143 must stay equi-join:\n$q143")
+    // q144: one conditional-agg scan; rank<=10 pushes into WindowGroupLimit
+    val q144 = plan("q144_ds_return_rank")
+    assert("FileScan".r.findAllIn(q144).size == 1, s"q144 must scan once:\n$q144")
+    assert(q144.contains("WindowGroupLimit"),
+      s"q144 must push rank<=10 into WindowGroupLimit:\n$q144")
+    // q145: eight census buckets from ONE scan (the DS original pays eight)
+    val q145 = plan("q145_ds_hour_census")
+    assert("FileScan".r.findAllIn(q145).size == 1, s"q145 must scan once:\n$q145")
   }
 
   test("LATERAL subquery decorrelates to one scan + rank window") {
