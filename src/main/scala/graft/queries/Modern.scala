@@ -254,5 +254,57 @@ object Modern {
           "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price " +
             "FROM orders WHERE o_totalprice > :minPrice ORDER BY o_orderkey",
           Map("minPrice" -> 450000))
+      }),
+
+    // LISTAGG ... WITHIN GROUP (SQL:2023, Spark 4.0+) — ordered string
+    // aggregation. The group input is the DISTINCT (source, lang) pairs,
+    // so each concat is bounded by |langs| — the construct's scale hazard
+    // (an unbounded group concatenating into one driver-sized row) is
+    // designed out before the aggregate. DuckDB spells the same operation
+    // string_agg(x, ',' ORDER BY x); the WITHIN GROUP ordering makes the
+    // result deterministic under any partitioning.
+    QE("q146_listagg", Some("""
+      SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs
+      FROM (SELECT DISTINCT source, lang FROM documents)
+      GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT source, listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs
+          FROM (SELECT DISTINCT source, lang FROM documents)
+          GROUP BY source ORDER BY source""")
+      }),
+
+    // MODE (deterministic form) + MEDIAN aggregates (Spark 3.4/4.0). Spark's
+    // mode(col, true) breaks frequency ties on the LOWEST value; DuckDB's
+    // mode() leaves ties unspecified, so the oracle derives the same
+    // deterministic answer from the count table with an explicit
+    // (cnt DESC, value) tie-break. Median of an even-sized group is the
+    // midpoint of the two middle doubles — one IEEE average of identical
+    // operands on both engines, so it compares bit-exact (the inputs are
+    // exact 2-decimal values). At scale both run as single-shuffle
+    // aggregates on the group key; median sorts within each group's
+    // partition, never globally.
+    QE("q147_mode_median", Some("""
+      WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cnt DESC, o_orderstatus) AS rn
+        FROM c),
+      med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med_price
+        FROM orders GROUP BY 1)
+      SELECT r.o_orderpriority, o_orderstatus AS status_mode, med_price
+      FROM r JOIN med USING (o_orderpriority) WHERE rn = 1
+      ORDER BY o_orderpriority"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderpriority, mode(o_orderstatus, true) AS status_mode,
+                 median(o_totalprice) AS med_price
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
       }))
 }
