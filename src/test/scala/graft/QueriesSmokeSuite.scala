@@ -166,6 +166,52 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert("FileScan".r.findAllIn(q145).size == 1, s"q145 must scan once:\n$q145")
   }
 
+  test("TPC-H completion plans: dims broadcast, windows over aggregates") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // Q7/Q8/Q9: every dimension broadcasts; the only shuffle joins are
+    // fact-fact on the order key
+    for ((n, minBc) <- Seq("q148_tpch_q7" -> 3, "q149_tpch_q8" -> 5, "q150_tpch_q9" -> 3)) {
+      val p = plan(n)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= minBc, s"$n dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n must stay equi-join:\n$p")
+    }
+    // Q13: the zero-order bucket requires the OUTER join to survive planning
+    val q151 = plan("q151_tpch_q13")
+    assert(q151.contains("LeftOuter"), s"q151 left join must survive:\n$q151")
+    // Q15: the max gate is a window over the per-supplier aggregate —
+    // lineitem is scanned once, never re-aggregated for the scalar
+    val q153 = plan("q153_tpch_q15")
+    assert("lineitem\\.parquet".r.findAllIn(q153).size == 1,
+      s"q153 must scan lineitem once:\n$q153")
+    assert(q153.contains("Window"), s"q153 max must ride a window:\n$q153")
+    // Q16: the complaints exclusion is a broadcast anti-join
+    val q154 = plan("q154_tpch_q16")
+    assert(q154.contains("LeftAnti"), s"q154 must plan an anti-join:\n$q154")
+    // Q17: the correlated per-part average decorrelates to a window over
+    // the brand-restricted rows — one lineitem scan total
+    val q155 = plan("q155_tpch_q17")
+    assert("lineitem\\.parquet".r.findAllIn(q155).size == 1,
+      s"q155 must scan lineitem once:\n$q155")
+    assert(q155.contains("Window"), s"q155 avg must ride a window:\n$q155")
+    // Q19: the disjunction must not break the partkey equi-join
+    val q156 = plan("q156_tpch_q19")
+    assert(q156.contains("BroadcastHashJoin") && !q156.contains("CartesianProduct"),
+      s"q156 must stay a broadcast equi-join:\n$q156")
+    // Q20: dominance test = window over the (supp, part) aggregate
+    val q157 = plan("q157_tpch_q20")
+    assert("lineitem\\.parquet".r.findAllIn(q157).size == 1,
+      s"q157 must scan lineitem once:\n$q157")
+    // (plan-string index ordering is unusable here: the DISTINCT above the
+    // window is itself a HashAggregate) — one scan + a window is the
+    // single-pass evidence
+    assert(q157.contains("Window"), s"q157 share must ride a window:\n$q157")
+    // Q22: dormant filter is an anti-join; the global-average gate joins a
+    // broadcast 1-row aggregate
+    val q158 = plan("q158_tpch_q22")
+    assert(q158.contains("LeftAnti"), s"q158 must plan an anti-join:\n$q158")
+  }
+
   test("LATERAL subquery decorrelates to one scan + rank window") {
     val df = SparkEntry.queries("q122_lateral_join")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
