@@ -166,6 +166,19 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert("FileScan".r.findAllIn(q145).size == 1, s"q145 must scan once:\n$q145")
   }
 
+  test("partitioned read prunes to one year's directories at planning time") {
+    val df = SparkEntry.queries("q159_partition_pruning")(spark, TestSpark.sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"),
+      s"q159 year predicate must be a partition filter, not a data filter:\n$plan")
+    // the pruned scan must read strictly fewer partitions than exist
+    // (1995-2001 => 7 year directories, one survives)
+    val m = "partition count: (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.forall(_.group(1).toInt == 1),
+      s"q159 must read exactly one year partition:\n$plan")
+  }
+
   test("TPC-H completion plans: dims broadcast, windows over aggregates") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
