@@ -965,5 +965,92 @@ object DsShapes {
           bucket(6, 9, "h06_08"), bucket(9, 12, "h09_11"),
           bucket(12, 15, "h12_14"), bucket(15, 18, "h15_17"),
           bucket(18, 21, "h18_20"), bucket(21, 24, "h21_23"))
+      }),
+
+    // DS q51 shape: dual cumulative series compared month by month —
+    // urgent-priority vs routine running revenue, keeping the months where
+    // the urgent channel's cumulative share exceeds 0.5. The DS original
+    // aggregates web_sales and store_sales separately and FULL OUTER JOINs
+    // the two series; both channels here come from ONE conditional-agg
+    // scan (null-skipping sums) and the two running totals are windows
+    // over the ~|months| aggregate — the join disappears and the fact
+    // side is read once. Cumulative sums stay exact DECIMAL inside the
+    // window frame; only the share division runs in double.
+    QE("q160_ds_cumulative_share", Some("""
+      WITH m AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS urgent,
+               SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS routine
+        FROM orders GROUP BY 1, 2),
+      c AS (
+        SELECT yr, mon,
+               SUM(urgent) OVER (ORDER BY yr, mon) AS cum_u,
+               SUM(routine) OVER (ORDER BY yr, mon) AS cum_r
+        FROM m)
+      SELECT yr, mon,
+             CAST(cum_u AS DOUBLE) AS cum_urgent, CAST(cum_r AS DOUBLE) AS cum_routine,
+             CAST(cum_u AS DOUBLE) / (CAST(cum_u AS DOUBLE) + CAST(cum_r AS DOUBLE)) AS u_share
+      FROM c
+      WHERE CAST(cum_u AS DOUBLE) / (CAST(cum_u AS DOUBLE) + CAST(cum_r AS DOUBLE)) > 0.19
+      ORDER BY yr, mon"""),
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              col("o_totalprice").cast(Q.dec))).as("urgent"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT",
+              col("o_totalprice").cast(Q.dec))).as("routine"))
+        val wc = Window.orderBy("yr", "mon")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cu = sum(col("urgent")).over(wc)
+        val cr = sum(col("routine")).over(wc)
+        m.select(col("yr"), col("mon"),
+            cu.cast(DoubleType).as("cum_urgent"), cr.cast(DoubleType).as("cum_routine"))
+          .withColumn("u_share",
+            col("cum_urgent") / (col("cum_urgent") + col("cum_routine")))
+          .filter(col("u_share") > 0.19)
+          .orderBy("yr", "mon")
+      }),
+
+    // DS q93 shape: returns-adjusted revenue — a composite-key
+    // (orderkey, linenumber) left join of the fact against its own
+    // returned subset, with COALESCE filling the no-return case. Both
+    // join sides hash-partition on the SAME composite key (co-partitioned
+    // shuffle, no replication), and the returned side carries only
+    // (key, ret_qty) — at 100 TB the probe payload is two columns, not
+    // the full fact row. Adjusted amount stays an exact scale-4 decimal
+    // product per row.
+    QE("q161_ds_returns_adjust", Some("""
+      WITH r AS (
+        SELECT l_orderkey AS rk, l_linenumber AS rl,
+               CAST(FLOOR(l_quantity / 2) AS DECIMAL(12,2)) AS ret_qty
+        FROM lineitem WHERE l_returnflag = 'R')
+      SELECT l_orderkey,
+             CAST(SUM((CAST(l_quantity AS DECIMAL(12,2)) - COALESCE(ret_qty, CAST(0 AS DECIMAL(12,2))))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS adj_rev
+      FROM lineitem LEFT JOIN r ON l_orderkey = rk AND l_linenumber = rl
+      GROUP BY l_orderkey
+      HAVING COUNT(ret_qty) > 0
+      ORDER BY adj_rev DESC, l_orderkey LIMIT 25"""),
+      (s, d) => {
+        val r = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("rk"), col("l_linenumber").as("rl"),
+            floor(col("l_quantity") / 2).cast(Q.dec).as("ret_qty"))
+        t(s, d, "lineitem")
+          .join(r, col("l_orderkey") === col("rk") && col("l_linenumber") === col("rl"),
+            "left")
+          .groupBy("l_orderkey")
+          .agg(
+            sum((col("l_quantity").cast(Q.dec) -
+              coalesce(col("ret_qty"), lit(0).cast(Q.dec))) *
+              col("l_extendedprice").cast(Q.dec)).cast(DoubleType).as("adj_rev"),
+            count(col("ret_qty")).as("_nret"))
+          .filter(col("_nret") > 0).drop("_nret")
+          .orderBy(col("adj_rev").desc, col("l_orderkey"))
+          .limit(25)
       }))
 }
