@@ -186,5 +186,31 @@ object Aggregates {
             element_at(col("ps"), 2).as("p50"),
             element_at(col("ps"), 3).as("p75"),
             col("med_qty"))
-          .orderBy("l_returnflag")))
+          .orderBy("l_returnflag")),
+
+    // Apache DataSketches HLL — the MERGEABLE cardinality primitive: each
+    // partition builds a fixed-size (2^12 register) sketch, partial
+    // sketches union associatively across the shuffle, and a global
+    // distinct-users row derives from re-merging the PER-TYPE sketches
+    // (hll_union_agg) without touching raw rows again — at 100 TB the
+    // second aggregation reads KBs. approx_count_distinct (q26) is the
+    // same idea locked inside one aggregate; the explicit sketch column
+    // is what pipelines persist and re-merge across days. No DuckDB
+    // equivalent sketch -> rows-only here; AggregatesSketchSuite pins the
+    // estimate within 3% of exact and byte-identical across re-runs (the
+    // sketch has no RNG).
+    QE("q162_hll_sketch", None,
+      (s, d) => {
+        val perType = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val global = perType
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("ALL").as("event_type"),
+            hll_sketch_estimate(col("sk")).as("est_users"))
+        perType
+          .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"))
+          .unionAll(global)
+          .orderBy("event_type")
+      }))
 }
