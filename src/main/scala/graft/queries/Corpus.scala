@@ -273,5 +273,37 @@ object Corpus {
             count(lit(1)).as("n_toks"))
           .orderBy(col("mean_df").asc, col("doc_id"))
           .limit(50)
+      }),
+
+    // Deterministic train/val/test corpus split (80/10/10) — the
+    // assignment every training run needs to be REPRODUCIBLE and
+    // data-movement-free: the split is a pure projection of the doc key
+    // (Knuth multiplicative hash → bucket 0-99), so at 100 TB it costs
+    // zero shuffle and any re-run, on any cluster layout, lands every
+    // document in the same split. The hash is plain BIGINT arithmetic so
+    // the DuckDB oracle reproduces it exactly (production would use
+    // xxhash64, which no second engine can re-derive); the per-(source,
+    // split) census then verifies stratification in one group-key
+    // aggregate.
+    QE("p34_corpus_split", Some("""
+      WITH s AS (
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+               len(str_split(text, ' ')) AS toks
+        FROM (SELECT source, text,
+                     ((doc_id * 2654435761) % 4294967296) % 100 AS b
+              FROM documents))
+      SELECT source, split, COUNT(*) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens
+      FROM s GROUP BY 1, 2 ORDER BY source, split"""),
+      (s, d) => {
+        val b = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+        t(s, d, "documents")
+          .select(col("source"),
+            when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+            size(toks(col("text"))).cast("long").as("toks"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+          .orderBy("source", "split")
       }))
 }
