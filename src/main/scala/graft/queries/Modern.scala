@@ -306,5 +306,54 @@ object Modern {
           SELECT o_orderpriority, mode(o_orderstatus, true) AS status_mode,
                  median(o_totalprice) AS med_price
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      }),
+
+    // Native XML (Spark 4.0 pulled spark-xml into core): to_xml serializes
+    // a struct per row, from_xml parses it back under an explicit schema —
+    // the semi-structured path q87 proves for JSON, proved here for XML.
+    // The aggregate runs over the PARSED values and the oracle over the
+    // original table, so any loss in the serialize→parse trip (doubles
+    // print as shortest round-trippable text) breaks the hash compare.
+    // Explicit schema, never inference — schema inference is a second
+    // full scan at 100 TB.
+    QE("q163_xml_roundtrip", Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, d) => {
+        val parsed = t(s, d, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(to_xml(struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("tp"))).as("x"))
+          .select(from_xml(col("x"),
+            org.apache.spark.sql.types.StructType.fromDDL("st STRING, tp DOUBLE"),
+            new java.util.HashMap[String, String]()).as("r"))
+        parsed
+          .groupBy(col("r.st").as("o_orderstatus"))
+          .agg(graft.Q.dsum(col("r.tp")).as("total"), count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // Error-safe TRY functions (ANSI-mode companions): try_cast returns
+    // NULL for an unparseable string instead of failing the job — at
+    // 100 TB one malformed row must never kill a 6-hour query — and
+    // try_divide nulls a zero denominator. DuckDB spells the same
+    // semantics as TRY_CAST and NULLIF-guarded division.
+    QE("q164_try_functions", Some("""
+      SELECT o_orderkey,
+             TRY_CAST(o_orderpriority AS INT) AS pri_num,
+             TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+             o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0) AS ratio
+      FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderkey,
+                 TRY_CAST(o_orderpriority AS INT) AS pri_num,
+                 TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+                 try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS ratio
+          FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""")
       }))
 }
