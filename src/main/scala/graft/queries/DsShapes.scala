@@ -824,11 +824,15 @@ object DsShapes {
 
     // DS q64 shape: multi-round-trip — the same (customer, part) pair
     // bought in two consecutive years, with both years' quantities side by
-    // side. The fact-fact lineitem⋈orders join happens ONCE; both "trips"
-    // come from a self-join of the per-(cust, part, year) AGGREGATE on the
-    // +1-year key, so the second pass probes |cust×part×year| pre-agg'd
+    // side. Each trip's year restriction is applied BEFORE its join+agg
+    // (the join condition forces b.yr = 1997, so filtering branch b
+    // explicitly is semantics-preserving; Catalyst does not infer it
+    // through the +1 arithmetic — measured: the unfiltered branch
+    // aggregated ALL years), so each branch joins and aggregates one
+    // year's facts, and the round-trip join probes |cust×part| pre-agg'd
     // rows, never raw facts (the DS original re-scans store_sales per
-    // round trip). Catalyst's ReuseExchange dedups the shared agg subplan.
+    // trip WITHOUT the year cut). With a date-partitioned layout both
+    // branch scans prune to their year's partitions.
     QE("q142_ds_cross_year", Some("""
       WITH cp AS (
         SELECT o_custkey AS cust, l_partkey AS part,
@@ -843,19 +847,17 @@ object DsShapes {
       WHERE a.yr = 1996
       ORDER BY cust, part"""),
       (s, d) => {
-        val cp = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"),
-            year(col("o_orderdate")).as("yr"))
+        def trip(yr: Int) = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(year(col("o_orderdate")) === yr),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
           .agg(sum(col("l_quantity").cast(Q.dec)).as("qty"))
-        val a = cp.filter(col("yr") === 1996)
-          .select(col("cust"), col("part"), col("yr"), col("qty").as("qty_a"))
-        val b = cp.select(col("cust").as("cust_b"), col("part").as("part_b"),
-          col("yr").as("yr_b"), col("qty").as("qty_b"))
-        a.join(b, col("cust") === col("cust_b") && col("part") === col("part_b") &&
-            col("yr_b") === col("yr") + 1)
+        val a = trip(1996)
+        val b = trip(1997).select(col("cust").as("cust_b"),
+          col("part").as("part_b"), col("qty").as("qty_b"))
+        a.join(b, col("cust") === col("cust_b") && col("part") === col("part_b"))
           .select(col("cust"), col("part"),
-            col("qty_a").cast(DoubleType).as("qty_y1"),
+            col("qty").cast(DoubleType).as("qty_y1"),
             col("qty_b").cast(DoubleType).as("qty_y2"))
           .orderBy("cust", "part")
       }),
