@@ -305,5 +305,57 @@ object Corpus {
           .groupBy("source", "split")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
           .orderBy("source", "split")
+      }),
+
+    // Quality-gate funnel census — the observability pass every corpus
+    // cleaning run needs before committing a filter stack: how many
+    // documents per source survive each CUMULATIVE gate (length → token
+    // count → language whitelist → lexical diversity), and the final
+    // keep rate. One scan, expression-only row predicates, one group-key
+    // aggregate of 4 conditional counts — at 100 TB this is a single
+    // map-side-combined pass, and widening the funnel by another gate
+    // adds a column, not a scan. Gates are cumulative by construction
+    // (each condition AND's the previous) so the funnel is monotone —
+    // the property a per-gate drop report depends on.
+    QE("p35_quality_funnel", Some("""
+      WITH f AS (
+        SELECT source, lang,
+               n_chars >= 100 AS g1,
+               len(str_split(text, ' ')) AS ntok,
+               len(list_distinct(str_split(text, ' '))) AS ndis
+        FROM documents),
+      g AS (
+        SELECT source,
+               g1,
+               g1 AND ntok >= 30 AS g2,
+               g1 AND ntok >= 30 AND lang IN ('en','de','es','fr') AS g3,
+               g1 AND ntok >= 30 AND lang IN ('en','de','es','fr')
+                  AND CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE) >= 0.5 AS g4
+        FROM f)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+             CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_tok,
+             CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+             CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_div,
+             CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+      FROM g GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val ts = toks(col("text"))
+        val g1 = col("n_chars") >= 100
+        val g2 = g1 && col("ntok") >= 30
+        val g3 = g2 && col("lang").isin("en", "de", "es", "fr")
+        val g4 = g3 &&
+          col("ndis").cast("double") / col("ntok").cast("double") >= 0.5
+        def cnt(c: Column) = sum(when(c, 1).otherwise(0)).cast("long")
+        t(s, d, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(ts).as("ntok"), size(array_distinct(ts)).as("ndis"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            cnt(g1).as("pass_len"), cnt(g2).as("pass_tok"),
+            cnt(g3).as("pass_lang"), cnt(g4).as("pass_div"),
+            (sum(when(g4, 1).otherwise(0)).cast("double") / count(lit(1)))
+              .as("keep_rate"))
+          .orderBy("source")
       }))
 }

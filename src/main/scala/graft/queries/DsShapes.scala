@@ -1054,5 +1054,168 @@ object DsShapes {
           .filter(col("_nret") > 0).drop("_nret")
           .orderBy(col("adj_rev").desc, col("l_orderkey"))
           .limit(25)
+      }),
+
+    // DS q59 shape: same-weekday year-over-year comparison — nation x
+    // day-of-week revenue for 1996 vs 1997 from ONE conditional-agg pass
+    // (q59 plans it as two channel CTEs joined on (store, weekday); both
+    // series here share a scan, so the fact is read and shuffled once and
+    // the "join" is free). Spark's dayofweek is 1=Sunday..7; DuckDB's
+    // EXTRACT(DOW) is 0=Sunday..6 — the -1 aligns them. Exact decimal
+    // sums; the ratio is one double division in identical op order.
+    QE("q165_ds_weekday_compare", Some("""
+      WITH w AS (
+        SELECT n_name, CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow,
+               SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r96,
+               SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r97
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2)
+      SELECT n_name, dow,
+             CAST(r96 AS DOUBLE) AS rev96, CAST(r97 AS DOUBLE) AS rev97,
+             CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE) AS ratio
+      FROM w WHERE r96 IS NOT NULL AND r97 IS NOT NULL
+      ORDER BY n_name, dow"""),
+      (s, d) => {
+        val w = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            (dayofweek(col("o_orderdate")) - 1).cast(IntegerType).as("dow"))
+          .agg(
+            sum(when(year(col("o_orderdate")) === 1996,
+              col("o_totalprice").cast(Q.dec))).as("r96"),
+            sum(when(year(col("o_orderdate")) === 1997,
+              col("o_totalprice").cast(Q.dec))).as("r97"))
+        w.filter(col("r96").isNotNull && col("r97").isNotNull)
+          .select(col("n_name"), col("dow"),
+            col("r96").cast(DoubleType).as("rev96"),
+            col("r97").cast(DoubleType).as("rev97"),
+            (col("r97").cast(DoubleType) / col("r96").cast(DoubleType)).as("ratio"))
+          .orderBy("n_name", "dow")
+      }),
+
+    // DS q66 shape: the 12-month report matrix — per-nation monthly
+    // revenue columns for one year, materialized as TWELVE conditional
+    // sums in ONE fact pass (q66's reference formulation scans the fact
+    // per channel and unions; conditional aggregation keeps it to a
+    // single scan + single shuffle of 25-row partial states no matter
+    // how wide the matrix gets). Missing cells COALESCE to exact 0.
+    QE("q166_ds_monthly_matrix", Some {
+      val cols = (1 to 12).map { m =>
+        f"CAST(COALESCE(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = $m THEN CAST(o_totalprice AS DECIMAL(12,2)) END), CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS m$m%02d"
+      }.mkString(",\n             ")
+      s"""
+      SELECT n_name,
+             $cols,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name"""
+    },
+      (s, d) => {
+        val monthCols = (1 to 12).map { m =>
+          coalesce(sum(when(month(col("o_orderdate")) === m,
+            col("o_totalprice").cast(Q.dec))), lit(0).cast(Q.dec))
+            .cast(DoubleType).as(f"m$m%02d")
+        }
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(monthCols.head, monthCols.tail :+
+            Q.dsum(col("o_totalprice")).as("total"): _*)
+          .orderBy("n_name")
+      }),
+
+    // DS q13/q48 shape: disjunctive band predicates — three
+    // (priority, order-value band, quantity band) conjunctions OR'd into
+    // one filter, aggregated per band origin. The plan point: the OR is
+    // ONE codegen'd predicate evaluated post-join in a single fact pass —
+    // never the naive three-scan UNION a per-band rewrite would produce.
+    // The per-band split comes free from conditional aggregation over
+    // rows that already passed the disjunction.
+    QE("q167_ds_band_disjunction", Some("""
+      WITH f AS (
+        SELECT o_orderpriority, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE (o_orderpriority = '1-URGENT'
+                 AND o_totalprice BETWEEN 0 AND 50000
+                 AND l_quantity BETWEEN 1 AND 20)
+           OR (o_orderpriority = '2-HIGH'
+                 AND o_totalprice BETWEEN 50000 AND 150000
+                 AND l_quantity BETWEEN 10 AND 40)
+           OR (o_orderpriority = '3-MEDIUM'
+                 AND o_totalprice BETWEEN 100000 AND 300000
+                 AND l_quantity BETWEEN 20 AND 50))
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        def band(p: String, lo: Int, hi: Int, qlo: Int, qhi: Int) =
+          col("o_orderpriority") === p &&
+            col("o_totalprice").between(lo, hi) &&
+            col("l_quantity").between(qlo, qhi)
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(band("1-URGENT", 0, 50000, 1, 20) ||
+            band("2-HIGH", 50000, 150000, 10, 40) ||
+            band("3-MEDIUM", 100000, 300000, 20, 50))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"), Q.dsum(col("l_quantity")).as("total_qty"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // DS q11 shape: per-customer year-over-year spend growth gated by the
+    // GLOBAL growth ratio derived from the same aggregate — one
+    // conditional-agg pass of orders builds the per-customer series, the
+    // scalar gate re-aggregates those ~|customers| rows (KB-scale, then
+    // broadcast), so the fact is scanned and shuffled exactly once and
+    // the gate costs no second fact pass (q11's reference plan scans the
+    // fact per channel per year — four times).
+    QE("q168_ds_growth_gate", Some("""
+      WITH cs AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r96,
+               SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+                        THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS r97
+        FROM orders GROUP BY o_custkey),
+      g AS (SELECT CAST(SUM(r97) AS DOUBLE) / CAST(SUM(r96) AS DOUBLE) AS gr FROM cs)
+      SELECT o_custkey, CAST(r96 AS DOUBLE) AS rev96, CAST(r97 AS DOUBLE) AS rev97,
+             CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE) AS growth
+      FROM cs, g
+      WHERE r96 IS NOT NULL AND r97 IS NOT NULL
+        AND CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE) > gr
+      ORDER BY growth DESC, o_custkey LIMIT 25"""),
+      (s, d) => {
+        val cs = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            sum(when(year(col("o_orderdate")) === 1996,
+              col("o_totalprice").cast(Q.dec))).as("r96"),
+            sum(when(year(col("o_orderdate")) === 1997,
+              col("o_totalprice").cast(Q.dec))).as("r97"))
+        val g = cs.agg(
+          (sum(col("r97")).cast(DoubleType) / sum(col("r96")).cast(DoubleType)).as("gr"))
+        cs.crossJoin(broadcast(g))
+          .filter(col("r96").isNotNull && col("r97").isNotNull &&
+            col("r97").cast(DoubleType) / col("r96").cast(DoubleType) > col("gr"))
+          .select(col("o_custkey"),
+            col("r96").cast(DoubleType).as("rev96"),
+            col("r97").cast(DoubleType).as("rev97"),
+            (col("r97").cast(DoubleType) / col("r96").cast(DoubleType)).as("growth"))
+          .orderBy(col("growth").desc, col("o_custkey"))
+          .limit(25)
       }))
 }

@@ -225,6 +225,44 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(q158.contains("LeftAnti"), s"q158 must plan an anti-join:\n$q158")
   }
 
+  test("DS-shape plans VI: one-pass conditional aggregates hold") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // q165: both year-series come from ONE orders pass (q59's reference
+    // formulation joins two channel CTEs — two fact scans)
+    val q165 = plan("q165_ds_weekday_compare")
+    assert("orders\\.parquet".r.findAllIn(q165).size == 1,
+      s"q165 must scan orders once:\n$q165")
+    assert(!q165.contains("CartesianProduct"), s"q165 must stay equi-join:\n$q165")
+    // q166: the 12-column month matrix is one scan + one shuffle of
+    // 25-row partial states; nation broadcasts
+    val q166 = plan("q166_ds_monthly_matrix")
+    assert("orders\\.parquet".r.findAllIn(q166).size == 1,
+      s"q166 must scan orders once:\n$q166")
+    assert(q166.contains("BroadcastHashJoin"), s"q166 dims must broadcast:\n$q166")
+    // q167: the band disjunction stays ONE predicate over one fact pass —
+    // never a per-band UNION of scans
+    val q167 = plan("q167_ds_band_disjunction")
+    assert("lineitem\\.parquet".r.findAllIn(q167).size == 1,
+      s"q167 must scan lineitem once:\n$q167")
+    assert(!q167.contains("Union"), s"q167 must not split into a union:\n$q167")
+    // q168: the global-growth scalar must come off the SAME per-customer
+    // aggregate — after AQE finalizes, the gate branch rides a
+    // ReusedExchange instead of paying a second orders scan+shuffle
+    val q168df = SparkEntry.queries("q168_ds_growth_gate")(spark, TestSpark.sfDir)
+    q168df.collect() // AQE finalizes this df's own plan in place
+    val q168 = q168df.queryExecution.executedPlan.toString
+    assert("orders\\.parquet".r.findAllIn(q168).size == 1 ||
+      q168.contains("ReusedExchange"),
+      s"q168 scalar gate must reuse the aggregate's exchange:\n$q168")
+    assert(q168.contains("TakeOrderedAndProject"), s"q168 must plan top-k:\n$q168")
+    // p35: the funnel is expression-only + one aggregate — no join at all
+    val p35 = plan("p35_quality_funnel")
+    assert("documents\\.parquet".r.findAllIn(p35).size == 1,
+      s"p35 must scan documents once:\n$p35")
+    assert(!p35.contains("Join"), s"p35 must not plan any join:\n$p35")
+  }
+
   test("LATERAL subquery decorrelates to one scan + rank window") {
     val df = SparkEntry.queries("q122_lateral_join")(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
