@@ -198,5 +198,17 @@ object Temporal {
       SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value
       FROM w WHERE prev_max IS NULL OR value > prev_max
       ORDER BY user_id, event_id"""),
-      (s, d) => graft.streaming.EventStream.recordBreakingEvents(s, d)))
+      (s, d) => graft.streaming.EventStream.recordBreakingEvents(s, d)),
+
+    // Windowed day totals delivered through foreachBatch to an
+    // epoch-addressed parquet sink — the exactly-once FILE output pattern
+    // (idempotent overwrite per epoch directory) the memory-sink entries
+    // can't exercise. The read-back of the epoch layout must equal the
+    // batch day-bucket aggregate exactly.
+    QE("q169_stream_foreach_batch", Some("""
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.dailyTypeTotals(s, d)))
 }

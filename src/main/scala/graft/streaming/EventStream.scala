@@ -284,9 +284,32 @@ object EventStream {
     */
   private val StreamShufflePartitions = "4"
 
+  /** Memory-sink wrapper over [[runStagedQuery]]: collect the sink table to
+    * a LOCAL frame and drop the named view (which would otherwise leak one
+    * driver-resident table per bench/verify invocation).
+    */
   private def runStaged(spark: SparkSession, sfDir: String,
       rocksDbState: Boolean = false)(
       agg: DataFrame => DataFrame): DataFrame = {
+    val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
+    runStagedQuery(spark, sfDir, rocksDbState)(agg)(
+      stream => stream.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()) { () =>
+      val out = spark.table(sink)
+      val rows = out.collect()
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
+  private def runStagedQuery(spark: SparkSession, sfDir: String,
+      rocksDbState: Boolean = false)(
+      agg: DataFrame => DataFrame)(
+      startSink: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)(
+      readResult: () => DataFrame): DataFrame = {
     // Stream-read with the RAW on-disk schema (long nanos in old driver data,
     // TIMESTAMP_NTZ micros in round-5+ data) and run it through the same
     // type-driven normalization as the batch path — one place tracks driver
@@ -296,7 +319,6 @@ object EventStream {
     // loudly on any future drift instead.
     Tables.df(spark, sfDir, "events") // triggers the memoized drift assert
     val rawSchema = Tables.rawEvents(spark, sfDir).schema
-    val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
 
     // stage a stream directory: the real file (linked, not copied) plus the
     // one-row sentinel file
@@ -362,11 +384,7 @@ object EventStream {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
     val q =
-      try stream.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
+      try startSink(stream)
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         if (rocksDbState) {
@@ -387,13 +405,49 @@ object EventStream {
         Files.deleteIfExists(d)
       }
     }
-    // hand back a LOCAL frame and drop the sink view: the memory sink's
-    // result table is driver-resident either way, but the named temp view
-    // would otherwise accumulate for the life of the session (one leaked
-    // table per bench/verify invocation)
-    val out = spark.table(sink)
-    val rows = out.collect()
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    readResult()
+  }
+
+  /** Windowed aggregation delivered through foreachBatch to an
+    * EPOCH-ADDRESSED parquet layout — the production file-sink pattern the
+    * memory-sink entries can't exercise: each micro-batch lands in its own
+    * `epoch=N` directory with mode("overwrite"), so a replayed epoch (the
+    * at-least-once delivery case after recovery) overwrites its own
+    * directory instead of duplicating rows — idempotence by addressing,
+    * which is exactly how exactly-once file output is built in practice.
+    * Append mode means each closed day-window row passes through
+    * foreachBatch once; the read-back unions the epoch directories via
+    * partition discovery and drops the epoch column. The batch day-bucket
+    * aggregate is an exact oracle.
+    */
+  def dailyTypeTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_fb_sink")
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt")
+    try {
+      runStagedQuery(spark, sfDir)(src =>
+        src.groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+          .select(col("window.start").as("day_start"), col("event_type"),
+            col("n"), col("total")))(stream =>
+        stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+            ()
+          }
+          .start()) { () =>
+        val read = spark.read.parquet(outDir.toString).drop("epoch")
+        val rows = read.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), read.schema)
+      }.orderBy("day_start", "event_type")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      Seq(outDir, ckpt).foreach(rm)
+    }
   }
 }

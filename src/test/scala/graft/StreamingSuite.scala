@@ -120,6 +120,23 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("foreachBatch epoch-addressed file sink equals the batch aggregation") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.dailyTypeTotals(s, TestSpark.sfDir).collect().toSeq
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+      .orderBy("day_start", "event_type")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.size === batch.size,
+      s"epoch layout read-back must hold each (day, type) exactly once " +
+        s"(got ${streamed.size}, want ${batch.size})")
+    assert(streamed === batch)
+  }
+
   test("transformWithState record-breaking events equal the batch window form") {
     val s = TestSpark.spark
     import org.apache.spark.sql.expressions.Window
