@@ -357,5 +357,50 @@ object Corpus {
             (sum(when(g4, 1).otherwise(0)).cast("double") / count(lit(1)))
               .as("keep_rate"))
           .orderBy("source")
+      }),
+
+    // Token-budget curriculum selection — fill a fixed per-source token
+    // budget with the highest-quality documents first (quality = lexical
+    // diversity here; any deterministic score slots in): rank within each
+    // source, take documents while the running token total stays under
+    // budget. One scan + ONE source-partitioned window — the cumulative
+    // sum shuffles on source only, so at 100 TB each source's selection
+    // runs independently and in parallel; no global sort, no driver-side
+    // loop. The diversity score is a single double division computed in
+    // identical op order in both engines, so the (score DESC, doc_id)
+    // rank — and therefore the exact kept set — is engine-independent.
+    QE("p36_token_budget", Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               len(str_split(text, ' ')) AS toks,
+               CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                 / CAST(len(str_split(text, ' ')) AS DOUBLE) AS score
+        FROM documents),
+      w AS (
+        SELECT doc_id, source, toks, score,
+               SUM(toks) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM f)
+      SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+             CAST(cum AS BIGINT) AS cum_toks
+      FROM w WHERE cum - toks < 2000
+      ORDER BY source, cum_toks, doc_id"""),
+      (s, d) => {
+        val ts = toks(col("text"))
+        val f = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(ts).cast("long").as("toks"),
+            (size(array_distinct(ts)).cast("double") /
+              size(ts).cast("double")).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        f.withColumn("cum", sum(col("toks")).over(w))
+          .filter(col("cum") - col("toks") < 2000)
+          .select(col("doc_id"), col("source"), col("toks"),
+            col("cum").as("cum_toks"))
+          .orderBy("source", "cum_toks", "doc_id")
       }))
 }

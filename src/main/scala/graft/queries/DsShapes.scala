@@ -1217,5 +1217,78 @@ object DsShapes {
             (col("r97").cast(DoubleType) / col("r96").cast(DoubleType)).as("growth"))
           .orderBy(col("growth").desc, col("o_custkey"))
           .limit(25)
+      }),
+
+    // DS q9 shape: the band-statistics report — five quantity-band average
+    // prices and counts as ONE row. The DS original states each band as
+    // its own scalar subquery (15 fact scans); conditional aggregation
+    // computes all five bands in a single pass, and adding a band adds a
+    // column, not a scan. Averages come from exact decimal sums over
+    // integer counts, divided once in double — bit-identical cross-engine.
+    QE("q170_ds_band_scalar_report", Some {
+      val bands = Seq((1, 10), (11, 20), (21, 30), (31, 40), (41, 50))
+      val cols = bands.zipWithIndex.map { case ((lo, hi), i) =>
+        s"""CAST(CAST(SUM(CASE WHEN l_quantity BETWEEN $lo AND $hi
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               / COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END) AS DOUBLE)
+               AS avg_price_b${i + 1},
+             CAST(COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END) AS BIGINT)
+               AS n_b${i + 1}"""
+      }.mkString(",\n             ")
+      s"""
+      SELECT $cols
+      FROM lineitem"""
+    },
+      (s, d) => {
+        val bands = Seq((1, 10), (11, 20), (21, 30), (31, 40), (41, 50))
+        val aggCols = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+          val in = col("l_quantity").between(lo, hi)
+          Seq(
+            (sum(when(in, col("l_extendedprice").cast(Q.dec))).cast(DoubleType) /
+              count(when(in, 1))).cast(DoubleType).as(s"avg_price_b${i + 1}"),
+            count(when(in, 1)).as(s"n_b${i + 1}"))
+        }
+        t(s, d, "lineitem").agg(aggCols.head, aggCols.tail: _*)
+      }),
+
+    // DS q33/q56/q60 shape: the three-window union report — per-brand
+    // revenue from three disjoint ship-month windows, totaled. The DS
+    // originals UNION ALL three per-channel aggregates and re-aggregate
+    // (three fact passes); here the windows are three conditional columns
+    // off ONE scan whose pushed filter covers their union, so the fact is
+    // read once and the shuffle carries |brands| partial states.
+    QE("q171_ds_union_report", Some(s"""
+      SELECT p_brand,
+             ${Seq(("1996-01-01", "1996-02-01", "w1"), ("1996-06-01", "1996-07-01", "w2"),
+        ("1996-12-01", "1997-01-01", "w3")).map { case (lo, hi, n) =>
+        s"""CAST(COALESCE(SUM(CASE WHEN l_shipdate >= TIMESTAMP '$lo 00:00:00'
+                   AND l_shipdate < TIMESTAMP '$hi 00:00:00'
+                   THEN ${Q.oRev("l_extendedprice", "l_discount")} END),
+                 CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS rev_$n"""
+      }.mkString(",\n             ")},
+             CAST(SUM(${Q.oRev("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev_all
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00')
+         OR (l_shipdate >= TIMESTAMP '1996-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+         OR (l_shipdate >= TIMESTAMP '1996-12-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+      GROUP BY p_brand ORDER BY p_brand"""),
+      (s, d) => {
+        def win(lo: String, hi: String) =
+          col("l_shipdate") >= lit(lo).cast(TimestampType) &&
+            col("l_shipdate") < lit(hi).cast(TimestampType)
+        val ws = Seq(("1996-01-01", "1996-02-01", "w1"),
+          ("1996-06-01", "1996-07-01", "w2"), ("1996-12-01", "1997-01-01", "w3"))
+        val winCols = ws.map { case (lo, hi, n) =>
+          coalesce(sum(when(win(lo, hi),
+            Q.revenue(col("l_extendedprice"), col("l_discount")))),
+            lit(0).cast(Q.dec)).cast(DoubleType).as(s"rev_$n")
+        }
+        t(s, d, "lineitem")
+          .filter(ws.map { case (lo, hi, _) => win(lo, hi) }.reduce(_ || _))
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(winCols.head, winCols.tail :+
+            Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("rev_all"): _*)
+          .orderBy("p_brand")
       }))
 }

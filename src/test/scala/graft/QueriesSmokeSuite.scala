@@ -261,6 +261,24 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p35).size == 1,
       s"p35 must scan documents once:\n$p35")
     assert(!p35.contains("Join"), s"p35 must not plan any join:\n$p35")
+    // q170: five band averages = ONE scan (the DS q9 original pays 15)
+    val q170 = plan("q170_ds_band_scalar_report")
+    assert("lineitem\\.parquet".r.findAllIn(q170).size == 1,
+      s"q170 must scan lineitem once:\n$q170")
+    // q171: the three-window union report must stay one scan with the
+    // window-union predicate PUSHED to it, never a UNION of three passes
+    val q171 = plan("q171_ds_union_report")
+    assert("lineitem\\.parquet".r.findAllIn(q171).size == 1,
+      s"q171 must scan lineitem once:\n$q171")
+    assert(!q171.contains("Union"), s"q171 must not plan a union:\n$q171")
+    assert(q171.contains("PushedFilters: [Or("),
+      s"q171 window-union disjunction must push to the scan:\n$q171")
+    // p36: budget selection = one scan + one source-partitioned window
+    val p36 = plan("p36_token_budget")
+    assert("documents\\.parquet".r.findAllIn(p36).size == 1,
+      s"p36 must scan documents once:\n$p36")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(p36).isDefined,
+      s"p36 window must partition by source (parallel per source):\n$p36")
   }
 
   test("LATERAL subquery decorrelates to one scan + rank window") {
