@@ -355,5 +355,33 @@ object Modern {
                  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS pri_digit,
                  try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS ratio
           FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""")
+      }),
+
+    // Dataset.observe — the zero-cost in-flight metrics API (production
+    // pipelines hang row-count / null-rate QA gates on it): the observed
+    // aggregates ride the SAME pass as the query's own work as accumulator
+    // updates — no second scan, no extra shuffle, any plan shape. Here the
+    // observed scan is materialized and the entry RETURNS the metrics row,
+    // so the oracle checks the observation values themselves.
+    QE("q172_observed_metrics", Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+             CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+      FROM lineitem"""),
+      (s, d) => {
+        val obs = org.apache.spark.sql.Observation("q172")
+        val observed = t(s, d, "lineitem").observe(obs,
+          count(lit(1)).as("n_rows"),
+          graft.Q.dsum(col("l_quantity")).as("total_qty"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+        observed.foreach((_: org.apache.spark.sql.Row) => ()) // one pass, metrics as accumulators
+        val m = obs.get
+        val row = org.apache.spark.sql.Row(
+          m("n_rows").asInstanceOf[Long],
+          m("total_qty").asInstanceOf[Double],
+          m("n_discounted").asInstanceOf[Long])
+        s.createDataFrame(java.util.List.of(row),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n_rows BIGINT, total_qty DOUBLE, n_discounted BIGINT"))
       }))
 }
