@@ -402,5 +402,41 @@ object Corpus {
           .select(col("doc_id"), col("source"), col("toks"),
             col("cum").as("cum_toks"))
           .orderBy("source", "cum_toks", "doc_id")
+      }),
+
+    // Incremental-ingest dedup — the daily-crawl shape p01's whole-corpus
+    // dedup doesn't cover: a NEW batch (sources src16+) deduplicates
+    // against the already-ingested corpus index (sources src0-15) by
+    // content hash, then first-wins within itself. The history side
+    // carries ONLY its distinct hash column — at production scale that
+    // index is a fraction of corpus size, the anti-join hash-partitions
+    // both sides on the hash (bloom-prefilterable exactly as p24), and
+    // the within-batch window shuffles just the new batch. The full
+    // corpus text is never re-read to ingest a day.
+    QE("p37_incremental_dedup", Some("""
+      WITH h AS (SELECT DISTINCT md5(text) AS hsh FROM documents
+                 WHERE CAST(SUBSTRING(source, 4) AS INT) < 16),
+      b AS (SELECT doc_id, source, md5(text) AS hsh FROM documents
+            WHERE CAST(SUBSTRING(source, 4) AS INT) >= 16),
+      f AS (SELECT b.doc_id, b.source, b.hsh FROM b
+            LEFT JOIN h ON b.hsh = h.hsh WHERE h.hsh IS NULL),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY hsh ORDER BY doc_id) AS rn
+            FROM f)
+      SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("_src_n", substring(col("source"), 4, 10).cast("int"))
+        val history = docs.filter(col("_src_n") < 16)
+          .select(md5(col("text")).as("hsh")).distinct()
+        val batch = docs.filter(col("_src_n") >= 16)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("hsh"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hsh").orderBy("doc_id")
+        batch.join(history, Seq("hsh"), "left_anti")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
       }))
 }
