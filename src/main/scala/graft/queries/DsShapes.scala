@@ -1290,5 +1290,38 @@ object DsShapes {
           .agg(winCols.head, winCols.tail :+
             Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("rev_all"): _*)
           .orderBy("p_brand")
+      }),
+
+    // DS q97 shape: buyer-overlap census — how many customers bought in
+    // both years vs only one, as ONE row from a FULL OUTER join of the
+    // two distinct-buyer sets. Each side is a pushed-filter scan +
+    // map-side-partial DISTINCT; the outer join co-partitions on the
+    // already-deduplicated keys, so the shuffles carry distinct custkeys,
+    // never raw facts, and the census is three conditional counts over
+    // the joined null pattern.
+    QE("q173_ds_buyer_overlap", Some("""
+      WITH y96 AS (SELECT DISTINCT o_custkey AS c FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      y97 AS (SELECT DISTINCT o_custkey AS c FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      SELECT CAST(SUM(CASE WHEN y96.c IS NOT NULL AND y97.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_years,
+             CAST(SUM(CASE WHEN y97.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1996,
+             CAST(SUM(CASE WHEN y96.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1997
+      FROM y96 FULL OUTER JOIN y97 ON y96.c = y97.c"""),
+      (s, d) => {
+        def buyers(y0: String, y1: String, n: String) = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(y0).cast(TimestampType) &&
+            col("o_orderdate") < lit(y1).cast(TimestampType))
+          .select(col("o_custkey").as(n)).distinct()
+        buyers("1996-01-01", "1997-01-01", "c96")
+          .join(buyers("1997-01-01", "1998-01-01", "c97"),
+            col("c96") === col("c97"), "full_outer")
+          .agg(
+            sum(when(col("c96").isNotNull && col("c97").isNotNull, 1)
+              .otherwise(0)).cast("long").as("both_years"),
+            sum(when(col("c97").isNull, 1).otherwise(0)).cast("long").as("only_1996"),
+            sum(when(col("c96").isNull, 1).otherwise(0)).cast("long").as("only_1997"))
       }))
 }

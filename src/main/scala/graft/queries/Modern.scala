@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QE, Tables}
+import graft.{Q, QE, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -383,5 +383,52 @@ object Modern {
         s.createDataFrame(java.util.List.of(row),
           org.apache.spark.sql.types.StructType.fromDDL(
             "n_rows BIGINT, total_qty DOUBLE, n_discounted BIGINT"))
+      }),
+
+    // SQL scalar UDFs (Spark 4): business logic declared ONCE in SQL and
+    // reused across queries — and unlike JVM UDFs the body is inlined
+    // into the plan at analysis, so it stays inside whole-stage codegen
+    // and Catalyst folds/pushes through it (a Scala UDF is an opaque
+    // serialization wall). The discount function returns exact DECIMAL so
+    // its aggregation is order-independent; the oracle inlines the same
+    // arithmetic.
+    QE("q174_sql_udf", Some(s"""
+      SELECT CAST(CEIL(l_quantity / 10.0) AS INT) AS band,
+             COUNT(*) AS n,
+             ${Q.oSumRev("l_extendedprice", "l_discount")} AS rev
+      FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+                 RETURNS DECIMAL(26,4)
+                 RETURN CAST(p AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(d AS DECIMAL(12,2)))""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qband(q DOUBLE)
+                 RETURNS INT RETURN CAST(CEIL(q / 10.0) AS INT)""")
+        s.sql("""
+          SELECT graft_qband(l_quantity) AS band, COUNT(*) AS n,
+                 CAST(SUM(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS rev
+          FROM lineitem GROUP BY 1 ORDER BY 1""")
+      }),
+
+    // SQL TABLE UDF (Spark 4): a parameterized relation in the FROM
+    // clause — the reusable-subquery primitive. The generated year axis
+    // LEFT JOINs the facts so empty years still report (the densify
+    // pattern); the body inlines at analysis like the scalar form, so
+    // the join plans exactly as if the generator were written in place.
+    QE("q175_sql_table_udf", Some("""
+      WITH yrs AS (SELECT CAST(r AS INT) AS yr FROM range(1995, 2002) t(r))
+      SELECT yr, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM yrs LEFT JOIN orders ON EXTRACT(YEAR FROM o_orderdate) = yr
+      GROUP BY yr ORDER BY yr"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_year_axis(a INT, b INT)
+                 RETURNS TABLE (yr INT)
+                 RETURN SELECT explode(sequence(a, b)) AS yr""")
+        s.sql("""
+          SELECT yr, COUNT(o_orderkey) AS n_orders
+          FROM graft_year_axis(1995, 2001)
+          LEFT JOIN orders ON year(o_orderdate) = yr
+          GROUP BY yr ORDER BY yr""")
       }))
 }
