@@ -210,5 +210,37 @@ object Temporal {
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""),
-      (s, d) => graft.streaming.EventStream.dailyTypeTotals(s, d)))
+      (s, d) => graft.streaming.EventStream.dailyTypeTotals(s, d)),
+
+    // The same ±5-minute range join as q98, but written as the NAIVE theta
+    // join in plain SQL and rewritten by the injected optimizer rule
+    // (graft.plans.RangeJoinRewrite) into the binned equi-join — the
+    // engine-grade answer to no-equi-key time joins: users state the
+    // semantics, the optimizer supplies the 100 TB plan. Installing the
+    // rule session-wide is safe by construction: it fires only on
+    // non-streaming INNER joins that have a literal time band and NO equi
+    // key (exactly the plans that would otherwise nest-loop), and the
+    // original predicate stays as exact residual. Inner join ⇒ only
+    // errors with ≥1 nearby click appear (q98's left join keeps zeroes).
+    QE("q176_range_join_rule", Some("""
+      SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_nearby
+      FROM events e JOIN events c
+        ON c.event_type = 'click' AND e.event_type = 'error'
+       AND c.ts >= e.ts - INTERVAL 5 MINUTE
+       AND c.ts <= e.ts + INTERVAL 5 MINUTE
+      GROUP BY e.event_id ORDER BY e.event_id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite)) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+        }
+        s.sql("""
+          SELECT e.event_id, COUNT(*) AS n_nearby
+          FROM events e JOIN events c
+            ON c.event_type = 'click' AND e.event_type = 'error'
+           AND c.ts >= e.ts - INTERVAL '5' MINUTE
+           AND c.ts <= e.ts + INTERVAL '5' MINUTE
+          GROUP BY e.event_id ORDER BY e.event_id""")
+      }))
 }
