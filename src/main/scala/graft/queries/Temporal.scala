@@ -242,5 +242,30 @@ object Temporal {
            AND c.ts >= e.ts - INTERVAL '5' MINUTE
            AND c.ts <= e.ts + INTERVAL '5' MINUTE
           GROUP BY e.event_id ORDER BY e.event_id""")
+      }),
+
+    // The same as-of semantics as q96, executed by the NATIVE custom
+    // operator (graft.plans.AsOfJoinExec — LogicalPlan + SparkStrategy +
+    // SparkPlan): both sides co-partition on the key, and each partition
+    // is ONE synchronized forward merge — O(|L|+|R|), O(1) state, no
+    // window sort-run buffering. Same oracle as q96, so the custom
+    // physical operator is value-verified against DuckDB, and the
+    // AsOfJoinSuite pins plan shape + equality with the window form.
+    QE("q177_asof_native", Some("""
+      SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             (SELECT CAST(max(p.ts) AS TIMESTAMP) FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts <= e.ts) AS last_purchase_ts
+      FROM events e WHERE e.event_type = 'view'
+      ORDER BY e.event_id"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts")
+        graft.plans.AsOf.join(s, views, purchases,
+            key = "user_id", ts = "ts", as = "last_purchase_ts")
+          .orderBy("event_id")
       }))
 }

@@ -47,6 +47,10 @@ object Internals {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.executedPlan.executeCollect()
 
+  /** The analyzed LogicalPlan of a DataFrame (resolved attributes). */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution.analyzed
+
   /** Schema of the analyzed plan without executing (Describe-before-Bind). */
   def analyzedSchema(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.types.StructType =
     classic(spark).sessionState.executePlan(plan).analyzed.schema
