@@ -438,5 +438,35 @@ object Corpus {
           .filter(col("_rn") === 1)
           .select("doc_id", "source")
           .orderBy("doc_id")
-      }))
+      }),
+
+    // Dataset-card statistics — the per-source summary every corpus
+    // release publishes (counts, token volume, mean length, language
+    // composition): ONE conditional-agg scan, so regenerating the card
+    // after each pipeline stage costs a single pass at any corpus size.
+    // Language shares divide exact integer counts in double with
+    // identical op order — no entropy/log terms, whose last-ulp libm
+    // differences would break cross-engine hashing.
+    QE("p38_dataset_card", Some("""
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+             CAST(CAST(SUM(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) / COUNT(n_chars) AS DOUBLE) AS mean_chars,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pct_en,
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pct_zh,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(toks(col("text"))).cast("long")).as("total_tokens"),
+            graft.Q.davg(col("n_chars")).as("mean_chars"),
+            (sum(when(col("lang") === "en", 1).otherwise(0)).cast("double") /
+              count(lit(1))).as("pct_en"),
+            (sum(when(col("lang") === "zh", 1).otherwise(0)).cast("double") /
+              count(lit(1))).as("pct_zh"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")))
 }

@@ -1323,5 +1323,41 @@ object DsShapes {
               .otherwise(0)).cast("long").as("both_years"),
             sum(when(col("c97").isNull, 1).otherwise(0)).cast("long").as("only_1996"),
             sum(when(col("c96").isNull, 1).otherwise(0)).cast("long").as("only_1997"))
+      }),
+
+    // DS q87 shape: the EXCEPT chain — customers who bought in 1996 but in
+    // neither adjacent year, reported per segment. Each EXCEPT probes the
+    // deduplicated 1996 set against another year's DISTINCT keys; Catalyst
+    // plans the chain as cascaded left-anti hash joins over the
+    // already-distinct sets, so like q106/q173 the shuffles carry distinct
+    // custkeys only. The dim join then attributes the survivors.
+    QE("q178_ds_except_chain", Some("""
+      WITH y AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      SELECT c_mktsegment, COUNT(*) AS n_new_in_1996
+      FROM customer JOIN y ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => {
+        def yr(y0: String, y1: String) = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(y0).cast(TimestampType) &&
+            col("o_orderdate") < lit(y1).cast(TimestampType))
+          .select("o_custkey")
+        val only96 = yr("1996-01-01", "1997-01-01")
+          .except(yr("1995-01-01", "1996-01-01"))
+          .except(yr("1997-01-01", "1998-01-01"))
+        t(s, d, "customer")
+          .join(only96, col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_new_in_1996"))
+          .orderBy("c_mktsegment")
       }))
 }
