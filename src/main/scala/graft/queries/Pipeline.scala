@@ -515,6 +515,26 @@ object Pipeline {
       FROM documents ORDER BY doc_id"""),
       (s, d) => MediaDecode.run(s, t(s, d, "documents"))),
 
+    // Multimodal frame sampling: each payload treated as a "video" sampled
+    // every 128 bytes with a 64-byte frame window, ONE OUTPUT ROW PER
+    // FRAME — the row-expansion shape a real video pipeline has (decode is
+    // the same swap-in stub as p08; the typed flatMap partitioning, frame
+    // schema, and 10-100x row fan-out are the parts that matter at scale:
+    // frames inherit the payload's partition, no shuffle until the next
+    // keyed op).
+    QE("p39_frame_sample", Some("""
+      WITH f AS (
+        SELECT doc_id, text, n_chars,
+               unnest(generate_series(0, CAST((n_chars - 1) // 128 AS INT))) AS fi
+        FROM documents)
+      SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+             CAST(list_reduce(list_transform(
+                    generate_series(1, least(64, CAST(n_chars AS INT) - CAST(fi AS INT) * 128)),
+                    i -> ord(substr(text, CAST(fi AS INT) * 128 + i, 1))),
+                  (a, b) -> a + b) % 256 AS INT) AS feat
+      FROM f ORDER BY doc_id, frame_idx"""),
+      (s, d) => MediaDecode.frames(s, t(s, d, "documents"))),
+
     // Text quality scoring: token counts, type-token ratio, mean token
     // length, stopword ratio, and a composite keep/drop flag.
     QE("p09_text_quality", Some(s"""
@@ -924,5 +944,32 @@ object MediaDecode {
       .mapPartitions(_.map(decodeStub))
       .toDF()
       .orderBy("doc_id")
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, feat: Int)
+
+  /** Frame-sampling stub: a 64-byte window every 128 bytes. A real decoder
+    * (keyframe extraction, spectrogram slices) swaps in here; the fan-out
+    * contract — one input row to ~payload/stride output rows, no shuffle —
+    * is what the pipeline depends on.
+    */
+  def frameStub(m: MediaRow): Iterator[Frame] = {
+    val n = m.payload.length
+    Iterator.range(0, (n - 1) / 128 + 1).map { fi =>
+      val start = fi * 128
+      val feat = m.payload.slice(start, start + math.min(64, n - start))
+        .map(_ & 0xff).sum % 256
+      Frame(m.doc_id, fi, feat)
+    }
+  }
+
+  def frames(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("n_chars"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(frameStub))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
   }
 }
