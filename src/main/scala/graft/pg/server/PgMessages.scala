@@ -30,6 +30,10 @@ object PgMessages {
   /** AuthenticationCleartextPassword: ask the client for a 'p' message. */
   def authenticationCleartextPassword(buf: ByteBuf): Unit = msg(buf, 'R')(_.writeInt(3))
 
+  /** AuthenticationMD5Password: code 5 + the 4-byte challenge salt. */
+  def authenticationMD5Password(buf: ByteBuf, salt: Array[Byte]): Unit =
+    msg(buf, 'R') { b => b.writeInt(5); b.writeBytes(salt) }
+
   def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
     msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
 

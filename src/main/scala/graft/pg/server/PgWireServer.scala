@@ -99,6 +99,12 @@ final case class PgServerConfig(
       * trust/password/Kerberos modes.
       */
     authenticator: Option[(String, String) => Boolean] = None,
+    /** Some(lookup) = MD5 challenge-response flow (AuthenticationMD5Password,
+      * salted double-hash — the password never crosses the wire in clear,
+      * unlike the cleartext flow): `lookup(user)` returns the stored
+      * plaintext to verify against. Takes precedence over [[authenticator]].
+      */
+    md5Lookup: Option[String => Option[String]] = None,
     /** single-session: every connection shares the base SparkSession (temp
       * views and conf visible across connections); default multi-session
       * isolates via newSession() per connection
@@ -112,31 +118,49 @@ object PgServerConfig {
   def fromConf(spark: SparkSession): PgServerConfig = {
     def opt(k: String): Option[String] =
       spark.conf.getOption(k).filter(_.nonEmpty)
-    val auth = spark.conf.get("spark.graft.server.auth", "trust") match {
+    // format: "user1:pass1,user2:pass2" — usernames must not contain
+    // ':' and passwords must not contain ','; use a real credential
+    // store via PgServerConfig(authenticator = ...) when that bites
+    def creds: Map[String, String] =
+      opt("spark.graft.server.auth.credentials").getOrElse("")
+        .split(',').toSeq.filter(_.contains(":")).map { kv =>
+          val Array(u, p) = kv.split(":", 2); (u, p)
+        }.toMap
+    val (auth, md5) = spark.conf.get("spark.graft.server.auth", "trust") match {
       case "password" =>
-        // format: "user1:pass1,user2:pass2" — usernames must not contain
-        // ':' and passwords must not contain ','; use a real credential
-        // store via PgServerConfig(authenticator = ...) when that bites
-        val creds = opt("spark.graft.server.auth.credentials").getOrElse("")
-          .split(',').toSeq.filter(_.contains(":")).map { kv =>
-            val Array(u, p) = kv.split(":", 2); (u, p)
-          }.toMap
-        Some((u: String, p: String) => creds.get(u).exists(expect =>
+        val c = creds
+        (Some((u: String, p: String) => c.get(u).exists(expect =>
           // constant-time comparison: a short-circuiting equals leaks the
           // matching prefix length through response timing
           java.security.MessageDigest.isEqual(
-            expect.getBytes(UTF_8), p.getBytes(UTF_8))))
-      case _ => None
+            expect.getBytes(UTF_8), p.getBytes(UTF_8)))), None)
+      case "md5" =>
+        val c = creds
+        (None, Some((u: String) => c.get(u)))
+      case _ => (None, None)
     }
     PgServerConfig(
       sslKeyStorePath = opt("spark.graft.server.ssl.keyStorePath"),
       sslKeyStorePassword =
         opt("spark.graft.server.ssl.keyStorePassword").getOrElse(""),
       authenticator = auth,
+      md5Lookup = md5,
       singleSession =
         spark.conf.get("spark.graft.server.sessionMode", "multi") == "single",
       uiPort = opt("spark.graft.server.ui.port").map(_.toInt))
   }
+}
+
+/** The PG MD5 password scheme: response = "md5" + hex(md5(hex(md5(pw+user))
+  * salt)). Public so the raw-socket e2e client can compute it too.
+  */
+object PgMd5 {
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  def response(user: String, password: String, salt: Array[Byte]): String =
+    "md5" + md5Hex(md5Hex((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
 }
 
 /** One decoded client message: startup variants or a typed V3 frame. */
@@ -263,6 +287,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   private var session: PgSession = _
   /** startup user while the cleartext-password exchange is pending */
   private var pendingUser: Option[String] = None
+  private var pendingSalt: Array[Byte] = _
   private var ctxRef: ChannelHandlerContext = _
   /** the buffer currently being written (replaced when a chunk flushes) */
   private var currentOut: ByteBuf = _
@@ -297,7 +322,17 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       ctx.close()
 
     case Startup(params) =>
-      config.authenticator match {
+      if (config.md5Lookup.isDefined) {
+        // MD5 challenge-response (the classic PG salted double-hash: the
+        // cleartext password never crosses the wire): send a fresh 4-byte
+        // salt, finish on 'p'
+        pendingUser = Some(params.getOrElse("user", ""))
+        pendingSalt = new Array[Byte](4)
+        new java.security.SecureRandom().nextBytes(pendingSalt)
+        val out = ctx.alloc().buffer()
+        authenticationMD5Password(out, pendingSalt)
+        ctx.writeAndFlush(out)
+      } else config.authenticator match {
         case Some(_) =>
           // cleartext-password flow (reference PasswordMessage handling,
           // protocol.scala:703-760): challenge now, finish on 'p'
@@ -319,8 +354,21 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         val in = ByteBuffer.wrap(payload)
         val password = readCStr(in)
         val user = pendingUser.get
-        if (config.authenticator.exists(_(user, password))) {
+        val ok =
+          if (pendingSalt != null) {
+            // response = "md5" + hex(md5(hex(md5(password+user)) + salt));
+            // compute the expectation from the stored password and compare
+            // constant-time
+            config.md5Lookup.flatMap(_(user)).exists { stored =>
+              val expect = PgMd5.response(user, stored, pendingSalt)
+              java.security.MessageDigest.isEqual(
+                expect.getBytes(UTF_8),
+                password.getBytes(UTF_8))
+            }
+          } else config.authenticator.exists(_(user, password))
+        if (ok) {
           pendingUser = None
+          pendingSalt = null
           finishStartup(ctx)
         } else {
           val err = ctx.alloc().buffer()

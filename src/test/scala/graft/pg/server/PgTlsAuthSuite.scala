@@ -21,6 +21,7 @@ class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
   private var tlsServer: PgWireServer = _
   private var authServer: PgWireServer = _
   private var singleServer: PgWireServer = _
+  private var md5Server: PgWireServer = _
   private var keystore: String = _
 
   override def beforeAll(): Unit = {
@@ -47,10 +48,16 @@ class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
     singleServer = new PgWireServer(TestSpark.spark, port = 0,
       config = PgServerConfig(singleSession = true))
     singleServer.start()
+
+    md5Server = new PgWireServer(TestSpark.spark, port = 0,
+      config = PgServerConfig(
+        md5Lookup = Some(u => if (u == "graft") Some("sekrit") else None)))
+    md5Server.start()
   }
 
   override def afterAll(): Unit = {
-    Seq(tlsServer, authServer, singleServer).filter(_ != null).foreach(_.stop())
+    Seq(tlsServer, authServer, singleServer, md5Server)
+      .filter(_ != null).foreach(_.stop())
   }
 
   private def psql(port: Int, sslmode: String, sql: String,
@@ -107,6 +114,23 @@ class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === "99")
   }
 
+  test("md5 challenge-response: psql authenticates without sending cleartext") {
+    val (rc, out) = psql(md5Server.boundPort, "disable", "SELECT 'md5ok'",
+      password = "sekrit")
+    assert(rc === 0, s"md5 auth failed: $out")
+    assert(out.contains("md5ok"))
+  }
+
+  test("md5: wrong password and unknown user are rejected with 28P01") {
+    val (rc, out) = psql(md5Server.boundPort, "disable", "SELECT 1",
+      password = "wrong")
+    assert(rc !== 0)
+    assert(out.contains("password authentication failed"), s"got: $out")
+    // PgMd5 scheme self-check: hex(md5) double hash with the salt appended
+    val expect = PgMd5.response("u", "p", Array[Byte](1, 2, 3, 4))
+    assert(expect.startsWith("md5") && expect.length === 35)
+  }
+
   test("fromConf builds the configured modes") {
     val s = TestSpark.spark
     s.conf.set("spark.graft.server.auth", "password")
@@ -119,6 +143,10 @@ class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(c.singleSession)
       assert(c.sslKeyStorePath === Some(keystore))
       assert(c.authenticator.get("a", "b") && !c.authenticator.get("a", "x"))
+      s.conf.set("spark.graft.server.auth", "md5")
+      val m = PgServerConfig.fromConf(s)
+      assert(m.authenticator.isEmpty)
+      assert(m.md5Lookup.get("a") === Some("b") && m.md5Lookup.get("x").isEmpty)
     } finally {
       Seq("spark.graft.server.auth", "spark.graft.server.auth.credentials",
         "spark.graft.server.sessionMode", "spark.graft.server.ssl.keyStorePath",
