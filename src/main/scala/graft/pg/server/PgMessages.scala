@@ -34,6 +34,22 @@ object PgMessages {
   def authenticationMD5Password(buf: ByteBuf, salt: Array[Byte]): Unit =
     msg(buf, 'R') { b => b.writeInt(5); b.writeBytes(salt) }
 
+  /** AuthenticationSASL: code 10 + NUL-terminated mechanism names + NUL. */
+  def authenticationSASL(buf: ByteBuf, mechanisms: Seq[String]): Unit =
+    msg(buf, 'R') { b =>
+      b.writeInt(10)
+      mechanisms.foreach { m => b.writeBytes(m.getBytes(UTF_8)); b.writeByte(0) }
+      b.writeByte(0)
+    }
+
+  /** AuthenticationSASLContinue: code 11 + SASL data (server-first). */
+  def authenticationSASLContinue(buf: ByteBuf, data: Array[Byte]): Unit =
+    msg(buf, 'R') { b => b.writeInt(11); b.writeBytes(data) }
+
+  /** AuthenticationSASLFinal: code 12 + SASL data (server-final v=). */
+  def authenticationSASLFinal(buf: ByteBuf, data: Array[Byte]): Unit =
+    msg(buf, 'R') { b => b.writeInt(12); b.writeBytes(data) }
+
   def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
     msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
 

@@ -105,6 +105,12 @@ final case class PgServerConfig(
       * plaintext to verify against. Takes precedence over [[authenticator]].
       */
     md5Lookup: Option[String => Option[String]] = None,
+    /** Some(lookup) = SCRAM-SHA-256 SASL flow (RFC 5802/7677, the PG 10+
+      * default): salted PBKDF2 proof both ways — nothing replayable on the
+      * wire and the client verifies the SERVER's signature too. Takes
+      * precedence over [[md5Lookup]] and [[authenticator]].
+      */
+    scramLookup: Option[String => Option[String]] = None,
     /** single-session: every connection shares the base SparkSession (temp
       * views and conf visible across connections); default multi-session
       * isolates via newSession() per connection
@@ -126,18 +132,21 @@ object PgServerConfig {
         .split(',').toSeq.filter(_.contains(":")).map { kv =>
           val Array(u, p) = kv.split(":", 2); (u, p)
         }.toMap
-    val (auth, md5) = spark.conf.get("spark.graft.server.auth", "trust") match {
+    val (auth, md5, scram) = spark.conf.get("spark.graft.server.auth", "trust") match {
       case "password" =>
         val c = creds
         (Some((u: String, p: String) => c.get(u).exists(expect =>
           // constant-time comparison: a short-circuiting equals leaks the
           // matching prefix length through response timing
           java.security.MessageDigest.isEqual(
-            expect.getBytes(UTF_8), p.getBytes(UTF_8)))), None)
+            expect.getBytes(UTF_8), p.getBytes(UTF_8)))), None, None)
       case "md5" =>
         val c = creds
-        (None, Some((u: String) => c.get(u)))
-      case _ => (None, None)
+        (None, Some((u: String) => c.get(u)), None)
+      case "scram-sha-256" =>
+        val c = creds
+        (None, None, Some((u: String) => c.get(u)))
+      case _ => (None, None, None)
     }
     PgServerConfig(
       sslKeyStorePath = opt("spark.graft.server.ssl.keyStorePath"),
@@ -145,6 +154,7 @@ object PgServerConfig {
         opt("spark.graft.server.ssl.keyStorePassword").getOrElse(""),
       authenticator = auth,
       md5Lookup = md5,
+      scramLookup = scram,
       singleSession =
         spark.conf.get("spark.graft.server.sessionMode", "multi") == "single",
       uiPort = opt("spark.graft.server.ui.port").map(_.toInt))
@@ -288,6 +298,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   /** startup user while the cleartext-password exchange is pending */
   private var pendingUser: Option[String] = None
   private var pendingSalt: Array[Byte] = _
+  private var scramPhase: Int = 0
+  private var scram: ScramSha256Server = _
   private var ctxRef: ChannelHandlerContext = _
   /** the buffer currently being written (replaced when a chunk flushes) */
   private var currentOut: ByteBuf = _
@@ -322,7 +334,15 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       ctx.close()
 
     case Startup(params) =>
-      if (config.md5Lookup.isDefined) {
+      if (config.scramLookup.isDefined) {
+        // SASL negotiation: advertise the mechanism, client answers with
+        // SASLInitialResponse ('p')
+        pendingUser = Some(params.getOrElse("user", ""))
+        scramPhase = 1
+        val out = ctx.alloc().buffer()
+        authenticationSASL(out, Seq("SCRAM-SHA-256"))
+        ctx.writeAndFlush(out)
+      } else if (config.md5Lookup.isDefined) {
         // MD5 challenge-response (the classic PG salted double-hash: the
         // cleartext password never crosses the wire): send a fresh 4-byte
         // salt, finish on 'p'
@@ -342,6 +362,50 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           ctx.writeAndFlush(out)
         case None =>
           finishStartup(ctx)
+      }
+
+    case Typed(tpe, payload) if pendingUser.isDefined && scramPhase > 0 =>
+      // SASL sub-flow: phase 1 = SASLInitialResponse (mechanism cstring +
+      // int32-length data), phase 2 = raw client-final bytes
+      def fail(message: String): Unit = {
+        val err = ctx.alloc().buffer()
+        errorResponse(err,
+          s"""password authentication failed for user "${pendingUser.get}"""", "28P01")
+        ctx.writeAndFlush(err)
+        ctx.close()
+      }
+      if (tpe.toChar != 'p') { fail("expected SASLResponse") }
+      else if (scramPhase == 1) {
+        val in = ByteBuffer.wrap(payload)
+        val mech = readCStr(in)
+        val dlen = in.getInt
+        val data = new Array[Byte](math.max(dlen, 0))
+        in.get(data)
+        val stored = config.scramLookup.flatMap(_(pendingUser.get))
+        if (mech != "SCRAM-SHA-256" || stored.isEmpty) fail("unsupported mechanism")
+        else {
+          scram = new ScramSha256Server(stored.get)
+          scram.clientFirst(new String(data, UTF_8)) match {
+            case Some(serverFirst) =>
+              scramPhase = 2
+              val out = ctx.alloc().buffer()
+              authenticationSASLContinue(out, serverFirst.getBytes(UTF_8))
+              ctx.writeAndFlush(out)
+            case None => fail("malformed client-first")
+          }
+        }
+      } else {
+        scram.clientFinal(new String(payload, UTF_8)) match {
+          case Some(serverFinal) =>
+            val out = ctx.alloc().buffer()
+            authenticationSASLFinal(out, serverFinal.getBytes(UTF_8))
+            ctx.writeAndFlush(out)
+            pendingUser = None
+            scramPhase = 0
+            scram = null
+            finishStartup(ctx)
+          case None => fail("proof mismatch")
+        }
       }
 
     case Typed(tpe, payload) if pendingUser.isDefined =>
