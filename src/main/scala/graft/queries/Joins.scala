@@ -147,5 +147,30 @@ object Joins {
         s.sql("""SELECT /*+ BROADCAST(nation) */ n_name, COUNT(*) AS n_cust
                  FROM customer JOIN nation ON c_nationkey = n_nationkey
                  GROUP BY n_name ORDER BY n_name""")
+      }),
+
+    // Null-safe equality (<=>) as the JOIN KEY, not just a predicate: the
+    // NULL bucket on each side must match itself (plain = would drop it).
+    // Spark treats EqualNullSafe as a genuine equi-join key — hash
+    // partitionable, so this plans as a hash join, never a nested loop;
+    // DuckDB spells it IS NOT DISTINCT FROM.
+    QE("q179_nullsafe_join", Some("""
+      WITH a AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, COUNT(*) AS n_a
+                 FROM orders GROUP BY 1),
+      b AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_b
+            FROM orders GROUP BY 1)
+      SELECT a.k, n_a, total_b
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.k NULLS FIRST"""),
+      (s, d) => {
+        val key = nullif(col("o_orderpriority"), lit("3-MEDIUM"))
+        val a = t(s, d, "orders").groupBy(key.as("k"))
+          .agg(count(lit(1)).as("n_a"))
+        val b = t(s, d, "orders").groupBy(key.as("kb"))
+          .agg(Q.dsum(col("o_totalprice")).as("total_b"))
+        a.join(b, col("k") <=> col("kb"))
+          .select(col("k"), col("n_a"), col("total_b"))
+          .orderBy(col("k").asc_nulls_first)
       }))
 }

@@ -34,9 +34,19 @@ class RangeJoinRewriteSuite extends AnyFunSuite {
     (rows, df.queryExecution.executedPlan.toString)
   }
 
+  private def withoutRule[A](f: => A): A = {
+    // q176's entry installs the rule session-wide when it runs earlier in
+    // the same JVM — strip it so the naive baseline really is naive
+    val s = spark
+    val saved = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RangeJoinRewrite)
+    try f finally s.experimental.extraOptimizations = saved
+  }
+
   test("band theta join: nested loop without the rule, binned equi-join with it") {
     Tables.views(spark, TestSpark.sfDir)
-    val (naiveRows, naivePlan) = run(bandSql)
+    val (naiveRows, naivePlan) = withoutRule(run(bandSql))
     assert(naivePlan.contains("NestedLoop"),
       s"without the rule the band join must nest-loop (the problem being solved):\n$naivePlan")
     val (optRows, optPlan) = withRule(run(bandSql))
