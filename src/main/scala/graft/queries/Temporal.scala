@@ -212,6 +212,17 @@ object Temporal {
       FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""),
       (s, d) => graft.streaming.EventStream.dailyTypeTotals(s, d)),
 
+    // Six-hour windows under Trigger.AvailableNow — the scheduled-backfill
+    // trigger (process everything available, then self-terminate; resume
+    // from checkpoint next launch). The window start is epoch-aligned, so
+    // the oracle reproduces it with integer epoch-microsecond arithmetic.
+    QE("q180_stream_available_now", Some("""
+      SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.availableNowWindowTotals(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

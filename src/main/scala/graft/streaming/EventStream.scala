@@ -306,7 +306,9 @@ object EventStream {
   }
 
   private def runStagedQuery(spark: SparkSession, sfDir: String,
-      rocksDbState: Boolean = false)(
+      rocksDbState: Boolean = false,
+      drain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.processAllAvailable())(
       agg: DataFrame => DataFrame)(
       startSink: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)(
       readResult: () => DataFrame): DataFrame = {
@@ -395,9 +397,9 @@ object EventStream {
         }
       }
     try {
-      // processes the data batch, then the watermark-advance batch that
-      // emits + evicts every closed window, before returning
-      q.processAllAvailable()
+      // default drain: processes the data batch, then the watermark-advance
+      // batch that emits + evicts every closed window, before returning
+      drain(q)
     } finally {
       q.stop()
       Seq(dir, sentinelOut).foreach { d =>
@@ -406,6 +408,38 @@ object EventStream {
       }
     }
     readResult()
+  }
+
+  /** Six-hour windowed totals per event type under Trigger.AvailableNow —
+    * the PRODUCTION backfill trigger: the query plans all currently
+    * available input, processes it in rate-limited micro-batches, then
+    * STOPS ITSELF (processAllAvailable is a test-harness call; AvailableNow
+    * is what a scheduled 100 TB catch-up job actually runs, resuming from
+    * the checkpoint next launch). The staged dir is fully populated before
+    * start, so one AvailableNow run drains data + sentinel and
+    * awaitTermination returns on its own.
+    */
+  def availableNowWindowTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
+    runStagedQuery(spark, sfDir,
+      drain = q => require(q.awaitTermination(180000L),
+        "AvailableNow query must self-terminate"))(src =>
+      src.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total")))(stream =>
+      stream.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()) { () =>
+      val out = spark.table(sink)
+      val rows = out.collect()
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }.orderBy("win_start", "event_type")
   }
 
   /** Windowed aggregation delivered through foreachBatch to an
