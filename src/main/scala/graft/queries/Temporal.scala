@@ -223,6 +223,20 @@ object Temporal {
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
       (s, d) => graft.streaming.EventStream.availableNowWindowTotals(s, d)),
 
+    // Streaming per-user top-3 by value via transformWithState with
+    // LIST-valued state (ListState; q139 covers ValueState) — state capped
+    // at k entries per key, the invariant that keeps streaming top-k
+    // O(keys*k) at any stream length. Oracle: the batch rank window.
+    QE("q181_stream_topk_state", Some("""
+      WITH r AS (SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rnk
+                 FROM events)
+      SELECT user_id, CAST(rnk AS INT) AS rnk, event_id,
+             CAST(value AS DOUBLE) AS value
+      FROM r WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+      (s, d) => graft.streaming.EventStream.topKPerUser(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

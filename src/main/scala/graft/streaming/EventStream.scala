@@ -190,6 +190,56 @@ object EventStream {
     }
   }
 
+  case class TopEntry(user_id: Long, rnk: Int, event_id: Long, value: Double)
+
+  /** StatefulProcessor for [[topKPerUser]]: bounded top-3 per user in a
+    * ListState — the list-valued state primitive (q139 covers ValueState).
+    * The state is CAPPED at k entries per key, the streaming-top-k
+    * invariant that keeps state O(keys·k) regardless of stream length.
+    */
+  class TopKProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TopEntry] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var top: ListState[Ev] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Ev]("top",
+        Encoders.product[Ev], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TopEntry] = {
+      val batch = rows.toSeq
+      if (top.get().nonEmpty && batch.nonEmpty) {
+        throw new IllegalStateException(
+          s"topKPerUser: user $user got events in a second micro-batch; " +
+            "single-batch replay assumption violated")
+      }
+      val best = batch.sortBy(e => (-e.value, e.event_id)).take(3)
+      top.put(best.toArray) // capped state: O(k) per key forever
+      best.iterator.zipWithIndex.map { case (e, i) =>
+        TopEntry(user, i + 1, e.event_id, e.value)
+      }
+    }
+  }
+
+  /** Streaming per-user top-3 events by value via transformWithState with
+    * LIST-valued state. The batch rank-window formulation is an exact
+    * oracle (ties broken by event_id on both sides).
+    */
+  def topKPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    runStaged(spark, sfDir, rocksDbState = true) { src =>
+      src.select(col("user_id"), col("event_id"), col("ts"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new TopKProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.orderBy("user_id", "rnk")
+  }
+
   /** Per-user record-breaking events via transformWithState — every event
     * whose value strictly exceeds that user's running maximum. Emission is
     * a pure function of each user's event-time-ordered history, so the
