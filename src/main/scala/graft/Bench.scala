@@ -26,7 +26,8 @@ object Bench {
     Set("q92_stream_stream_join", "q93_stream_dedup", "q94_stream_cusum_alert",
       "q95_stream_window", "q99_stream_sessionize", "q120_stream_static_join",
       "q139_stream_record_events", "q169_stream_foreach_batch",
-      "q180_stream_available_now", "q181_stream_topk_state")
+      "q180_stream_available_now", "q181_stream_topk_state",
+      "q182_stream_map_state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -237,6 +237,15 @@ object Temporal {
       FROM r WHERE rnk <= 3 ORDER BY user_id, rnk"""),
       (s, d) => graft.streaming.EventStream.topKPerUser(s, d)),
 
+    // Streaming per-(user, type) census via transformWithState with
+    // MAP-valued state — the third state primitive next to ValueState
+    // (q139) and ListState (q181); state is O(keys * |type vocabulary|).
+    QE("q182_stream_map_state", Some("""
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+      (s, d) => graft.streaming.EventStream.typeCensusPerUser(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

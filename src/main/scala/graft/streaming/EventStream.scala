@@ -240,6 +240,56 @@ object EventStream {
     }.orderBy("user_id", "rnk")
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+  case class EvT(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double, event_type: String)
+
+  /** Streaming per-(user, event_type) census via transformWithState with
+    * MAP-valued state — completing the state-primitive trio (ValueState
+    * q139, ListState q181). Map keys are the small event-type vocabulary,
+    * so state is O(keys·|types|). Oracle: the batch two-key group-by.
+    */
+  def typeCensusPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    runStaged(spark, sfDir, rocksDbState = true) { src =>
+      src.select(col("user_id"), col("event_id"), col("ts"),
+          col("value"), col("event_type")).as[EvT]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCensusProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+    }.orderBy("user_id", "event_type")
+  }
+
+  class TypeCensusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[EvT],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val batch = rows.toSeq
+      if (counts.keys().nonEmpty && batch.nonEmpty) {
+        throw new IllegalStateException(
+          s"typeCensusPerUser: user $user got events in a second micro-batch; " +
+            "single-batch replay assumption violated")
+      }
+      batch.groupBy(_.event_type).foreach { case (t, es) =>
+        val prior = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, prior + es.size)
+      }
+      counts.iterator().map(kv => TypeCount(user, kv._1, kv._2))
+        .toSeq.sortBy(_.event_type).iterator
+    }
+  }
+
   /** Per-user record-breaking events via transformWithState — every event
     * whose value strictly exceeds that user's running maximum. Emission is
     * a pure function of each user's event-time-ordered history, so the
