@@ -110,6 +110,39 @@ object Sources {
           .groupBy(month(col("o_orderdate")).cast(IntegerType).as("mon"))
           .agg(Q.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
           .orderBy("mon")
+      }),
+
+    // Multi-format federation: ONE plan unions a CSV source (1996 slice)
+    // with an ORC source (1997 slice) and aggregates across both — the
+    // lakehouse reality where history and fresh data live in different
+    // formats. Each branch's filter/pruning runs in its own format reader;
+    // the union is zero-cost (no shuffle) and the aggregate shuffles the
+    // combined partials once.
+    QE("q183_multi_format_union", Some("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY yr"""),
+      (s, d) => {
+        def slice(y: Int) = Tables.df(s, d, "orders")
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(y).cast(IntegerType).as("yr"))
+        val csvDir = tmp("graft_fed_csv")
+        slice(1996).write.mode("overwrite").option("header", "true").csv(csvDir)
+        val orcDir = tmp("graft_fed_orc")
+        slice(1997).write.mode("overwrite").orc(orcDir)
+        val csvSchema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+          StructField("yr", IntegerType)))
+        s.read.schema(csvSchema).option("header", "true").csv(csvDir)
+          .unionByName(s.read.orc(orcDir))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy("yr")
       }))
 
   /** One partitioned copy of orders per (session, source dir) — the write
