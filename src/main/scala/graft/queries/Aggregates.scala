@@ -212,5 +212,26 @@ object Aggregates {
           .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"))
           .unionAll(global)
           .orderBy("event_type")
-      }))
+      }),
+
+    // Bitwise aggregate family (BIT_AND/BIT_OR/BIT_XOR + popcount sum):
+    // fully associative/commutative, so partial aggregation map-side
+    // combines like SUM — the flag-mask rollup shape (permission masks,
+    // feature bitsets) at any scale. Exact integers, engine-independent.
+    QE("q184_bitwise_agg", Some("""
+      SELECT o_orderpriority,
+             BIT_AND(o_orderkey) AS mask_and,
+             BIT_OR(o_orderkey) AS mask_or,
+             BIT_XOR(o_orderkey) AS mask_xor,
+             CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popcnt
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            bit_and(col("o_orderkey")).as("mask_and"),
+            bit_or(col("o_orderkey")).as("mask_or"),
+            bit_xor(col("o_orderkey")).as("mask_xor"),
+            sum(bit_count(col("o_orderkey")).cast("long")).as("popcnt"))
+          .orderBy("o_orderpriority")))
 }
