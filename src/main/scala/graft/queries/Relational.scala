@@ -176,5 +176,30 @@ object Relational {
         ceil(col("s_acctbal")).cast(DoubleType).as("ceil_bal"),
         sqrt(abs(col("s_acctbal"))).as("sqrt_bal"),
         (col("s_suppkey") % 7).as("mod7"))
-        .orderBy("s_suppkey")))
+        .orderBy("s_suppkey")),
+
+    // String surface II beyond q07: translate, reverse, repeat, lpad,
+    // split_part, regexp_extract_all (stringified for comparability),
+    // md5 — all expression-only and codegen'd.
+    QE("q185_string_funcs2", Some("""
+      SELECT o_orderkey,
+             translate(o_orderpriority, '-', '_') AS t,
+             reverse(o_orderstatus) AS rev,
+             repeat(o_orderstatus, 3) AS rep,
+             lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS padded,
+             split_part(o_orderpriority, '-', 2) AS word,
+             array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), ',') AS caps,
+             md5(o_orderpriority) AS h
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders").filter(col("o_orderkey") < 500).select(
+        col("o_orderkey"),
+        translate(col("o_orderpriority"), "-", "_").as("t"),
+        reverse(col("o_orderstatus")).as("rev"),
+        repeat(col("o_orderstatus"), 3).as("rep"),
+        lpad(col("o_orderkey").cast(StringType), 8, "0").as("padded"),
+        split_part(col("o_orderpriority"), lit("-"), lit(2)).as("word"),
+        concat_ws(",",
+          regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0))).as("caps"),
+        md5(col("o_orderpriority").cast("binary")).as("h"))
+        .orderBy("o_orderkey")))
 }
