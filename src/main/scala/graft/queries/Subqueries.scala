@@ -15,6 +15,22 @@ object Subqueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
   val entries: Seq[QE] = Seq(
+    // stack(): the n-way row generator beyond explode/posexplode (q66/q76)
+    // — unpivots K constant-labeled expressions per input row without
+    // building an intermediate array. The oracle spells it as the UNION
+    // ALL it replaces; the Spark plan is ONE Generate over one scan.
+    QE("q186_stack_generator", Some("""
+      SELECT * FROM (
+        SELECT s_suppkey, 'lo' AS band, CAST(floor(s_acctbal) AS DOUBLE) AS v FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'hi' AS band, CAST(ceil(s_acctbal) AS DOUBLE) AS v FROM supplier)
+      ORDER BY s_suppkey, band"""),
+      (s, d) =>
+        t(s, d, "supplier")
+          .selectExpr("s_suppkey",
+            "stack(2, 'lo', CAST(floor(s_acctbal) AS DOUBLE), 'hi', CAST(ceil(s_acctbal) AS DOUBLE)) AS (band, v)")
+          .orderBy("s_suppkey", "band")),
+
     // IN (subquery) — planned as left-semi join after rewrite.
     QE("q60_in_subquery", Some("""
       SELECT o_orderkey, o_custkey FROM orders
