@@ -468,5 +468,41 @@ object Corpus {
             (sum(when(col("lang") === "zh", 1).otherwise(0)).cast("double") /
               count(lit(1))).as("pct_zh"),
             countDistinct(col("lang")).as("n_langs"))
-          .orderBy("source")))
+          .orderBy("source")),
+
+    // Length-band outlier census via EXACT DISCRETE percentiles
+    // (PERCENTILE_DISC, the SQL-standard first-value-with-cume_dist>=p):
+    // corpus-global p10/p90 length thresholds, then a per-source
+    // below/in/above-band census. Discrete percentiles return ACTUAL data
+    // values (integers here), so — unlike interpolating PERCENTILE_CONT,
+    // whose last-ulp float differences could flip boundary rows between
+    // engines — the band membership is bit-exactly reproducible. Plan: one
+    // column-pruned scan for the two thresholds (sort-based aggregate; at
+    // 100 TB swap in approx_percentile, same shape), the 1-row threshold
+    // table broadcast into one conditional-agg pass over documents.
+    QE("p40_length_band", Some("""
+      WITH th AS (SELECT
+          CAST(QUANTILE_DISC(n_chars, 0.1) AS BIGINT) AS lo,
+          CAST(QUANTILE_DISC(n_chars, 0.9) AS BIGINT) AS hi
+        FROM documents)
+      SELECT source,
+        CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        CAST(SUM(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+        CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+      FROM documents CROSS JOIN th
+      GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          WITH th AS (SELECT
+              PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_chars) AS lo,
+              PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS hi
+            FROM documents)
+          SELECT source,
+            SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS n_short,
+            SUM(CASE WHEN n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS n_band,
+            SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS n_long
+          FROM documents CROSS JOIN th
+          GROUP BY source ORDER BY source""")
+      }))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QE, Tables}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1359,5 +1359,117 @@ object DsShapes {
           .join(only96, col("c_custkey") === col("o_custkey"))
           .groupBy("c_mktsegment").agg(count(lit(1)).as("n_new_in_1996"))
           .orderBy("c_mktsegment")
+      }),
+
+    // DS q6 shape: nations with >= 5 distinct customers who bought parts
+    // priced >= 1.2x their p_type category average. The correlated
+    // category-average predicate is computed ONCE as an aggregate of the
+    // small part table and joined back (never per-row); the premium part
+    // set is then BROADCAST into the single lineitem pass. The 1.2x
+    // threshold is stated integer-exactly (5*price*count >= 6*sum of
+    // 2-decimal DECIMALs), so both engines make bit-identical keep/drop
+    // decisions — no float boundary can flip a row.
+    QE("q190_ds_above_category_avg", Some("""
+      WITH ca AS (SELECT p_type,
+                    SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS s,
+                    COUNT(*) AS c
+                  FROM part GROUP BY p_type),
+      prem AS (SELECT p_partkey FROM part JOIN ca USING (p_type)
+               WHERE 5 * CAST(p_retailprice AS DECIMAL(12,2)) * c >= 6 * s)
+      SELECT n_name, COUNT(DISTINCT o_custkey) AS n_cust
+      FROM lineitem JOIN prem ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name HAVING COUNT(DISTINCT o_custkey) >= 5
+      ORDER BY n_name"""),
+      (s, d) => {
+        val part = t(s, d, "part")
+        val ca = part.groupBy("p_type")
+          .agg(sum(col("p_retailprice").cast(Q.dec)).as("s"), count(lit(1)).as("c"))
+        val prem = part.join(ca, "p_type")
+          .filter(lit(5) * col("p_retailprice").cast(Q.dec) * col("c") >= lit(6) * col("s"))
+          .select("p_partkey")
+        t(s, d, "lineitem")
+          .join(broadcast(prem), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .filter(col("n_cust") >= 5)
+          .orderBy("n_name")
+      }),
+
+    // DS q65 shape: per-supplier laggard items — (supplier, part) pairs
+    // whose revenue is under half that supplier's average item revenue.
+    // The fact table is aggregated ONCE to (suppkey, partkey) grain; the
+    // per-supplier average is a window over that aggregate (sum + count
+    // via one window partition), never a second fact scan or a self-join.
+    // The half-of-average predicate is integer-exact (2*rev*n < sum), so
+    // membership is bit-identical across engines.
+    QE("q191_ds_laggard_items", Some(s"""
+      WITH ir AS (SELECT l_suppkey, l_partkey,
+                    SUM(${Q.oRev("l_extendedprice", "l_discount")}) AS rev
+                  FROM lineitem GROUP BY l_suppkey, l_partkey),
+      w AS (SELECT l_suppkey, l_partkey, rev,
+              SUM(rev) OVER (PARTITION BY l_suppkey) AS tot,
+              COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+            FROM ir)
+      SELECT s_name, l_partkey, CAST(rev AS DOUBLE) AS rev
+      FROM w JOIN supplier ON l_suppkey = s_suppkey
+      WHERE 2 * rev * n < tot
+      ORDER BY s_name, l_partkey"""),
+      (s, d) => {
+        val ir = t(s, d, "lineitem")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        val w = Window.partitionBy("l_suppkey")
+        ir.withColumn("tot", sum(col("rev")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(lit(2) * col("rev") * col("n") < col("tot"))
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("l_partkey"), col("rev").cast(DoubleType).as("rev"))
+          .orderBy("s_name", "l_partkey")
+      }),
+
+    // DS q58 shape: balanced-channel items — parts whose revenue in EACH
+    // return-flag channel (R/A/N) sits within ±10% of the part's
+    // cross-channel average. The three per-channel series are CONDITIONAL
+    // AGGREGATES of one lineitem pass (the naive form is three scans
+    // unioned); the band test is integer-exact against the channel sum
+    // (30*rev_i in [9*sum, 11*sum] encodes [0.9, 1.1]x of sum/3), so
+    // membership is engine-independent.
+    QE("q192_ds_balanced_channel", Some(s"""
+      WITH pc AS (SELECT l_partkey,
+          SUM(CASE WHEN l_returnflag = 'R'
+                THEN ${Q.oRev("l_extendedprice", "l_discount")} ELSE 0 END) AS rev_r,
+          SUM(CASE WHEN l_returnflag = 'A'
+                THEN ${Q.oRev("l_extendedprice", "l_discount")} ELSE 0 END) AS rev_a,
+          SUM(CASE WHEN l_returnflag = 'N'
+                THEN ${Q.oRev("l_extendedprice", "l_discount")} ELSE 0 END) AS rev_n
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, CAST(rev_r AS DOUBLE) AS rev_r,
+             CAST(rev_a AS DOUBLE) AS rev_a, CAST(rev_n AS DOUBLE) AS rev_n
+      FROM pc
+      WHERE 30 * rev_r BETWEEN 9 * (rev_r + rev_a + rev_n) AND 11 * (rev_r + rev_a + rev_n)
+        AND 30 * rev_a BETWEEN 9 * (rev_r + rev_a + rev_n) AND 11 * (rev_r + rev_a + rev_n)
+        AND 30 * rev_n BETWEEN 9 * (rev_r + rev_a + rev_n) AND 11 * (rev_r + rev_a + rev_n)
+      ORDER BY l_partkey"""),
+      (s, d) => {
+        def chan(f: String) = sum(when(col("l_returnflag") === f,
+          Q.revenue(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast(DecimalType(13, 4)))).as(s"rev_${f.toLowerCase}")
+        val pc = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(chan("R"), chan("A"), chan("N"))
+        val tot = col("rev_r") + col("rev_a") + col("rev_n")
+        def inBand(c: Column) =
+          (lit(30) * c >= lit(9) * tot) && (lit(30) * c <= lit(11) * tot)
+        pc.filter(inBand(col("rev_r")) && inBand(col("rev_a")) && inBand(col("rev_n")))
+          .select(col("l_partkey"), col("rev_r").cast(DoubleType).as("rev_r"),
+            col("rev_a").cast(DoubleType).as("rev_a"),
+            col("rev_n").cast(DoubleType).as("rev_n"))
+          .orderBy("l_partkey")
       }))
 }

@@ -430,5 +430,40 @@ object Modern {
           FROM graft_year_axis(1995, 2001)
           LEFT JOIN orders ON year(o_orderdate) = yr
           GROUP BY yr ORDER BY yr""")
+      }),
+
+    // MAP higher-order-function family — map_from_entries, map_zip_with,
+    // map_filter, element_at, explode-of-map — over per-user event-type
+    // stats: build count and exact-total maps per user, zip them into an
+    // average map, filter to busy types (n >= 10), explode back to rows.
+    // All lambdas run inside codegen (HigherOrderFunction expressions, no
+    // UDF); maps are bounded by the small event-type vocabulary, so per-row
+    // state is O(|types|) at any corpus size and the only shuffles are the
+    // two aggregations. The oracle is the flat GROUP BY ... HAVING with the
+    // identical decimal-exact division, so the entry is hash-exact.
+    QE("q189_map_hof_family", Some("""
+      SELECT user_id, event_type, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                  AS DOUBLE) AS avg_value
+      FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 10
+      ORDER BY user_id, event_type"""),
+      (s, d) => {
+        val perType = Tables.df(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("tot"))
+        val maps = perType.groupBy("user_id").agg(
+          map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+            .as("cnt_map"),
+          map_from_entries(collect_list(struct(col("event_type"), col("tot"))))
+            .as("tot_map"))
+        maps
+          .withColumn("avg_map",
+            map_zip_with(col("cnt_map"), col("tot_map"), (_, n, t) => t / n))
+          .withColumn("busy", map_filter(col("cnt_map"), (_, v) => v >= lit(10)))
+          .select(col("user_id"), explode(col("busy")).as(Seq("event_type", "n")),
+            col("avg_map"))
+          .withColumn("avg_value", element_at(col("avg_map"), col("event_type")))
+          .select("user_id", "event_type", "n", "avg_value")
+          .orderBy("user_id", "event_type")
       }))
 }

@@ -246,6 +246,32 @@ object Temporal {
       ORDER BY user_id, event_type"""),
       (s, d) => graft.streaming.EventStream.typeCensusPerUser(s, d)),
 
+    // Watermarked stream-stream LEFT OUTER join: unmatched clicks are
+    // emitted with NULL error ids only once the watermark proves no match
+    // can still arrive (then their join state is evicted). Oracle: the
+    // batch LEFT JOIN — both engines ordered NULLS FIRST to agree.
+    QE("q187_stream_left_outer_join", Some("""
+      SELECT c.event_id AS click_id, e.event_id AS error_id
+      FROM events c LEFT JOIN events e ON c.user_id = e.user_id
+       AND e.event_type = 'error'
+       AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click'
+      ORDER BY click_id, error_id NULLS FIRST"""),
+      (s, d) => graft.streaming.EventStream.clickErrorLeftJoin(s, d)),
+
+    // transformWithState with EVENT-TIME TIMERS (TimeMode.EventTime,
+    // registerTimer/deleteTimer/handleExpiredTimer): per-user audit row
+    // emitted after 6h of event-time inactivity — output driven by the
+    // ABSENCE of input. Bounded replay fires each user's timer exactly
+    // once (sentinel-advanced watermark), so the batch per-user aggregate
+    // is an exact oracle; cents arithmetic keeps the total bit-exact.
+    QE("q188_stream_timers", Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) => graft.streaming.EventStream.inactivityAudit(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

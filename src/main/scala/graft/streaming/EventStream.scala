@@ -542,6 +542,121 @@ object EventStream {
     }.orderBy("win_start", "event_type")
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the outer-join member of
+    * the stream-join family (q92 is the inner form): every click, matched
+    * to same-user errors within the following hour, clicks with no such
+    * error emitted with a NULL error id. Outer results are the part inner
+    * joins never exercise: an unmatched left row can only be emitted once
+    * the watermark proves no matching right row can still arrive (watermark
+    * past click_ts + 1 hour), at which point its join state is evicted —
+    * so state stays O(rows per watermark horizon) and every click appears
+    * in the output exactly once, matched or not. The flush sentinel drives
+    * the watermark past every real interval, so the bounded replay emits
+    * all outer rows; the batch LEFT JOIN is an exact oracle (the emitted
+    * set is arrival-order-independent).
+    */
+  def clickErrorLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val clicks = src.filter(typeIs("click"))
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val errors = src.filter(typeIs("error"))
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts").as("e_ts"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("click_id"), col("error_id"))
+    }.orderBy(col("click_id"), col("error_id").asc_nulls_first)
+
+  // last-seen kept in epoch MICROS: the driver data is µs-precision and
+  // java.sql.Timestamp.getTime would truncate to ms, breaking the
+  // hash-exact last_ts comparison against the oracle's MAX(ts)
+  case class AuditState(n: Long, cents: Long, lastMicros: Long, timerMs: Long)
+  case class Audit(user_id: Long, n_events: Long,
+      last_ts: java.sql.Timestamp, total_value: Double)
+
+  /** StatefulProcessor for [[inactivityAudit]]: EVENT-TIME TIMERS — the
+    * state primitive the ValueState/ListState/MapState entries (q139, q181,
+    * q182) don't touch. Each batch folds the user's events into a running
+    * (count, cents, last-seen) state, DELETES the previously registered
+    * timer, and re-arms one at last-seen + 6 hours; when the WATERMARK
+    * passes that expiry, [[handleExpiredTimer]] fires — emitting the user's
+    * audit row and clearing all state. This is the canonical
+    * inactivity-triggered emission pattern (session close, cart
+    * abandonment, GC of idle keys): output is driven by the absence of
+    * input, which no input-row callback can express. State is one 4-field
+    * record + one timer per live user — O(keys) forever.
+    */
+  class InactivityAuditProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Audit] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val GapMs = 6L * 3600 * 1000
+
+    @transient private var st: ValueState[AuditState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AuditState]("audit",
+        Encoders.product[AuditState], TTLConfig.NONE)
+
+    private def epochMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Audit] = {
+      val prior = if (st.exists()) st.get()
+        else AuditState(0L, 0L, Long.MinValue, Long.MinValue)
+      var n = prior.n
+      var cents = prior.cents
+      var lastUs = prior.lastMicros
+      for (e <- rows) {
+        n += 1
+        cents += Math.round(e.value * 100.0)
+        lastUs = Math.max(lastUs, epochMicros(e.ts))
+      }
+      // re-arm: drop the previous inactivity deadline, set a fresh one 6h
+      // after the newest event seen so far
+      if (prior.timerMs != Long.MinValue) getHandle.deleteTimer(prior.timerMs)
+      val timerMs = lastUs / 1000L + GapMs
+      getHandle.registerTimer(timerMs)
+      st.update(AuditState(n, cents, lastUs, timerMs))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Audit] = {
+      val s = st.get()
+      st.clear()
+      val t = new java.sql.Timestamp(Math.floorDiv(s.lastMicros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(s.lastMicros, 1000000L) * 1000L).toInt)
+      Iterator.single(Audit(user, s.n, t, s.cents / 100.0))
+    }
+  }
+
+  /** Per-user lifetime audit emitted on 6 hours of event-time inactivity,
+    * via transformWithState with EVENT-TIME timers (TimeMode.EventTime).
+    * In the bounded replay every user's last event precedes the flush
+    * sentinel by far more than the gap, so exactly one audit fires per
+    * user once the sentinel advances the watermark — making the batch
+    * per-user aggregate an exact oracle (cents arithmetic, so the total is
+    * bit-exact against DECIMAL summation).
+    */
+  def inactivityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    runStaged(spark, sfDir, rocksDbState = true) { src =>
+      src.select(col("user_id"), col("event_id"), col("ts"), col("value")).as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new InactivityAuditProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    }.orderBy("user_id")
+  }
+
   /** Windowed aggregation delivered through foreachBatch to an
     * EPOCH-ADDRESSED parquet layout — the production file-sink pattern the
     * memory-sink entries can't exercise: each micro-batch lands in its own

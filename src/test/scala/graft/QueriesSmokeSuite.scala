@@ -12,7 +12,9 @@ class QueriesSmokeSuite extends AnyFunSuite {
   private val mayBeEmpty = Set(
     "q13_join_full", "q15_join_anti", "q20_group_having", "q54_except",
     "q55_except_all", "q60_in_subquery", "q84_pg_params", "p03_minhash_neardup",
-    "p05_ngram_jaccard", "p15_embedding_neardup")
+    "p05_ngram_jaccard", "p15_embedding_neardup",
+    // >=5-distinct-buyer HAVING gate: below the bar at sf0.001
+    "q190_ds_above_category_avg")
 
   SparkEntry.all.foreach { q =>
     test(q.name) {
@@ -290,5 +292,27 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(plan.contains("Window"), s"q122 must decorrelate to a rank window:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"q122 must not plan a nested loop:\n$plan")
+  }
+
+  test("DS-shape plans VIII: premium-part broadcast, window-over-aggregate, one-pass bands") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // q190: the category-average premium-part set must BROADCAST into the
+    // fact pass (it is a filtered dim), never shuffle the fact on partkey
+    val q190 = plan("q190_ds_above_category_avg")
+    assert(q190.contains("BroadcastHashJoin"), s"q190 dims must broadcast:\n$q190")
+    assert(!q190.contains("CartesianProduct"), s"q190 must stay equi-join:\n$q190")
+    // q191: the per-supplier average must be a window over the (supp, part)
+    // AGGREGATE — one lineitem scan, no self-join second pass
+    val q191 = plan("q191_ds_laggard_items")
+    assert("lineitem\\.parquet".r.findAllIn(q191).size == 1,
+      s"q191 must scan lineitem once:\n$q191")
+    assert(q191.contains("Window"), s"q191 average must be a window:\n$q191")
+    // q192: the three channel series are conditional aggregates of ONE
+    // lineitem pass — never a per-channel union of scans
+    val q192 = plan("q192_ds_balanced_channel")
+    assert("lineitem\\.parquet".r.findAllIn(q192).size == 1,
+      s"q192 must scan lineitem once:\n$q192")
+    assert(!q192.contains("Union"), s"q192 must not split into a union:\n$q192")
   }
 }

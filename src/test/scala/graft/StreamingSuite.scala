@@ -160,4 +160,50 @@ class StreamingSuite extends AnyFunSuite {
       graft.streaming.EventStream.recordBreakingEvents(s, TestSpark.sfDir).collect().toSeq
     assert(streamed.map(_.toString) === again.map(_.toString))
   }
+
+  test("stream-stream LEFT OUTER join emits unmatched clicks exactly once") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.clickErrorLeftJoin(s, TestSpark.sfDir).collect().toSeq
+    val ev = Tables.df(s, TestSpark.sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("error_id"), col("ts").as("ets"))
+    val batch = clicks.join(errors,
+        col("cu") === col("eu") && col("ets") >= col("cts") &&
+          col("ets") <= col("cts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("click_id"), col("error_id"))
+      .orderBy(col("click_id"), col("error_id").asc_nulls_first)
+      .collect().toSeq
+    assert(streamed.exists(_.isNullAt(1)),
+      "outer rows (clicks with no error within the hour) must be emitted")
+    assert(streamed.size === batch.size &&
+      streamed.map(_.toString) === batch.map(_.toString),
+      s"left-outer stream must equal the batch left join " +
+        s"(got ${streamed.size}, want ${batch.size})")
+    // every click appears at least once — matched or null-padded
+    val nClicks = clicks.count()
+    assert(streamed.map(_.getLong(0)).distinct.size.toLong === nClicks,
+      "every click must appear in the outer join output")
+  }
+
+  test("event-time timers fire one inactivity audit per user with exact totals") {
+    val s = TestSpark.spark
+    val audits =
+      graft.streaming.EventStream.inactivityAudit(s, TestSpark.sfDir).collect().toSeq
+    val batch = Tables.df(s, TestSpark.sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(audits.nonEmpty)
+    assert(audits.map(_.getLong(0)).distinct.size === audits.size,
+      "exactly one audit per user (timer re-armed, fired once)")
+    assert(audits.size === batch.size &&
+      audits.map(_.toString) === batch.map(_.toString),
+      "timer-emitted audits must equal the batch per-user aggregate " +
+        "(µs-precision last_ts included)")
+  }
 }
