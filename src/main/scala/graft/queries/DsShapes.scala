@@ -1471,5 +1471,75 @@ object DsShapes {
             col("rev_a").cast(DoubleType).as("rev_a"),
             col("rev_n").cast(DoubleType).as("rev_n"))
           .orderBy("l_partkey")
+      }),
+
+    // DS q50/q62 shape: fulfilment-lag bucket matrix — days from order to
+    // ship, bucketed (<=30 / 31-60 / 61-90 / >90), as four CONDITIONAL
+    // COUNTS per supplier nation. The DS original formulates the buckets
+    // as scalar CASE columns over a channel join; here the single
+    // fact-fact join (lineitem x orders, the one unavoidable shuffle)
+    // feeds one conditional aggregate, with supplier and nation broadcast.
+    // Lag arithmetic is integer day-boundary counting in both engines —
+    // no float anywhere.
+    QE("q193_ds_ship_lag_matrix", Some("""
+      SELECT n_name,
+        CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_0_30,
+        CAST(SUM(CASE WHEN lag BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_31_60,
+        CAST(SUM(CASE WHEN lag BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_61_90,
+        CAST(SUM(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_90_plus
+      FROM (SELECT l_suppkey,
+              date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+      (s, d) => {
+        val lagged = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("lag"))
+        def bucket(c: Column, name: String) =
+          sum(when(c, 1).otherwise(0)).cast("long").as(name)
+        lagged
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            bucket(col("lag") <= 30, "n_0_30"),
+            bucket(col("lag") >= 31 && col("lag") <= 60, "n_31_60"),
+            bucket(col("lag") >= 61 && col("lag") <= 90, "n_61_90"),
+            bucket(col("lag") > 90, "n_90_plus"))
+          .orderBy("n_name")
+      }),
+
+    // DS q40 shape: before/after pivot analysis — revenue per part brand
+    // in the 30 days either side of a catalog-change date, from ONE
+    // date-pruned scan (the pushed ±30-day filter prunes the fact read;
+    // the before/after split is a conditional aggregate, not two scans).
+    // Exact decimal revenue both sides.
+    QE("q194_ds_before_after", Some(s"""
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+              THEN ${Q.oRev("l_extendedprice", "l_discount")} ELSE 0 END) AS DOUBLE) AS rev_before,
+        CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+              THEN ${Q.oRev("l_extendedprice", "l_discount")} ELSE 0 END) AS DOUBLE) AS rev_after
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00' - INTERVAL 30 DAY
+        AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00' + INTERVAL 30 DAY
+      GROUP BY p_brand ORDER BY p_brand"""),
+      (s, d) => {
+        val pivot = lit("1996-06-01").cast(TimestampType)
+        def side(c: Column, name: String) =
+          sum(when(c, Q.revenue(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0).cast(DecimalType(13, 4))))
+            .cast(DoubleType).as(name)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= pivot - expr("INTERVAL 30 DAYS") &&
+            col("l_shipdate") < pivot + expr("INTERVAL 30 DAYS"))
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(side(col("l_shipdate") < pivot, "rev_before"),
+            side(col("l_shipdate") >= pivot, "rev_after"))
+          .orderBy("p_brand")
       }))
 }

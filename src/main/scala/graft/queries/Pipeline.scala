@@ -772,6 +772,60 @@ object Pipeline {
           .join(purge, Seq("doc_id"), "left_anti")
           .select("doc_id")
           .orderBy("doc_id")
+      }),
+
+    // Near-dup CLUSTER-SIZE HISTOGRAM — the dedup diagnostic every corpus
+    // run publishes before purging (how much mass sits in big clusters
+    // decides purge-vs-keep-one policy). Rides the memoized verified pair
+    // set (shared with p03/p19) through the same iterative-min-label
+    // components, then two tiny aggregations: component -> size ->
+    // histogram. Docs with no near-dup partner never enter the edge list,
+    // so clusters are size >= 2 by construction. The DuckDB oracle recomputes
+    // components independently via a recursive CTE over the exact-Jaccard
+    // pair set — cross-checking the LSH recall AND the label propagation.
+    QE("p41_dup_cluster_histogram", Some(s"""
+      WITH RECURSIVE ${jaccardPairsCte(0.8)},
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+                       UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+      lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      cs AS (SELECT lbl, COUNT(*) AS sz FROM lbl GROUP BY lbl)
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM cs GROUP BY sz ORDER BY cluster_size"""),
+      (s, d) => {
+        val comp = connectedComponents(minhashNearDupPairs(s, d, 0.8).select("da", "db"))
+        comp.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      }),
+
+    // CROSS-SOURCE near-dup contamination matrix: how many verified
+    // near-dup pairs live within vs across source partitions — the
+    // diagnostic that tells a corpus run whether dedup must be GLOBAL
+    // (cross-source mass exists, so per-source dedup would miss it) or can
+    // shard by source. Pair set is the memoized p03 result; the matrix is
+    // one broadcast-join of the tiny pair list against the doc->source
+    // projection and a two-key aggregate, with (least, greatest) source
+    // normalization so each unordered source pair is one row.
+    QE("p42_cross_source_dup_matrix", Some(s"""
+      WITH ${jaccardPairsCte(0.8)}
+      SELECT LEAST(x.source, y.source) AS source_a,
+             GREATEST(x.source, y.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs JOIN documents x ON x.doc_id = da
+      JOIN documents y ON y.doc_id = db
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""),
+      (s, d) => {
+        val src = t(s, d, "documents").select("doc_id", "source")
+        minhashNearDupPairs(s, d, 0.8)
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
       }))
 }
 

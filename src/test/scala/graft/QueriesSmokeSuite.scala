@@ -314,5 +314,18 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert("lineitem\\.parquet".r.findAllIn(q192).size == 1,
       s"q192 must scan lineitem once:\n$q192")
     assert(!q192.contains("Union"), s"q192 must not split into a union:\n$q192")
+    // q193: supplier/nation dims broadcast around the one fact-fact join
+    val q193 = plan("q193_ds_ship_lag_matrix")
+    assert(q193.contains("BroadcastHashJoin"), s"q193 dims must broadcast:\n$q193")
+    assert("lineitem\\.parquet".r.findAllIn(q193).size == 1,
+      s"q193 must scan lineitem once:\n$q193")
+    // q194: the before/after split is conditional aggregation over ONE
+    // date-pruned scan with the ±30-day filter pushed to the read
+    val q194 = plan("q194_ds_before_after")
+    assert("lineitem\\.parquet".r.findAllIn(q194).size == 1,
+      s"q194 must scan lineitem once:\n$q194")
+    assert(q194.contains("GreaterThanOrEqual(l_shipdate") &&
+      q194.contains("LessThan(l_shipdate"),
+      s"q194 date band must push to the scan:\n$q194")
   }
 }
