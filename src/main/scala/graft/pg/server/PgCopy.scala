@@ -27,7 +27,7 @@ object PgCopy {
   val BatchRows = 50000
 
   final case class CopyOptions(csv: Boolean = false, delimiter: Char = '\t',
-      nullStr: String = "\\N", header: Boolean = false)
+      nullStr: String = "\\N", header: Boolean = false, binary: Boolean = false)
 
   sealed trait CopyStmt
   /** COPY <table> [(cols)] FROM STDIN [options] */
@@ -138,20 +138,33 @@ object PgCopy {
         }
         out.toSeq
       }
+    var explicit: Set[String] = Set.empty
     tokens.foreach {
-      case ("format", Some(v)) => o = o.copy(csv = v.equalsIgnoreCase("csv"))
+      case ("format", Some(v)) =>
+        o = o.copy(csv = v.equalsIgnoreCase("csv"),
+          binary = v.equalsIgnoreCase("binary"))
         if (o.csv && o.nullStr == "\\N") o = o.copy(nullStr = "")
       case ("csv", None) => o = o.copy(csv = true, nullStr = if (o.nullStr == "\\N") "" else o.nullStr)
-      case ("text", None) => o = o.copy(csv = false)
+      case ("binary", None) => o = o.copy(binary = true) // legacy WITH BINARY
+      case ("text", None) => o = o.copy(csv = false, binary = false)
       case ("header", v) =>
+        explicit += "header"
         o = o.copy(header = v.forall(x => x.equalsIgnoreCase("true") || x.equalsIgnoreCase("on")))
       case ("delimiter", Some(v)) =>
         delimSet = true
         o = o.copy(delimiter = unquote(v).headOption.getOrElse('\t'))
-      case ("null", Some(v)) => o = o.copy(nullStr = unquote(v))
+      case ("null", Some(v)) =>
+        explicit += "null"
+        o = o.copy(nullStr = unquote(v))
       case (other, _) =>
         throw new IllegalArgumentException(s"unsupported COPY option: $other")
     }
+    // binary is a self-describing frame format — the text-mode knobs make
+    // no sense with it (PG rejects these combinations the same way)
+    if (o.binary && (o.csv || delimSet || (o.header && explicit("header")) ||
+        explicit("null")))
+      throw new IllegalArgumentException(
+        "COPY binary format cannot be combined with csv/delimiter/header/null options")
     // PG csv mode defaults to ',' (text mode to tab)
     if (o.csv && !delimSet) o = o.copy(delimiter = ',')
     o
@@ -185,7 +198,8 @@ object PgCopy {
     * feeds. Failures latch: the remaining stream is drained cheaply and the
     * error surfaces once at CopyDone, like PG.
     */
-  final class CopyInSession(spark: SparkSession, stmt: CopyIn) {
+  final class CopyInSession(spark: SparkSession, stmt: CopyIn,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC) {
     private val targetSchema: StructType = spark.table(stmt.table).schema
     private val colNames: Seq[String] =
       if (stmt.cols.nonEmpty) stmt.cols else targetSchema.fieldNames.toSeq
@@ -194,9 +208,17 @@ object PgCopy {
 
     def nCols: Int = colNames.length
 
+    private val copyTypes: Array[DataType] =
+      colNames.map(n => targetSchema(n).dataType).toArray
+    if (stmt.opts.binary) copyTypes.foreach { dt =>
+      require(BinaryCopy.supported(dt),
+        s"COPY binary format unsupported for column type $dt")
+    }
+
     private var carry = Array.emptyByteArray
     private var inQuotes = false
     private var headerPending = stmt.opts.header
+    private var binHeaderDone = false
     private var sawEndMarker = false
     private val rows = ArrayBuffer.empty[Row]
     private var inserted = 0L
@@ -204,27 +226,98 @@ object PgCopy {
 
     def feed(bytes: Array[Byte]): Unit = if (failure.isEmpty && !sawEndMarker) {
       try {
-        val buf = if (carry.isEmpty) bytes else carry ++ bytes
-        var start = 0
-        var i = 0
-        while (i < buf.length) {
-          val b = buf(i)
-          if (stmt.opts.csv && b == '"') inQuotes = !inQuotes
-          if (b == '\n' && !inQuotes) {
-            handleLine(new String(buf, start, i - start, UTF_8))
-            start = i + 1
-          }
-          i += 1
-        }
-        carry = java.util.Arrays.copyOfRange(buf, start, buf.length)
+        if (stmt.opts.binary) feedBinary(bytes)
+        else feedText(bytes)
         if (rows.size >= BatchRows) flush()
       } catch { case e: Throwable if scala.util.control.NonFatal(e) => failure = Some(e) }
     }
 
+    private def feedText(bytes: Array[Byte]): Unit = {
+      val buf = if (carry.isEmpty) bytes else carry ++ bytes
+      var start = 0
+      var i = 0
+      while (i < buf.length) {
+        val b = buf(i)
+        if (stmt.opts.csv && b == '"') inQuotes = !inQuotes
+        if (b == '\n' && !inQuotes) {
+          handleLine(new String(buf, start, i - start, UTF_8))
+          start = i + 1
+        }
+        i += 1
+      }
+      carry = java.util.Arrays.copyOfRange(buf, start, buf.length)
+    }
+
+    /** Incremental binary-frame parser: CopyData boundaries carry no
+      * meaning in binary COPY (a tuple may span frames and a frame may
+      * hold many tuples), so parse whatever whole units the carry buffer
+      * holds and keep the remainder.
+      */
+    private def feedBinary(bytes: Array[Byte]): Unit = {
+      val buf = if (carry.isEmpty) bytes else carry ++ bytes
+      var pos = 0
+      if (!binHeaderDone) {
+        if (buf.length - pos < 19) { carry = sliceFrom(buf, pos); return }
+        if (!java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(buf, pos, pos + 11), BinaryCopy.Signature))
+          throw new IllegalArgumentException("COPY binary: bad signature header")
+        val bb = java.nio.ByteBuffer.wrap(buf, pos + 11, 8)
+        bb.getInt // flags: only bit 16 (OIDs) is defined; we emit none and
+                  // accept any, like PG's recv which checks only the bit range
+        val extLen = bb.getInt
+        if (extLen < 0) throw new IllegalArgumentException(
+          s"COPY binary: negative header extension length $extLen")
+        if (buf.length - pos < 19 + extLen) { carry = sliceFrom(buf, pos); return }
+        pos += 19 + extLen
+        binHeaderDone = true
+      }
+      var done = false
+      while (!done) {
+        if (buf.length - pos < 2) done = true
+        else {
+          val tupleStart = pos
+          val n = java.nio.ByteBuffer.wrap(buf, pos, 2).getShort.toInt
+          pos += 2
+          if (n == -1) { sawEndMarker = true; done = true }
+          else if (n != copyTypes.length) throw new IllegalArgumentException(
+            s"COPY binary row has $n columns, expected ${copyTypes.length}")
+          else {
+            val vals = new Array[Any](n)
+            var i = 0
+            var incomplete = false
+            while (i < n && !incomplete) {
+              if (buf.length - pos < 4) incomplete = true
+              else {
+                val len = java.nio.ByteBuffer.wrap(buf, pos, 4).getInt
+                if (len == -1) { pos += 4; vals(i) = null; i += 1 }
+                else if (buf.length - pos < 4 + len) incomplete = true
+                else {
+                  vals(i) = BinaryCopy.decode(copyTypes(i),
+                    java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len), zone)
+                  pos += 4 + len
+                  i += 1
+                }
+              }
+            }
+            if (incomplete) { pos = tupleStart; done = true }
+            else rows += Row.fromSeq(vals.toSeq)
+          }
+        }
+      }
+      carry = sliceFrom(buf, pos)
+    }
+
+    private def sliceFrom(buf: Array[Byte], pos: Int): Array[Byte] =
+      if (pos == 0) buf else java.util.Arrays.copyOfRange(buf, pos, buf.length)
+
     /** drain the final unterminated line, flush, return total rows */
     def finish(): Long = {
       failure.foreach(throw _)
-      if (carry.nonEmpty && !sawEndMarker) {
+      if (stmt.opts.binary) {
+        if (!sawEndMarker && failure.isEmpty)
+          failure = Some(new IllegalArgumentException(
+            "COPY binary stream ended without the -1 trailer"))
+      } else if (carry.nonEmpty && !sawEndMarker) {
         val line = new String(carry, UTF_8)
         carry = Array.emptyByteArray
         if (line.nonEmpty) handleLine(line)
@@ -251,7 +344,14 @@ object PgCopy {
 
     private def flush(): Unit = if (rows.nonEmpty && failure.isEmpty) {
       import scala.jdk.CollectionConverters._
-      val strSchema = StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
+      // text rows arrive as strings and cast below; binary rows decode to
+      // the target JVM types directly, so their frame already carries the
+      // table's column types
+      val strSchema =
+        if (stmt.opts.binary)
+          StructType(colNames.map(c => targetSchema(c).copy(nullable = true)))
+        else
+          StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
       val df = spark.createDataFrame(rows.toList.asJava, strSchema)
       // cast to the table's types in table-column order; columns outside the
       // COPY list land NULL (PG default-less behavior)
@@ -379,4 +479,70 @@ object PgCopy {
       s.indexOf('\r') >= 0)
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
+
+  /** COPY BINARY frame format (PG file_fdw/copy.c `binary` mode): the
+    * 11-byte signature + int32 flags + int32 header-extension length, then
+    * per tuple an int16 field count and per field an int32 length (-1 NULL)
+    * followed by the type's binary send() bytes — the SAME encodings the
+    * DataRow binary writer emits, so copy-out reuses [[graft.pg.wire.RowCodec]]
+    * and copy-in mirrors [[graft.pg.wire.ParamCodec]], with numerics through
+    * the shared [[graft.pg.wire.PgNumeric]] codec. Trailer: int16 -1.
+    */
+  private[server] object BinaryCopy {
+    import graft.pg.wire.{PgNumeric, PgTypes}
+
+    val Signature: Array[Byte] =
+      Array('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xFF.toByte, '\r', '\n', 0x00)
+        .map(_.toByte)
+
+    /** signature + flags(0) + extension length(0) */
+    def header: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(19)
+      b.put(Signature); b.putInt(0); b.putInt(0)
+      b.array()
+    }
+
+    val Trailer: Array[Byte] = Array(0xFF.toByte, 0xFF.toByte)
+
+    def supported(dt: DataType): Boolean = dt match {
+      case BooleanType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | StringType | BinaryType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+    /** one field's send() bytes -> the external JVM value createDataFrame
+      * expects for the column's Spark type. TimestampType mirrors the
+      * writer's zone shift: the wire carries wall-clock micros in the
+      * session zone (OID 1114), converted back to an instant here.
+      */
+    def decode(dt: DataType, bytes: Array[Byte],
+        zone: java.time.ZoneId): Any = dt match {
+      case BooleanType => bytes(0) == 1.toByte
+      case ShortType => java.nio.ByteBuffer.wrap(bytes).getShort
+      case IntegerType => java.nio.ByteBuffer.wrap(bytes).getInt
+      case LongType => java.nio.ByteBuffer.wrap(bytes).getLong
+      case FloatType => java.nio.ByteBuffer.wrap(bytes).getFloat
+      case DoubleType => java.nio.ByteBuffer.wrap(bytes).getDouble
+      case StringType => new String(bytes, UTF_8)
+      case BinaryType => bytes
+      case DateType =>
+        val days = java.nio.ByteBuffer.wrap(bytes).getInt + PgTypes.PG_EPOCH_DAYS
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+      case TimestampType =>
+        val wall = java.nio.ByteBuffer.wrap(bytes).getLong + PgTypes.PG_EPOCH_MICROS
+        val ldt = wallClock(wall)
+        java.sql.Timestamp.from(ldt.atZone(zone).toInstant)
+      case TimestampNTZType =>
+        wallClock(java.nio.ByteBuffer.wrap(bytes).getLong + PgTypes.PG_EPOCH_MICROS)
+      case _: DecimalType => PgNumeric.fromBytes(bytes)
+      case other =>
+        throw new IllegalArgumentException(s"COPY binary unsupported for $other")
+    }
+
+    private def wallClock(micros: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+  }
 }

@@ -106,18 +106,22 @@ object PgMessages {
       oids.foreach(b.writeInt)
     }
 
-  /** CopyInResponse 'G': overall format 0 (text) + per-column text codes. */
-  def copyInResponse(buf: ByteBuf, nCols: Int): Unit =
+  /** CopyInResponse 'G': overall format (0 text / 1 binary) + matching
+    * per-column format codes.
+    */
+  def copyInResponse(buf: ByteBuf, nCols: Int, binary: Boolean = false): Unit =
     msg(buf, 'G') { b =>
-      b.writeByte(0); b.writeShort(nCols)
-      (0 until nCols).foreach(_ => b.writeShort(0))
+      val f = if (binary) 1 else 0
+      b.writeByte(f); b.writeShort(nCols)
+      (0 until nCols).foreach(_ => b.writeShort(f))
     }
 
   /** CopyOutResponse 'H' (same payload shape as CopyInResponse). */
-  def copyOutResponse(buf: ByteBuf, nCols: Int): Unit =
+  def copyOutResponse(buf: ByteBuf, nCols: Int, binary: Boolean = false): Unit =
     msg(buf, 'H') { b =>
-      b.writeByte(0); b.writeShort(nCols)
-      (0 until nCols).foreach(_ => b.writeShort(0))
+      val f = if (binary) 1 else 0
+      b.writeByte(f); b.writeShort(nCols)
+      (0 until nCols).foreach(_ => b.writeShort(f))
     }
 
   def copyData(buf: ByteBuf, bytes: Array[Byte]): Unit =

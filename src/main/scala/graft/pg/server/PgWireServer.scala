@@ -689,10 +689,10 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         // constructing the session resolves the table schema, so a missing
         // table errors HERE — before CopyInResponse commits the connection
         // to the copy subprotocol
-        val st = new PgCopy.CopyInSession(session.spark, ci)
+        val st = new PgCopy.CopyInSession(session.spark, ci, sessionZone)
         copyIn = Some(st)
         ServerStats.statementsRun.incrementAndGet()
-        PgMessages.copyInResponse(currentOut, st.nCols)
+        PgMessages.copyInResponse(currentOut, st.nCols, ci.opts.binary)
         copyInStarted = true
       case Some(co: PgCopy.CopyOut) =>
         ServerStats.statementsRun.incrementAndGet()
@@ -908,6 +908,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       else base
     val schema = df.schema
     val zone = sessionZone
+    if (co.opts.binary) { runCopyOutBinary(df, schema, zone); return }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       PgCopy.fieldText(f.dataType, i, zone)
     }
@@ -934,6 +935,56 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       maybeFlush()
       n += 1
     }
+    ServerStats.rowsStreamed.addAndGet(n)
+    PgMessages.copyDone(currentOut)
+    commandComplete(currentOut, s"COPY $n")
+  }
+
+  /** COPY ... TO STDOUT (FORMAT binary): the PGCOPY signature header, one
+    * CopyData per tuple (int16 field count + the SAME per-field binary
+    * encodings the DataRow writer emits — RowCodec is reused verbatim,
+    * numerics included), then the int16 -1 trailer. Streams through the
+    * incremental iterator with the grow-on-overflow scratch buffer, so
+    * memory stays bounded at any result size.
+    */
+  private def runCopyOutBinary(df: DataFrame, schema: StructType,
+      zone: java.time.ZoneId): Unit = {
+    schema.fields.foreach { f =>
+      if (!PgTypes.binaryCapable(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.CalendarIntervalType) // no COPY recv path
+        throw new IllegalArgumentException(
+          s"COPY binary format unsupported for column type ${f.dataType}")
+    }
+    val writer = RowCodec.rowWriter(schema,
+      Seq.fill(schema.length)(true), zone)
+    PgMessages.copyOutResponse(currentOut, schema.length, binary = true)
+    PgMessages.copyData(currentOut, PgCopy.BinaryCopy.header)
+    val scratch = new Scratch
+    val it = resultIterator(df)
+    var n = 0L
+    while (it.hasNext) {
+      val row = it.next()
+      var done = false
+      while (!done) {
+        val buf = scratch.buf
+        buf.clear()
+        try { buf.putShort(schema.length.toShort); writer(row, buf); done = true }
+        catch {
+          case _: java.nio.BufferOverflowException =>
+            if (buf.capacity() >= Scratch.MaxBytes) throw new IllegalStateException(
+              s"row exceeds the ${Scratch.MaxBytes} byte wire limit")
+            scratch.buf = java.nio.ByteBuffer.allocate(buf.capacity() * 2)
+        }
+      }
+      val buf = scratch.buf
+      buf.flip()
+      val tuple = new Array[Byte](buf.remaining())
+      buf.get(tuple)
+      PgMessages.copyData(currentOut, tuple)
+      maybeFlush()
+      n += 1
+    }
+    PgMessages.copyData(currentOut, PgCopy.BinaryCopy.Trailer)
     ServerStats.rowsStreamed.addAndGet(n)
     PgMessages.copyDone(currentOut)
     commandComplete(currentOut, s"COPY $n")

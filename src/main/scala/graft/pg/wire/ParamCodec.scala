@@ -34,6 +34,9 @@ object ParamCodec {
     case (PgTypes.NUMERIC, 0) =>
       val d = Decimal(BigDecimal(text(param)))
       Literal(d, DecimalType(Math.max(d.precision, d.scale), d.scale))
+    case (PgTypes.NUMERIC, 1) =>
+      val d = Decimal(BigDecimal(PgNumeric.fromBytes(param)))
+      Literal(d, DecimalType(Math.max(d.precision, d.scale), d.scale))
     case (PgTypes.VARCHAR | 25 | 705 | 1042, _) => // varchar/text/unknown/bpchar
       Literal(UTF8String.fromBytes(param), StringType)
     case (PgTypes.DATE, 0) =>

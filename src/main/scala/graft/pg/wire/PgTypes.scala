@@ -105,6 +105,7 @@ object PgTypes {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | BinaryType | DateType |
         TimestampType | TimestampNTZType | CalendarIntervalType => true
+    case _: DecimalType => true // PgNumeric speaks numeric_send/recv
     case _ => false
   }
 }

@@ -151,6 +151,8 @@ object RowCodec {
       // case above)
       b.putInt(8); b.putLong(r.getLong(i) - PgTypes.PG_EPOCH_MICROS)
     }
+    case (d: DecimalType, true) => (r, b) =>
+      PgNumeric.write(b, r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
     case (CalendarIntervalType, true) => (r, b) => {
       // PG interval_recv wire order: time-in-day micros (int64), days
       // (int32), months (int32) — not the struct's field order

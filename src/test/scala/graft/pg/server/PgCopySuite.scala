@@ -96,6 +96,81 @@ class PgCopySuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](parse("COPY t FROM 'file.csv'"))
   }
 
+  test("COPY binary round-trips typed rows incl. numeric, timestamp, NULLs") {
+    psql("DROP TABLE IF EXISTS copy_bin")
+    psql("DROP TABLE IF EXISTS copy_bin2")
+    psql("CREATE TABLE copy_bin (k INT, v STRING, d DOUBLE, " +
+      "ts TIMESTAMP, n DECIMAL(10,2)) USING parquet")
+    psql("CREATE TABLE copy_bin2 (k INT, v STRING, d DOUBLE, " +
+      "ts TIMESTAMP, n DECIMAL(10,2)) USING parquet")
+    psql("INSERT INTO copy_bin VALUES " +
+      "(1, 'alpha', 1.5, TIMESTAMP '2024-03-01 12:34:56.789012', 1234.56), " +
+      "(2, NULL, NULL, NULL, NULL), " +
+      "(3, 'utf8 é', -0.25, TIMESTAMP '1999-12-31 23:59:59', -0.01)")
+    val f = Files.createTempFile("copy_bin", ".pgb")
+    val tagOut = psql(s"\\copy (SELECT * FROM copy_bin ORDER BY k) to ${f.toString} with (format binary)")
+    assert(tagOut === "COPY 3")
+    // the file must open with the PGCOPY signature
+    val head = Files.readAllBytes(f).take(11)
+    assert(head.toSeq === "PGCOPY\n".getBytes(UTF_8).toSeq ++ Seq(0xFF.toByte, '\r'.toByte, '\n'.toByte, 0x00.toByte))
+    val tagIn = psql(s"\\copy copy_bin2 from ${f.toString} with (format binary)")
+    assert(tagIn === "COPY 3")
+    val before = psql("SELECT k, v, d, ts, n FROM copy_bin ORDER BY k")
+    val after = psql("SELECT k, v, d, ts, n FROM copy_bin2 ORDER BY k")
+    assert(after === before)
+    assert(before.contains("1234.56") && before.contains("12:34:56.789012"))
+    psql("DROP TABLE copy_bin"); psql("DROP TABLE copy_bin2")
+    Files.deleteIfExists(f)
+  }
+
+  test("binary copy-in parser survives arbitrary frame splits") {
+    TestSpark.spark.sql("DROP TABLE IF EXISTS copy_bin_chunk")
+    TestSpark.spark.sql(
+      "CREATE TABLE copy_bin_chunk (k INT, n DECIMAL(10,2)) USING parquet")
+    try {
+      // build a binary stream: header + 3 tuples + trailer
+      val bb = java.nio.ByteBuffer.allocate(1024)
+      bb.put(PgCopy.BinaryCopy.header)
+      def tuple(k: Int, n: Option[String]): Unit = {
+        bb.putShort(2)
+        bb.putInt(4); bb.putInt(k)
+        n match {
+          case Some(s) =>
+            val enc = graft.pg.wire.PgNumeric.toBytes(new java.math.BigDecimal(s))
+            bb.putInt(enc.length); bb.put(enc)
+          case None => bb.putInt(-1)
+        }
+      }
+      tuple(1, Some("10.50")); tuple(2, None); tuple(3, Some("-99.99"))
+      bb.put(PgCopy.BinaryCopy.Trailer)
+      bb.flip()
+      val stream = new Array[Byte](bb.remaining()); bb.get(stream)
+      // feed in pathological 3-byte chunks: tuples span frames
+      val st = new PgCopy.CopyInSession(TestSpark.spark,
+        PgCopy.CopyIn("copy_bin_chunk", Nil, PgCopy.CopyOptions(binary = true)))
+      stream.grouped(3).foreach(st.feed)
+      assert(st.finish() === 3L)
+      val got = TestSpark.spark.sql(
+        "SELECT k, n FROM copy_bin_chunk ORDER BY k").collect()
+      assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+      assert(got(0).getDecimal(1).toString === "10.50")
+      assert(got(1).isNullAt(1))
+      assert(got(2).getDecimal(1).toString === "-99.99")
+    } finally TestSpark.spark.sql("DROP TABLE IF EXISTS copy_bin_chunk")
+  }
+
+  test("binary format option parsing and conflicts") {
+    import PgCopy._
+    assert(parse("COPY t FROM STDIN WITH (FORMAT binary)") ===
+      Some(CopyIn("t", Nil, CopyOptions(binary = true))))
+    assert(parse("COPY t TO STDOUT BINARY") ===
+      Some(CopyOut(Left("t"), Nil, CopyOptions(binary = true))))
+    intercept[IllegalArgumentException](
+      parse("COPY t FROM STDIN WITH (FORMAT binary, HEADER true)"))
+    intercept[IllegalArgumentException](
+      parse("COPY t FROM STDIN WITH (FORMAT binary, DELIMITER ',')"))
+  }
+
   test("text/csv line parsers: null-before-unescape semantics") {
     assert(PgCopy.parseTextLine("a\t\\N\tb", '\t', "\\N").toSeq === Seq("a", null, "b"))
     // literal backslash-N survives as the two-char string

@@ -243,6 +243,48 @@ class RowCodecSpec extends AnyFunSuite {
     assert(PgTypes.oidOf(MapType(StringType, IntegerType)) === 6201)
     assert(PgTypes.oidOf(DayTimeIntervalType()) === 1186)
     assert(PgTypes.binaryCapable(TimestampType))
-    assert(!PgTypes.binaryCapable(DecimalType(10, 2)))
+    assert(PgTypes.binaryCapable(DecimalType(10, 2)))
+    assert(!PgTypes.binaryCapable(ArrayType(IntegerType)))
+  }
+
+  test("numeric binary: PG numeric_send golden bytes") {
+    // 1234.56 -> ndigits 2, weight 0, sign +, dscale 2, digits {1234, 5600}
+    def hex(bd: String): String =
+      PgNumeric.toBytes(new java.math.BigDecimal(bd))
+        .map(b => f"$b%02x").mkString
+    assert(hex("1234.56") === "0002" + "0000" + "0000" + "0002" + "04d2" + "15e0")
+    // 0.0001 -> one group 1 at weight -1, dscale 4
+    assert(hex("0.0001") === "0001" + "ffff" + "0000" + "0004" + "0001")
+    // -12000 -> digits {1, 2000} weight 1, negative, dscale 0
+    assert(hex("-12000") === "0002" + "0001" + "4000" + "0000" + "0001" + "07d0")
+    // zero keeps its display scale
+    assert(hex("0.00") === "0000" + "0000" + "0000" + "0002")
+  }
+
+  test("numeric binary: round-trips values and display scale") {
+    for (s <- Seq("0", "0.00", "1.10", "-0.01", "99999999.99", "12345678901234567890.123456",
+        "-99999999999999999999999999999999999999", "0.000000000000000001", "10000", "9999")) {
+      val bd = new java.math.BigDecimal(s)
+      val back = PgNumeric.fromBytes(PgNumeric.toBytes(bd))
+      assert(back.compareTo(bd) === 0, s"value mismatch for $s: got $back")
+      assert(back.scale === Math.max(bd.scale, 0), s"scale mismatch for $s: got $back")
+    }
+  }
+
+  test("numeric binary: DataRow writer emits length-prefixed numeric_send") {
+    val schema = StructType(Seq(StructField("n", DecimalType(10, 2))))
+    val writer = RowCodec.rowWriter(schema, Seq(true))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal("1234.56"), 10, 2))
+    val buf = java.nio.ByteBuffer.allocate(64)
+    writer(row, buf)
+    buf.flip()
+    assert(buf.getInt === 12) // 8-byte header + 2 digit groups
+    assert(buf.getShort === 2)
+    assert(buf.getShort === 0)
+    assert(buf.getShort === 0)
+    assert(buf.getShort === 2)
+    assert(buf.getShort === 1234)
+    assert(buf.getShort === 5600)
   }
 }
