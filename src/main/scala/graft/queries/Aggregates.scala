@@ -233,5 +233,28 @@ object Aggregates {
             bit_or(col("o_orderkey")).as("mask_or"),
             bit_xor(col("o_orderkey")).as("mask_xor"),
             sum(bit_count(col("o_orderkey")).cast("long")).as("popcnt"))
-          .orderBy("o_orderpriority")))
+          .orderBy("o_orderpriority")),
+
+    // Boolean aggregate family — count_if / bool_and / bool_or / every
+    // (the SQL-standard EVERY alias): predicate census per event type.
+    // All four are map-side-combinable single-pass aggregates (AND/OR are
+    // associative), so the shuffle carries one boolean/long per group per
+    // predicate — the cheapest possible aggregate shape at any scale.
+    QE("q195_boolean_aggs", Some("""
+      SELECT event_type,
+             CAST(count_if(value > 90) AS BIGINT) AS n_high,
+             bool_and(value >= 0) AS all_nonneg,
+             bool_or(value > 99) AS any_over99,
+             bool_and(value < 1000) AS all_below_1k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT event_type,
+                 count_if(value > 90) AS n_high,
+                 bool_and(value >= 0) AS all_nonneg,
+                 bool_or(value > 99) AS any_over99,
+                 every(value < 1000) AS all_below_1k
+          FROM events GROUP BY event_type ORDER BY event_type""")
+      }))
 }

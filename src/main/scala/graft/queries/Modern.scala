@@ -465,5 +465,29 @@ object Modern {
           .withColumn("avg_value", element_at(col("avg_map"), col("event_type")))
           .select("user_id", "event_type", "n", "avg_value")
           .orderBy("user_id", "event_type")
+      }),
+
+    // parse_url component extraction (HOST / PATH / a named QUERY param) —
+    // the log-analytics staple. URLs are constructed from the corpus
+    // columns, so the oracle reconstructs each component directly from the
+    // same columns: the check verifies the PARSER inverts the construction
+    // exactly. parse_url is a codegen'd native expression (no UDF), one
+    // projection pass, trivially scalable.
+    QE("q196_parse_url", Some("""
+      SELECT doc_id,
+             source || '.example.org' AS host,
+             '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+             lang AS qlang
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"), lit("&v=1"))
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
+          .orderBy("doc_id")
       }))
 }

@@ -83,6 +83,48 @@ object Temporal {
           .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
           .orderBy("user_id", "first_ts")),
 
+    // DYNAMIC-GAP sessionization: the inactivity gap is an expression of
+    // the row (clicks cool off in 2 hours, everything else in 6), so each
+    // event contributes an interval [ts, ts+gap) and a session is a merged
+    // run of overlapping intervals. The oracle rebuilds exactly that
+    // semantics: a session break is a row starting at-or-after the RUNNING
+    // MAX of all previous ends (a plain lag-gap check is wrong here — a
+    // long-gap event can bridge over a later short-gap one). Same one-
+    // shuffle plan as the static-gap form; the gap expression rides the
+    // partial aggregation.
+    QE("q197_session_dynamic_gap", Some("""
+      WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'click' THEN INTERVAL 2 HOUR
+                        ELSE INTERVAL 6 HOUR END AS gap
+                 FROM events),
+      m AS (SELECT user_id, ts,
+              MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM o),
+      b AS (SELECT user_id, ts,
+              CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+            FROM m),
+      g AS (SELECT user_id, ts,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM b)
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, first_ts"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"),
+            // session_window's per-row gap requires CalendarIntervalType
+            // (an `expr("INTERVAL ...")` literal is DayTimeIntervalType in
+            // Spark 4 and is rejected); interval-string columns are cast
+            when(col("event_type") === "click", lit("2 hours"))
+              .otherwise(lit("6 hours"))))
+          .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "first_ts", "last_ts", "n_events")
+          .orderBy("user_id", "first_ts")),
+
     // Pure range join (no equi key): for each 'error' event, how many
     // 'click' events (any user) fall within ±5 minutes. Bucketing turns it
     // into an equi-join on the 5-minute bin: the error side expands to its 3
