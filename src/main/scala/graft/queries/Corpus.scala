@@ -504,5 +504,73 @@ object Corpus {
             SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS n_long
           FROM documents CROSS JOIN th
           GROUP BY source ORDER BY source""")
+      }),
+
+    // Contamination SCORING — the graded companion to p18's binary purge:
+    // per corpus doc, what fraction of its 8-gram occurrences appear in
+    // the benchmark (src0) gram set. Release pipelines threshold on this
+    // score rather than dropping on first hit; emitting it per doc makes
+    // the policy a cheap filter downstream. Same scale shape as p18: grams
+    // ride 64-bit rolling hashes (never ~50-char strings), the benchmark
+    // set broadcasts, and the corpus is scanned once; the integer
+    // hit/total division is the only float, same op order both engines.
+    QE("p43_contamination_score", Some(s"""
+      WITH tok AS (SELECT doc_id, source, str_split(text, ' ') AS ts FROM documents),
+      bench AS (SELECT DISTINCT unnest(${graft.queries.Pipeline.oWordNgrams("ts", 8)}) AS g
+                FROM tok WHERE source = 'src0'),
+      corpus AS (SELECT doc_id, unnest(${graft.queries.Pipeline.oWordNgrams("ts", 8)}) AS g
+                 FROM tok WHERE source <> 'src0'),
+      tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+      hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+               FROM corpus c JOIN bench USING (g) GROUP BY c.doc_id)
+      SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_grams AS DOUBLE) AS score
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id"""),
+      (s, d) => {
+        import graft.queries.Pipeline.wordNgramHashes
+        val docs = t(s, d, "documents")
+        val grams = docs.select(col("doc_id"), col("source"),
+            transform(toks(col("text")), w => xxhash64(w)).as("th"))
+          .select(col("doc_id"), col("source"),
+            explode(wordNgramHashes(col("th"), 8)).as("g"))
+        val bench = grams.filter(col("source") === "src0").select("g").distinct()
+        val corpus = grams.filter(col("source") =!= "src0")
+        val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val hits = corpus.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        tot.join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+              .cast("double").as("score"))
+          .orderBy("doc_id")
+      }),
+
+    // Per-source length-quantile profile via within-group EXACT DISCRETE
+    // percentiles (PERCENTILE_DISC ... WITHIN GROUP per source) — the
+    // grouped companion to p40's corpus-global thresholds. Discrete
+    // percentiles return actual integer lengths, so the profile is
+    // bit-exactly reproducible; the sort-based aggregate runs per source
+    // partition (swap in approx_percentile at 100 TB, same shape).
+    QE("p44_source_length_profile", Some("""
+      SELECT source,
+             CAST(QUANTILE_DISC(n_chars, 0.1) AS BIGINT) AS p10,
+             CAST(QUANTILE_DISC(n_chars, 0.5) AS BIGINT) AS p50,
+             CAST(QUANTILE_DISC(n_chars, 0.9) AS BIGINT) AS p90,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT source,
+                 -- Spark's percentile_disc returns DOUBLE; the picked value
+                 -- is an actual integer length, so the BIGINT cast is exact
+                 CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p10,
+                 CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+                 CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+                 COUNT(*) AS n_docs
+          FROM documents GROUP BY source ORDER BY source""")
       }))
 }

@@ -1541,5 +1541,94 @@ object DsShapes {
           .agg(side(col("l_shipdate") < pivot, "rev_before"),
             side(col("l_shipdate") >= pivot, "rev_after"))
           .orderBy("p_brand")
+      }),
+
+    // DS q98/q12 shape: revenue share WITHIN CATEGORY — each part's share
+    // of its p_type's revenue, as a window-sum over the per-part AGGREGATE
+    // (the fact is reduced to part grain first; the category total then
+    // costs a window over parts, never a second fact pass). The share
+    // division runs on exact decimal sums cast to double with identical
+    // op order in both engines — bit-exact, no rounding.
+    QE("q198_ds_category_share", Some(s"""
+      WITH pr AS (SELECT l_partkey,
+                    SUM(${Q.oRev("l_extendedprice", "l_discount")}) AS rev
+                  FROM lineitem GROUP BY l_partkey)
+      SELECT p_type, p_partkey, CAST(rev AS DOUBLE) AS rev,
+             CAST(CAST(rev AS DOUBLE) /
+                  CAST(SUM(rev) OVER (PARTITION BY p_type) AS DOUBLE) AS DOUBLE) AS share
+      FROM pr JOIN part ON l_partkey = p_partkey
+      ORDER BY p_type, p_partkey"""),
+      (s, d) => {
+        val pr = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(Q.revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+        val w = Window.partitionBy("p_type")
+        pr.join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .withColumn("share",
+            (col("rev").cast(DoubleType) /
+              sum(col("rev")).over(w).cast(DoubleType)).cast(DoubleType))
+          .select(col("p_type"), col("p_partkey"),
+            col("rev").cast(DoubleType).as("rev"), col("share"))
+          .orderBy("p_type", "p_partkey")
+      }),
+
+    // Hierarchical share-of-parent report: ONE rollup pass produces the
+    // nation, region, and global revenue levels, and two windows
+    // partitioned by grouping level attribute each nation its share of
+    // its region and each region its share of global — the classic OLAP
+    // drill report without re-aggregating per level. GROUPING() selects
+    // levels; windows see only the tiny rollup output (O(nations) rows),
+    // never facts. Shares divide exact decimal sums in double, same op
+    // order both engines.
+    QE("q199_ds_rollup_share", Some("""
+      WITH f AS (SELECT r_name, n_name,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                 FROM customer
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey),
+      roll AS (SELECT r_name, n_name,
+                 CASE WHEN r_name IS NULL THEN 2
+                      WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+                 SUM(bal) AS bal
+               FROM f GROUP BY ROLLUP (r_name, n_name)),
+      shares AS (SELECT r_name, n_name, lvl, bal,
+                   CAST(CAST(bal AS DOUBLE) /
+                        CAST(SUM(CASE WHEN lvl = 1 THEN bal END)
+                             OVER (PARTITION BY r_name) AS DOUBLE) AS DOUBLE) AS share_of_region,
+                   CAST(CAST(bal AS DOUBLE) /
+                        CAST(SUM(CASE WHEN lvl = 2 THEN bal END)
+                             OVER () AS DOUBLE) AS DOUBLE) AS share_of_global
+                 FROM roll)
+      SELECT lvl, r_name, n_name, CAST(bal AS DOUBLE) AS bal,
+             CASE WHEN lvl = 0 THEN share_of_region END AS share_of_region,
+             CASE WHEN lvl = 1 THEN share_of_global END AS share_of_global
+      FROM shares
+      ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          WITH f AS (SELECT r_name, n_name,
+                       CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+                     FROM customer
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey),
+          roll AS (SELECT r_name, n_name,
+                     CASE WHEN r_name IS NULL THEN 2
+                          WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+                     SUM(bal) AS bal
+                   FROM f GROUP BY ROLLUP (r_name, n_name)),
+          shares AS (SELECT r_name, n_name, lvl, bal,
+                       CAST(CAST(bal AS DOUBLE) /
+                            CAST(SUM(CASE WHEN lvl = 1 THEN bal END)
+                                 OVER (PARTITION BY r_name) AS DOUBLE) AS DOUBLE) AS share_of_region,
+                       CAST(CAST(bal AS DOUBLE) /
+                            CAST(SUM(CASE WHEN lvl = 2 THEN bal END)
+                                 OVER () AS DOUBLE) AS DOUBLE) AS share_of_global
+                     FROM roll)
+          SELECT lvl, r_name, n_name, CAST(bal AS DOUBLE) AS bal,
+                 CASE WHEN lvl = 0 THEN share_of_region END AS share_of_region,
+                 CASE WHEN lvl = 1 THEN share_of_global END AS share_of_global
+          FROM shares
+          ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST""")
       }))
 }

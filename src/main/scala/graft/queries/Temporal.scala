@@ -314,6 +314,18 @@ object Temporal {
       FROM events GROUP BY user_id ORDER BY user_id"""),
       (s, d) => graft.streaming.EventStream.inactivityAudit(s, d)),
 
+    // UNION of two independent file streams (separate click / error feeds,
+    // each with its own sentinel) aggregated by one shared watermark +
+    // hourly window — the multi-source streaming topology. The watermark
+    // advances with the minimum across sources, so results equal the batch
+    // aggregate over both types.
+    QE("q200_stream_union", Some("""
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events WHERE event_type IN ('click', 'error')
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.unionTypedStreams(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

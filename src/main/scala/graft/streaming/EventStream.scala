@@ -657,6 +657,66 @@ object EventStream {
     }.orderBy("user_id")
   }
 
+  /** UNION of two independent file streams — the multi-source streaming
+    * DAG (a production topology ingests clicks and errors from separate
+    * feeds): each side is its own `readStream` over its own staged
+    * directory with its own flush sentinel, the union happens in the
+    * streaming plan, and ONE downstream watermark + hourly window
+    * aggregates across both feeds. The watermark over a union advances
+    * with the MINIMUM of the sides (Spark's multi-source semantics), so
+    * both sentinels are required — one lagging feed correctly holds
+    * results back rather than emitting windows its sibling might still
+    * fill. Oracle: the batch hourly aggregate over the same two types.
+    */
+  def unionTypedStreams(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.df(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val dirs = Seq("click", "error").map { t =>
+      val dir = Files.createTempDirectory(s"graft_union_$t")
+      norm.filter(col("event_type") === t)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      // per-feed flush sentinel (filtered out below the aggregation by the
+      // shared ts guard); written AFTER the data so the directory is
+      // complete before the stream starts
+      val sentinel = spark.createDataFrame(
+        java.util.List.of(Row(-1L,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+          FlushType, 0.0)),
+        norm.schema)
+      sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
+      dir
+    }
+    try {
+      val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val sides = dirs.map(d =>
+        spark.readStream.schema(norm.schema).parquet(d.toString))
+      val unioned = sides.reduce(_ union _)
+        .withWatermark("ts", "2 hours")
+        .filter(col("ts") < timestamp_micros(lit(FlushTsMicros)))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val q =
+        try unioned.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table(sink)
+      val rows = out.collect()
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("win_start", "event_type")
+    } finally dirs.foreach { d =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(d)
+    }
+  }
+
   /** Windowed aggregation delivered through foreachBatch to an
     * EPOCH-ADDRESSED parquet layout — the production file-sink pattern the
     * memory-sink entries can't exercise: each micro-batch lands in its own
