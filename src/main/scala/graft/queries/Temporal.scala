@@ -326,6 +326,31 @@ object Temporal {
       GROUP BY 1, 2 ORDER BY win_start, event_type"""),
       (s, d) => graft.streaming.EventStream.unionTypedStreams(s, d)),
 
+    // Stream-stream FULL OUTER join: matched pairs plus null-padded
+    // unmatched rows from BOTH sides, each emitted exactly once when the
+    // watermark closes its interval. Oracle: the batch FULL JOIN with the
+    // same time band (type filters pre-applied to each side).
+    QE("q201_stream_full_outer_join", Some("""
+      WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+      SELECT c.event_id AS click_id, e.event_id AS error_id
+      FROM c FULL JOIN e ON c.user_id = e.user_id
+       AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id NULLS FIRST, error_id NULLS FIRST"""),
+      (s, d) => graft.streaming.EventStream.clickErrorFullJoin(s, d)),
+
+    // Stream-stream LEFT SEMI join: the existence form — each click at
+    // most once, iff a same-user error follows within the hour. Oracle:
+    // batch EXISTS.
+    QE("q202_stream_semi_join", Some("""
+      SELECT c.event_id AS click_id
+      FROM events c WHERE c.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM events e WHERE e.event_type = 'error'
+          AND e.user_id = c.user_id
+          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR)
+      ORDER BY click_id"""),
+      (s, d) => graft.streaming.EventStream.clickErrorSemiJoin(s, d)),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the

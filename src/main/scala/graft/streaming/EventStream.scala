@@ -571,6 +571,51 @@ object EventStream {
         .select(col("click_id"), col("error_id"))
     }.orderBy(col("click_id"), col("error_id").asc_nulls_first)
 
+  /** Watermarked stream-stream FULL OUTER join — completes the outer
+    * family (q92 inner, q187 left): matched (click, error) pairs plus
+    * null-padded rows for BOTH unmatched sides. Each side's unmatched rows
+    * emit only once the watermark closes their interval, then their state
+    * is evicted — the same bounded-state argument as the left join, applied
+    * symmetrically.
+    */
+  def clickErrorFullJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val clicks = src.filter(typeIs("click"))
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val errors = src.filter(typeIs("error"))
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts").as("e_ts"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+        .select(col("click_id"), col("error_id"))
+    }.orderBy(col("click_id").asc_nulls_first, col("error_id").asc_nulls_first)
+
+  /** Watermarked stream-stream LEFT SEMI join — the existence form: each
+    * click emitted AT MOST ONCE, iff some same-user error follows within
+    * the hour. Semi joins keep no right-side output state beyond the
+    * watermark horizon and short-circuit on first match; the batch EXISTS
+    * is an exact oracle.
+    */
+  def clickErrorSemiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val clicks = src.filter(typeIs("click"))
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val errors = src.filter(typeIs("error"))
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts").as("e_ts"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+        .select(col("click_id"))
+    }.orderBy("click_id")
+
   // last-seen kept in epoch MICROS: the driver data is µs-precision and
   // java.sql.Timestamp.getTime would truncate to ms, breaking the
   // hash-exact last_ts comparison against the oracle's MAX(ts)
