@@ -1630,5 +1630,51 @@ object DsShapes {
                  CASE WHEN lvl = 1 THEN share_of_global END AS share_of_global
           FROM shares
           ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST""")
+      }),
+
+    // DS q23 shape: double-gated revenue — lineitems restricted to
+    // FREQUENT parts (sold in > 20 orders) AND BEST customers (lifetime
+    // spend > half the max customer spend). Each gate is an aggregate of
+    // its own dimension-grain rollup; both gate sets BROADCAST into one
+    // final fact pass (the DS original re-scans the fact per CTE). The
+    // spend gate is integer-exact (2*spend > max-spend over exact decimal
+    // sums), so gate membership is engine-identical.
+    QE("q203_ds_frequent_best", Some(s"""
+      WITH freq AS (SELECT l_partkey FROM lineitem
+                    GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) > 20),
+      spend AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sp
+                FROM orders GROUP BY o_custkey),
+      best AS (SELECT o_custkey FROM spend
+               WHERE 2 * sp > (SELECT MAX(sp) FROM spend)),
+      gated AS (SELECT l_orderkey, l_partkey, l_extendedprice, l_discount
+                FROM lineitem JOIN freq USING (l_partkey)),
+      fact AS (SELECT c_mktsegment, ${Q.oRev("l_extendedprice", "l_discount")} AS rev
+               FROM gated
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN best USING (o_custkey)
+               JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment, CAST(SUM(rev) AS DOUBLE) AS revenue
+      FROM fact GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) => {
+        val freq = t(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+          .filter(col("n_ord") > 20).select("l_partkey")
+        val spend = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(Q.dec)).as("sp"))
+        val best = spend
+          .join(broadcast(spend.agg(max(col("sp")).as("mx"))))
+          .filter(lit(2) * col("sp") > col("mx"))
+          .select("o_custkey")
+        t(s, d, "lineitem")
+          .join(broadcast(freq), "l_partkey")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(best), "o_custkey")
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+          .orderBy("c_mktsegment")
       }))
 }
