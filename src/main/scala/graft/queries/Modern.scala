@@ -489,5 +489,77 @@ object Modern {
             parse_url(col("url"), lit("PATH")).as("path"),
             parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"))
           .orderBy("doc_id")
+      }),
+
+    // XPath extraction over an XML column (xpath_string / xpath_int /
+    // xpath array form) — the XML sibling of q196's URL parsing, same
+    // construct-and-invert oracle: the XML is built from corpus columns,
+    // so DuckDB re-derives each extracted component directly and the check
+    // proves the XPath engine inverts the construction exactly. Native
+    // expressions, one projection pass.
+    QE("q204_xpath", Some("""
+      SELECT doc_id, lang AS xlang, n_chars AS xn,
+             source AS first_tag
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          WITH x AS (SELECT doc_id,
+                       concat('<doc><meta><lang>', lang, '</lang><n>', n_chars,
+                              '</n></meta><tags><t>', source,
+                              '</t><t>extra</t></tags></doc>') AS xml
+                     FROM documents)
+          SELECT doc_id,
+                 xpath_string(xml, '/doc/meta/lang') AS xlang,
+                 CAST(xpath_long(xml, '/doc/meta/n') AS BIGINT) AS xn,
+                 xpath(xml, '/doc/tags/t/text()')[0] AS first_tag
+          FROM x ORDER BY doc_id""")
+      }),
+
+    // str_to_map over a delimited key-value string (the classic
+    // log-attribute format) plus map_keys / element_at access — built
+    // from corpus columns, inverted by the oracle. One projection pass,
+    // map size bounded by the attribute count.
+    QE("q205_str_to_map", Some("""
+      SELECT doc_id, lang AS m_lang, source AS m_src,
+             CAST(n_chars AS VARCHAR) AS m_len, 3 AS n_keys
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val kv = concat(lit("lang="), col("lang"), lit(";src="), col("source"),
+          lit(";len="), col("n_chars").cast("string"))
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"), str_to_map(kv, lit(";"), lit("=")).as("m"))
+          .select(col("doc_id"),
+            element_at(col("m"), "lang").as("m_lang"),
+            element_at(col("m"), "src").as("m_src"),
+            element_at(col("m"), "len").as("m_len"),
+            size(map_keys(col("m"))).as("n_keys"))
+          .orderBy("doc_id")
+      }),
+
+    // IGNORE NULLS window navigation — last non-null carried forward (the
+    // telemetry gap-fill idiom): high readings (value > 50) propagate to
+    // the rows after them within each user's event-time order. Values pass
+    // through unchanged, so the fill is hash-exact across engines.
+    QE("q206_ignore_nulls_window", Some("""
+      WITH o AS (SELECT user_id, event_id, ts,
+                   CASE WHEN value > 50 THEN value END AS hi
+                 FROM events)
+      SELECT user_id, event_id,
+             LAST_VALUE(hi IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_high
+      FROM o ORDER BY user_id, event_id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          WITH o AS (SELECT user_id, event_id, ts,
+                       CASE WHEN value > 50 THEN value END AS hi
+                     FROM events)
+          SELECT user_id, event_id,
+                 LAST_VALUE(hi) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_high
+          FROM o ORDER BY user_id, event_id""")
       }))
 }
