@@ -237,6 +237,59 @@ object Extras {
           .orderBy("o_orderkey")
       }),
 
+    // BUCKET PRUNING: a filter on the bucketing column reads exactly ONE
+    // of the 8 buckets (SelectedBucketsCount in the scan, pinned by the
+    // plan assert) — the other scale lever of a bucketed layout next to
+    // q46's zero-shuffle join: point lookups touch 1/N of the files at
+    // any table size.
+    QE("q207_bucket_pruning", Some(s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, ${Q.oSum("o_totalprice")} AS total
+      FROM orders WHERE o_custkey = 5
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, d) => {
+        if (!s.catalog.tableExists("graft_bc")) {
+          val wh = java.nio.file.Paths.get(new java.net.URI(
+            s.conf.get("spark.sql.warehouse.dir")).getPath)
+          s.sql("DROP TABLE IF EXISTS graft_bc")
+          val dir = wh.resolve("graft_bc")
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+          t(s, d, "orders").select("o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .format("parquet").saveAsTable("graft_bc")
+        }
+        s.table("graft_bc").filter(col("o_custkey") === 5)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_custkey")
+      }),
+
+    // posexplode_outer: generator with OUTER semantics — documents whose
+    // long-token array is EMPTY still emit one (null, null) row, the
+    // LEFT-JOIN-shaped fan-out (plain posexplode silently drops them,
+    // which loses corpus rows in enrichment pipelines). The oracle builds
+    // the same outer expansion with an explicit LEFT JOIN over the
+    // index-paired unnest.
+    QE("q208_posexplode_outer", Some("""
+      WITH tk AS (SELECT doc_id, list_filter(str_split(text, ' '),
+                    t -> len(t) >= 7) AS ts FROM documents),
+      ex AS (SELECT doc_id,
+               unnest(list_transform(ts, (t, i) -> struct_pack(pos := i - 1, tok := t))) AS s
+             FROM tk WHERE len(ts) > 0)
+      SELECT t.doc_id, CAST(e.s.pos AS BIGINT) AS pos, e.s.tok AS tok
+      FROM tk t LEFT JOIN ex e USING (doc_id)
+      ORDER BY doc_id, pos"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode_outer(filter(split(col("text"), " "),
+              w => length(w) >= 7)).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"))
+          .orderBy("doc_id", "pos")),
+
     // Structured Streaming: file-source stream over events with watermark +
     // tumbling window, memory sink. The batch-equivalent aggregation is the
     // DuckDB oracle, so the streaming path is value-verified, not rows-only.

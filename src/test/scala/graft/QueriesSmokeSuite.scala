@@ -328,4 +328,11 @@ class QueriesSmokeSuite extends AnyFunSuite {
       q194.contains("LessThan(l_shipdate"),
       s"q194 date band must push to the scan:\n$q194")
   }
+
+  test("bucket pruning: the point filter reads one bucket of eight") {
+    val plan = SparkEntry.queries("q207_bucket_pruning")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"o_custkey = 5 must prune to a single bucket:\n$plan")
+  }
 }
