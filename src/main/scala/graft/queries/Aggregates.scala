@@ -256,5 +256,59 @@ object Aggregates {
                  bool_or(value > 99) AS any_over99,
                  every(value < 1000) AS all_below_1k
           FROM events GROUP BY event_type ORDER BY event_type""")
+      }),
+
+    // Linear-regression statistics (slope / intercept / correlation of
+    // value vs hour-of-day) from EXACT SUFFICIENT STATISTICS — the q119
+    // stddev discipline extended to the regr_*/corr family: never
+    // oracle-check the built-in moment aggregates (their merge order is
+    // partition-dependent in the last ulp); accumulate Σx, Σx², Σy, Σy²,
+    // Σxy as integers/exact decimals in ONE pass, then evaluate the
+    // closed forms in double with the IDENTICAL op order in both engines
+    // — bit-exact, no rounding. Map-side-combinable, one shuffle.
+    QE("q209_regr_stats", Some("""
+      WITH s AS (SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP))) AS sx,
+                   SUM(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) *
+                       EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP))) AS sxx,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS sy,
+                   SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS syy,
+                   SUM(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) *
+                       CAST(value AS DECIMAL(12,2))) AS sxy
+                 FROM events GROUP BY event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope,
+             CAST((CAST(sy AS DOUBLE) -
+                   CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                        CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS DOUBLE) AS intercept,
+             CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                       CAST(n * syy - sy * sy AS DOUBLE)) AS DOUBLE) AS corr
+      FROM s ORDER BY event_type"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          WITH s AS (SELECT event_type,
+                       COUNT(*) AS n,
+                       SUM(HOUR(ts)) AS sx,
+                       SUM(HOUR(ts) * HOUR(ts)) AS sxx,
+                       SUM(CAST(value AS DECIMAL(12,2))) AS sy,
+                       SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS syy,
+                       SUM(HOUR(ts) * CAST(value AS DECIMAL(12,2))) AS sxy
+                     FROM events GROUP BY event_type)
+          SELECT event_type, n,
+                 CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope,
+                 CAST((CAST(sy AS DOUBLE) -
+                       CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                            CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) AS DOUBLE) AS intercept,
+                 CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                           CAST(n * syy - sy * sy AS DOUBLE)) AS DOUBLE) AS corr
+          FROM s ORDER BY event_type""")
       }))
 }
