@@ -161,6 +161,65 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed.map(_.toString) === again.map(_.toString))
   }
 
+  test("windowed stream resumes from checkpoint across a restart, exactly once") {
+    val s = TestSpark.spark
+    import java.nio.file.Files
+    val staging = Files.createTempDirectory("graft_ckpt_staging")
+    val outDir = Files.createTempDirectory("graft_ckpt_out")
+    val ckpt = Files.createTempDirectory("graft_ckpt_state")
+    try {
+      val norm = Tables.df(s, TestSpark.sfDir, "events")
+        .select("ts", "event_type", "value")
+      val cut = "2024-01-16"
+      // phase 1 data: the first half of the timeline only
+      norm.filter(col("ts") < lit(cut).cast("timestamp"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("chunk=1").toString)
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(norm.schema)
+          .option("recursiveFileLookup", "true").parquet(staging.toString)
+          .withWatermark("ts", "2 hours")
+          .filter(col("ts") < lit("2090-01-01").cast("timestamp"))
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce() // phase 1: early windows emit, boundary windows stay in state
+      // phase 2: later half + a far-future flush row, then RESTART from the
+      // same checkpoint — recovered state must finish the boundary windows
+      // without re-emitting phase-1 output
+      val flush = s.sql(
+        "SELECT TIMESTAMP '2099-01-01 00:00:00' AS ts, '__flush__' AS event_type, 0.0 AS value")
+      norm.filter(col("ts") >= lit(cut).cast("timestamp")).union(flush)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("chunk=2").toString)
+      runOnce()
+      val streamed = s.read.option("recursiveFileLookup", "true")
+        .parquet(outDir.toString)
+        .select("win_start", "event_type", "n")
+      val batch = Tables.df(s, TestSpark.sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() === batch.count(),
+        "restart must emit every window exactly once (no loss, no re-emit)")
+      assert(streamed.orderBy("win_start", "event_type").collect().toSeq ===
+        batch.orderBy("win_start", "event_type").collect().toSeq)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      Seq(staging, outDir, ckpt).foreach(rm)
+    }
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched clicks exactly once") {
     val s = TestSpark.spark
     val streamed =
