@@ -471,7 +471,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       catch {
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
-          errorResponse(currentOut, Option(e.getMessage).getOrElse(e.toString))
+          errorResponse(currentOut, Option(e.getMessage).getOrElse(e.toString),
+            PgWireServer.sqlStateOf(e))
           if (t == 'Q') readyForQuery(currentOut)
           else if (t != 'S' && t != 'X') inError = true
       }
@@ -555,7 +556,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         } catch {
           case NonFatal(e) =>
             ServerStats.statementsFailed.incrementAndGet()
-            errorResponse(out, Option(e.getMessage).getOrElse(e.toString))
+            errorResponse(out, Option(e.getMessage).getOrElse(e.toString),
+              PgWireServer.sqlStateOf(e))
         }
         readyForQuery(out)
       case None =>
@@ -1085,4 +1087,36 @@ private final class Scratch {
 
 private object Scratch {
   val MaxBytes: Int = 1 << 30
+}
+
+object PgWireServer {
+  /** Map a failure to the PG SQLSTATE real clients branch on (psql scripts,
+    * ORMs, migration tools all dispatch on the class of the five-char
+    * code). Spark 4 exceptions implement SparkThrowable and already carry
+    * an ANSI SQLSTATE (TABLE_OR_VIEW_NOT_FOUND -> 42P01, PARSE_SYNTAX_ERROR
+    * -> 42601, UNRESOLVED_COLUMN -> 42703, DIVIDE_BY_ZERO -> 22012, ...) —
+    * surface it instead of the generic XX000 the reference emits for
+    * everything (protocol.scala:250-262). Walk the cause chain: wire-layer
+    * wrappers often hide the Spark error one level down.
+    */
+  def sqlStateOf(e: Throwable): String = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 8) {
+      cur match {
+        case st: org.apache.spark.SparkThrowable
+            if st.getSqlState != null && st.getSqlState.nonEmpty =>
+          return st.getSqlState
+        case _ =>
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    e match {
+      case _: ArithmeticException => "22012" // division_by_zero
+      case _: IllegalArgumentException => "22023" // invalid_parameter_value
+      case _: UnsupportedOperationException => "0A000" // feature_not_supported
+      case _ => "XX000" // internal_error
+    }
+  }
 }

@@ -464,4 +464,34 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs.exists(_._1 == 'E'), "second session must not see the first's temp view")
     c1.close(); c2.close()
   }
+
+  test("error responses carry the PG SQLSTATE clients branch on") {
+    def sqlState(payload: Array[Byte]): String = {
+      // ErrorResponse: repeated (field-type byte, cstring); 'C' = SQLSTATE
+      var i = 0
+      while (i < payload.length && payload(i) != 0) {
+        val tpe = payload(i).toChar
+        val end = payload.indexOf(0.toByte, i + 1)
+        if (tpe == 'C') return new String(payload, i + 1, end - i - 1, UTF_8)
+        i = end + 1
+      }
+      "?"
+    }
+    val c = new RawClient
+    c.startup()
+    def errFor(sql: String): String = {
+      c.send('Q', c.cstr(sql))
+      val msgs = c.drainUntilReady()
+      val err = msgs.find(_._1 == 'E')
+      assert(err.isDefined, s"expected an ErrorResponse for: $sql")
+      sqlState(err.get._2)
+    }
+    assert(errFor("SELECT * FROM table_that_is_not_there") === "42P01") // undefined_table
+    assert(errFor("SELECT nope_col FROM (VALUES (1)) t(a)") === "42703") // undefined_column
+    assert(errFor("SELECT 1 +") === "42601") // syntax_error
+    // connection stays healthy across classified errors
+    c.send('Q', c.cstr("SELECT 1 AS ok"))
+    assert(c.drainUntilReady().exists(_._1 == 'D'))
+    c.close()
+  }
 }
