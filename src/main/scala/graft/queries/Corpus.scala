@@ -572,5 +572,31 @@ object Corpus {
                  CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
                  COUNT(*) AS n_docs
           FROM documents GROUP BY source ORDER BY source""")
+      }),
+
+    // QUALITY-WEIGHTED sampling: keep probability proportional to a
+    // quality signal (type-token ratio here — repetitive docs are kept
+    // less often), decided by the same deterministic Knuth multiplicative
+    // hash as p17's stratified sampler, so the draw is reproducible on any
+    // cluster layout and shuffle-free (one scan, expression-only). The
+    // ratio and the threshold comparison run in double with identical op
+    // order in both engines — bit-identical keep set.
+    QE("p45_quality_weighted_sample", Some("""
+      WITH q AS (SELECT doc_id,
+                   CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) /
+                   len(str_split(text, ' ')) AS ttr
+                 FROM documents)
+      SELECT doc_id, CAST(ttr AS DOUBLE) AS ttr FROM q
+      WHERE CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) < ttr * 2147483647.0
+      ORDER BY doc_id"""),
+      (s, d) => {
+        val ts = split(col("text"), " ")
+        val ttr = (size(array_distinct(ts)).cast("double") / size(ts)).as("ttr")
+        val hk = ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"), ttr, hk.as("hk"))
+          .filter(col("hk") < col("ttr") * lit(2147483647.0))
+          .select(col("doc_id"), col("ttr").cast("double").as("ttr"))
+          .orderBy("doc_id")
       }))
 }

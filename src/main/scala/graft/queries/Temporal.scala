@@ -351,6 +351,42 @@ object Temporal {
       ORDER BY click_id"""),
       (s, d) => graft.streaming.EventStream.clickErrorSemiJoin(s, d)),
 
+    // Time-series DENSIFICATION + zero-fill: the hourly per-type series
+    // with every hour present — missing (hour, type) cells become explicit
+    // zeros (the reporting/ML-feature prerequisite; a LEFT JOIN against a
+    // generated axis, never a per-gap loop). The axis is generated from
+    // the data's own min/max hour (one tiny aggregate, broadcast), crossed
+    // with the distinct type set; counts attach by LEFT JOIN. At 100 TB
+    // the axis side stays O(hours x types) — generation cost is nil.
+    QE("q210_gap_fill", Some("""
+      WITH b AS (SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                        date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+                 FROM events),
+      axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+      types AS (SELECT DISTINCT event_type FROM events),
+      cnt AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+      SELECT a.hr, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM axis a CROSS JOIN types t
+      LEFT JOIN cnt c ON c.hr = a.hr AND c.event_type = t.event_type
+      ORDER BY a.hr, t.event_type"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val axis = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        val types = ev.select(col("event_type")).distinct()
+        val cnt = ev.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        axis.crossJoin(broadcast(types))
+          .join(cnt, Seq("hr", "event_type"), "left_outer")
+          .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hr", "event_type")
+      }),
+
     // The same ±5-minute range join as q98, but written as the NAIVE theta
     // join in plain SQL and rewritten by the injected optimizer rule
     // (graft.plans.RangeJoinRewrite) into the binned equi-join — the
