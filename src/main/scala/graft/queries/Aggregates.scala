@@ -310,5 +310,58 @@ object Aggregates {
                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                            CAST(n * syy - sy * sy AS DOUBLE)) AS DOUBLE) AS corr
           FROM s ORDER BY event_type""")
-      }))
+      }),
+
+    // Equi-width histogram via width_bucket: order totals binned into 10
+    // fixed buckets. Bucketing runs on EXACT integer cents (a 2-decimal
+    // double ×100 rounds to the exact long), so the bucket edge arithmetic
+    // — (v-min)/((max-min)/n), integer inputs, one IEEE division — is
+    // bit-identical in both engines (DuckDB 1.0 has no width_bucket, so the
+    // oracle spells out the same formula). One scan + tiny hash agg: the
+    // standard first look at any new 100 TB column.
+    QE("q212_width_bucket", Some("""
+      WITH b AS (SELECT CASE WHEN c < 0 THEN 0
+                             WHEN c >= 60000000 THEN 11
+                             ELSE CAST(FLOOR(c / 6000000.0) AS BIGINT) + 1 END AS bucket,
+                        o_totalprice
+                 FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                              o_totalprice FROM orders))
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_totalprice"),
+            width_bucket(round(col("o_totalprice") * 100).cast(LongType),
+              lit(0L), lit(60000000L), lit(10L)).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy("bucket")),
+
+    // PIVOT with MULTIPLE aggregates per pivot value (q27 is the single-agg
+    // form): count and exact value total per (user, pivoted event type),
+    // null cells coalesced so both engines agree on absent combinations.
+    // The pivot list is explicit, so the plan is one scan + one hash agg —
+    // no distinct-values pre-query.
+    QE("q215_pivot_multi_agg", Some("""
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS click_v,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS purchase_v
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "purchase"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Q.dec)).cast(DoubleType).as("v"))
+          .select(col("user_id"),
+            coalesce(col("click_n"), lit(0L)).as("click_n"),
+            coalesce(col("click_v"), lit(0.0)).as("click_v"),
+            coalesce(col("purchase_n"), lit(0L)).as("purchase_n"),
+            coalesce(col("purchase_v"), lit(0.0)).as("purchase_v"))
+          .orderBy("user_id")))
 }

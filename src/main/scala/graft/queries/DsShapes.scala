@@ -1676,5 +1676,30 @@ object DsShapes {
           .agg(Q.dsumx(Q.revenue(col("l_extendedprice"), col("l_discount")))
             .as("revenue"))
           .orderBy("c_mktsegment")
+      }),
+
+    // TPC-DS q88 shape: one report row of counts over N disjoint time
+    // bands. The NAIVE formulation (what q88's SQL literally says, and what
+    // the oracle runs) is N independent scalar-subquery scans of the fact
+    // table; the 100 TB plan is ONE scan with conditional aggregation —
+    // identical semantics because the bands partition the rows. N× less I/O
+    // at any scale; the count(when) form stays inside whole-stage codegen.
+    QE("q214_ds_timeband_report", Some("""
+      SELECT
+        (SELECT COUNT(*) FROM events
+          WHERE EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) < 6) AS h0_5,
+        (SELECT COUNT(*) FROM events
+          WHERE EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11) AS h6_11,
+        (SELECT COUNT(*) FROM events
+          WHERE EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 17) AS h12_17,
+        (SELECT COUNT(*) FROM events
+          WHERE EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) >= 18) AS h18_23"""),
+      (s, d) => {
+        val h = hour(col("ts"))
+        t(s, d, "events").agg(
+          count(when(h < 6, 1)).as("h0_5"),
+          count(when(h.between(6, 11), 1)).as("h6_11"),
+          count(when(h.between(12, 17), 1)).as("h12_17"),
+          count(when(h >= 18, 1)).as("h18_23"))
       }))
 }

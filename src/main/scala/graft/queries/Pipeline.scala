@@ -826,6 +826,39 @@ object Pipeline {
             greatest(col("sa"), col("sb")).as("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("source_a", "source_b")
+      }),
+
+    // EDIT-DISTANCE near-dup: the string-metric member of the dedup family
+    // (exact p01, MinHash-Jaccard p03, SimHash p04, n-gram p05, embedding
+    // p15) — candidate pairs by PREFIX BLOCKING (equal first-16-chars of
+    // the normalized text, an equi-join key, so the self-join shuffles on
+    // the block and never goes all-pairs), verified by levenshtein over a
+    // fixed 80-char prefix so the per-pair cost is a constant O(80^2)
+    // regardless of document length. This is the classic blocked
+    // edit-distance dedup used for title/URL-level duplicates; at 100 TB
+    // the block key keeps candidate mass proportional to block sizes, and
+    // skewed blocks would be salted exactly like p14.
+    QE("p46_edit_distance_neardup", Some("""
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) AS INT) AS dist
+      FROM d a JOIN d b
+        ON substr(a.t, 1, 16) = substr(b.t, 1, 16) AND a.doc_id < b.doc_id
+      WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 5
+      ORDER BY da, db"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .select(col("doc_id"), substring(col("t"), 1, 16).as("blk"),
+            substring(col("t"), 1, 80).as("pfx"))
+        val a = docs.select(col("doc_id").as("da"), col("blk"), col("pfx").as("pa"))
+        val b = docs.select(col("doc_id").as("db"), col("blk"), col("pfx").as("pb"))
+        a.join(b, Seq("blk"))
+          .filter(col("da") < col("db"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")))
+          .filter(col("dist") <= 5)
+          .select("da", "db", "dist")
+          .orderBy("da", "db")
       }))
 }
 

@@ -326,6 +326,19 @@ object Temporal {
       GROUP BY 1, 2 ORDER BY win_start, event_type"""),
       (s, d) => graft.streaming.EventStream.unionTypedStreams(s, d)),
 
+    // Stream-stream RIGHT OUTER join — the mirror of q187: every error
+    // kept, null click_id when no same-user click preceded it within the
+    // hour; unmatched rows emit once the watermark closes their interval.
+    // Oracle: the batch RIGHT JOIN with the same band.
+    QE("q213_stream_right_outer_join", Some("""
+      SELECT c.event_id AS click_id, e.event_id AS error_id
+      FROM events c RIGHT JOIN events e ON c.user_id = e.user_id
+       AND c.event_type = 'click'
+       AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE e.event_type = 'error'
+      ORDER BY error_id, click_id NULLS FIRST"""),
+      (s, d) => graft.streaming.EventStream.clickErrorRightJoin(s, d)),
+
     // Stream-stream FULL OUTER join: matched pairs plus null-padded
     // unmatched rows from BOTH sides, each emitted exactly once when the
     // watermark closes its interval. Oracle: the batch FULL JOIN with the
@@ -350,6 +363,20 @@ object Temporal {
           AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR)
       ORDER BY click_id"""),
       (s, d) => graft.streaming.EventStream.clickErrorSemiJoin(s, d)),
+
+    // The q95 hourly windows computed across MULTIPLE micro-batches
+    // (maxFilesPerTrigger=1 over four time-span files): watermark
+    // advancement BETWEEN triggers — the mechanism that bounds state on a
+    // live stream — emits and evicts each batch's closed windows before the
+    // next arrives; the drain asserts >=3 data batches so the entry can
+    // never silently collapse back to a single-trigger replay. Same oracle
+    // as q95: emission timing changes, content must not.
+    QE("q216_stream_multibatch", Some("""
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.multiBatchWindowedCounts(s, d)),
 
     // Time-series DENSIFICATION + zero-fill: the hourly per-type series
     // with every hour present — missing (hour, type) cells become explicit

@@ -52,6 +52,28 @@ object Windows {
           .orderBy("user_id", "event_id")
       }),
 
+    // nth_value over the full frame: the positional analytic next to
+    // first/last (q35) — the 2nd and 3rd event types of each user's
+    // event_id-ordered history attached to every row. Same per-key sort as
+    // every other window here, so one hash partition + one sort at any scale.
+    QE("q211_nth_value_window", Some("""
+      SELECT event_id, user_id,
+             nth_value(event_type, 2) OVER w AS second_et,
+             nth_value(event_type, 3) OVER w AS third_et
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id, event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          nth_value(col("event_type"), 2).over(w).as("second_et"),
+          nth_value(col("event_type"), 3).over(w).as("third_et"))
+          .orderBy("user_id", "event_id")
+      }),
+
     // ROWS BETWEEN frame: 3-event moving sum (decimal-exact inside the frame).
     QE("q32_window_rows_frame", Some("""
       SELECT event_id, user_id,

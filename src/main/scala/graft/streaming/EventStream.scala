@@ -571,6 +571,31 @@ object EventStream {
         .select(col("click_id"), col("error_id"))
     }.orderBy(col("click_id"), col("error_id").asc_nulls_first)
 
+  /** Watermarked stream-stream RIGHT OUTER join — the mirror of the left
+    * form (q187): every error kept, null-padded when no same-user click
+    * preceded it within the hour. The unmatched RIGHT side emits once the
+    * watermark proves no left row can still arrive (watermark past
+    * error_ts, since a matching click must satisfy c_ts >= e_ts - 1h and
+    * the left state is held that long), then its state is evicted — the
+    * symmetric bounded-state argument to the left join. Oracle: the batch
+    * RIGHT JOIN, both engines NULLS FIRST.
+    */
+  def clickErrorRightJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runStaged(spark, sfDir) { src =>
+      val clicks = src.filter(typeIs("click"))
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val errors = src.filter(typeIs("error"))
+        .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+          col("ts").as("e_ts"))
+      clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "right_outer")
+        .select(col("click_id"), col("error_id"))
+    }.orderBy(col("error_id"), col("click_id").asc_nulls_first)
+
   /** Watermarked stream-stream FULL OUTER join — completes the outer
     * family (q92 inner, q187 left): matched (click, error) pairs plus
     * null-padded rows for BOTH unmatched sides. Each side's unmatched rows
@@ -700,6 +725,89 @@ object EventStream {
           TimeMode.EventTime(), OutputMode.Append())
         .toDF()
     }.orderBy("user_id")
+  }
+
+  /** The q95 hourly windows computed across MULTIPLE micro-batches — every
+    * other staged entry drains in one trigger, so watermark advancement
+    * BETWEEN batches (the mechanism that actually bounds state on a live
+    * 100 TB stream) would otherwise go unexercised. The events are staged
+    * as four time-span files processed oldest-first one per trigger
+    * (`maxFilesPerTrigger=1`, modification times set explicitly), so each
+    * batch advances the watermark and emits+evicts the windows the previous
+    * batches closed; spans are disjoint, so nothing arrives later than the
+    * watermark and the multi-batch result equals the batch aggregate
+    * exactly. The drain asserts >= 3 data-carrying batches so this can
+    * never silently degrade back into a single-trigger replay.
+    */
+  def multiBatchWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.df(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val bounds = norm.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val dir = Files.createTempDirectory("graft_mb_stream")
+    val tmp = Files.createTempDirectory("graft_mb_tmp")
+    try {
+      val spanMs = (hi - lo) / 4 + 1
+      val staged = (0 until 4).map { i =>
+        val sLo = new java.sql.Timestamp(lo + i * spanMs)
+        val sHi = new java.sql.Timestamp(lo + (i + 1) * spanMs)
+        norm.filter(col("ts") >= lit(sLo) && col("ts") < lit(sHi))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/span$i")
+        val part = Files.list(Paths.get(s"$tmp/span$i"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+      } :+ {
+        val sentinel = spark.createDataFrame(
+          java.util.List.of(Row(-1L,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+            FlushType, 0.0)),
+          norm.schema)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sentinel")
+        val part = Files.list(Paths.get(s"$tmp/sentinel"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, dir.resolve("batch_99_sentinel.parquet"))
+      }
+      // oldest-first processing order is by modification time: pin it
+      staged.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val stream = spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "2 hours")
+        .filter(col("ts") < timestamp_micros(lit(FlushTsMicros)))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val q =
+        try stream.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"multi-batch stream collapsed to $dataBatches data batches — " +
+            "maxFilesPerTrigger staging broke")
+      } finally q.stop()
+      val out = spark.table(sink)
+      val rows = out.collect()
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("win_start", "event_type")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
+        Files.deleteIfExists(p)
+      }
+      Seq(dir, tmp).foreach(rm)
+    }
   }
 
   /** UNION of two independent file streams — the multi-source streaming

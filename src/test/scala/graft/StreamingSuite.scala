@@ -265,4 +265,40 @@ class StreamingSuite extends AnyFunSuite {
       "timer-emitted audits must equal the batch per-user aggregate " +
         "(µs-precision last_ts included)")
   }
+
+  test("stream-stream RIGHT OUTER join keeps every error exactly once") {
+    val s = TestSpark.spark
+    val streamed =
+      graft.streaming.EventStream.clickErrorRightJoin(s, TestSpark.sfDir).collect().toSeq
+    val ev = Tables.df(s, TestSpark.sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("error_id"), col("ts").as("ets"))
+    val batch = clicks.join(errors,
+        col("cu") === col("eu") && col("ets") >= col("cts") &&
+          col("ets") <= col("cts") + expr("INTERVAL 1 HOUR"), "right_outer")
+      .select(col("click_id"), col("error_id"))
+      .orderBy(col("error_id"), col("click_id").asc_nulls_first)
+      .collect().toSeq
+    assert(streamed.map(_.toString) === batch.map(_.toString),
+      s"right-outer stream must equal the batch right join " +
+        s"(got ${streamed.size}, want ${batch.size})")
+    // every error appears — matched to a preceding click or null-padded
+    assert(streamed.map(_.getLong(1)).distinct.size.toLong === errors.count(),
+      "every error must appear in the right-outer output")
+  }
+
+  test("multi-batch stream (maxFilesPerTrigger=1) equals the single-trigger result") {
+    val s = TestSpark.spark
+    // the operator itself asserts >=3 data-carrying micro-batches ran
+    val multi =
+      graft.streaming.EventStream.multiBatchWindowedCounts(s, TestSpark.sfDir)
+        .collect().toSeq
+    val single =
+      graft.streaming.EventStream.windowedCounts(s, TestSpark.sfDir).collect().toSeq
+    assert(multi.size === single.size && multi.map(_.toString) === single.map(_.toString),
+      "watermark advancement across micro-batches must not change results " +
+        s"(got ${multi.size}, want ${single.size})")
+  }
 }
