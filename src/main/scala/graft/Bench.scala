@@ -20,14 +20,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Streaming entries pay a fixed state-store/checkpoint setup cost per
     * run that dwarfs their data work at bench SF; min-of-two is meaningless
-    * for fixed-cost entries, so they are timed once (pass 1 only).
+    * for fixed-cost entries, so they are timed once (pass 1 only). Matched
+    * by name (every streaming entry carries "stream"; a hardcoded set went
+    * stale once and silently double-timed the newer entries).
     */
-  private val StreamingEntries =
-    Set("q92_stream_stream_join", "q93_stream_dedup", "q94_stream_cusum_alert",
-      "q95_stream_window", "q99_stream_sessionize", "q120_stream_static_join",
-      "q139_stream_record_events", "q169_stream_foreach_batch",
-      "q180_stream_available_now", "q181_stream_topk_state",
-      "q182_stream_map_state")
+  private def isStreaming(name: String): Boolean = name.contains("stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,7 +122,7 @@ object Bench {
     // while the same query in a separated pass runs clean. Streaming
     // entries skip pass 2: their time is fixed setup cost, not noise.
     SparkEntry.all.foreach { q =>
-      if (!StreamingEntries.contains(q.name) && elapsed < budgetSecs) {
+      if (!isStreaming(q.name) && elapsed < budgetSecs) {
         val t = timeOne(q)
         best.synchronized { best(q.name) = math.min(best(q.name), t) }
         System.err.println(f"[bench] ${q.name} pass2 ${t}%.2fs")

@@ -78,6 +78,32 @@ object Extras {
         s.table("graft_ins_t").orderBy("o_orderkey", "o_totalprice")
       }),
 
+    // Column DEFAULT values (Spark 4 DDL surface): INSERTs that omit a
+    // column — or say DEFAULT explicitly — materialize the declared
+    // default at write time. Seeded from nation (deterministic), read
+    // back in full; the oracle reconstructs the same rows with literals.
+    QE("q219_column_defaults", Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+             CASE WHEN n_nationkey < 10 THEN 'unreviewed' ELSE 'approved' END AS status,
+             CAST(CASE WHEN n_nationkey < 10 THEN 0 ELSE n_regionkey END AS BIGINT) AS grp
+      FROM nation ORDER BY id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft_def").toString
+        s.sql("DROP TABLE IF EXISTS graft_def_t")
+        s.sql(s"""CREATE TABLE graft_def_t (
+                    id BIGINT, name STRING,
+                    status STRING DEFAULT 'unreviewed',
+                    grp BIGINT DEFAULT 0)
+                  USING parquet LOCATION '$dir'""")
+        s.sql("""INSERT INTO graft_def_t (id, name)
+                 SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10""")
+        s.sql("""INSERT INTO graft_def_t
+                 SELECT n_nationkey, n_name, 'approved', n_regionkey
+                 FROM nation WHERE n_nationkey >= 10""")
+        s.table("graft_def_t").orderBy("id")
+      }),
+
     // CACHE TABLE / uncache (reference SSP:119-128): cached scan must return
     // identical rows.
     QE("q78_cache", Some("""

@@ -859,6 +859,48 @@ object Pipeline {
           .filter(col("dist") <= 5)
           .select("da", "db", "dist")
           .orderBy("da", "db")
+      }),
+
+    // Dedup SURVIVORSHIP: after clustering near-dups (p19's connected
+    // components over the verified MinHash pairs), pick ONE canonical
+    // document per cluster — longest text wins, doc_id breaks ties — the
+    // step that turns a pair list into an actual keep/drop decision for
+    // the corpus. One window rank per cluster label over the tiny
+    // clustered subset; everything upstream is the already-bucketed pair
+    // machinery, so the whole path stays shuffle-bounded at any corpus
+    // size. Oracle: the recursive-CTE components (as p41) + the same
+    // argmax window.
+    QE("p47_canonical_selection", Some(s"""
+      WITH RECURSIVE ${jaccardPairsCte(0.8)},
+      edges AS (SELECT da AS a, db AS b FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(id, r) AS (SELECT DISTINCT a, a FROM edges
+                       UNION SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+      lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      j AS (SELECT l.lbl, d.doc_id, d.n_chars
+            FROM lbl l JOIN documents d ON d.doc_id = l.id),
+      r AS (SELECT lbl, doc_id, n_chars,
+              row_number() OVER (PARTITION BY lbl
+                ORDER BY n_chars DESC, doc_id) AS rn,
+              COUNT(*) OVER (PARTITION BY lbl) AS n_docs
+            FROM j)
+      SELECT lbl AS cluster, doc_id AS kept_doc,
+             CAST(n_chars AS BIGINT) AS kept_chars, CAST(n_docs AS BIGINT) AS n_docs
+      FROM r WHERE rn = 1 ORDER BY cluster"""),
+      (s, d) => {
+        val comp = connectedComponents(
+          minhashNearDupPairs(s, d, 0.8).select("da", "db"))
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        comp.join(docs, comp("id") === docs("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_docs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lbl")))
+          .filter(col("rn") === 1)
+          .select(col("lbl").as("cluster"), col("doc_id").as("kept_doc"),
+            col("n_chars").as("kept_chars"), col("n_docs"))
+          .orderBy("cluster")
       }))
 }
 

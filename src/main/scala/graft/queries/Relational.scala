@@ -158,6 +158,42 @@ object Relational {
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due"))
         .orderBy("o_orderkey")),
 
+    // Date surface II beyond q08: month-clamped add_months/last_day,
+    // next_day (DuckDB has none — the oracle derives it from isodow),
+    // ISO week, date_add, epoch seconds, and a formatted render. The
+    // epoch/format calls go through an explicit TimestampType cast so the
+    // entry stays correct for both on-disk timestamp flavors the driver
+    // data has shipped (LTZ and NTZ; session pinned UTC).
+    QE("q217_datetime_funcs2", Some("""
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+             CAST(CAST(o_orderdate AS DATE) +
+               CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+                     ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END AS INT)
+               AS TIMESTAMP) AS next_mon,
+             CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+             CAST(CAST(o_orderdate AS DATE) + 45 AS TIMESTAMP) AS plus45d,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          // DATE results render as midnight timestamps on both sides: the
+          // comparator sees parquet date32 and DuckDB DATE as different
+          // pandas dtypes even when values agree
+          add_months(to_date(col("o_orderdate")), 3).cast(TimestampType).as("plus3m"),
+          last_day(to_date(col("o_orderdate"))).cast(TimestampType).as("eom"),
+          next_day(to_date(col("o_orderdate")), "MON").cast(TimestampType).as("next_mon"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          date_add(to_date(col("o_orderdate")), 45).cast(TimestampType).as("plus45d"),
+          unix_timestamp(col("o_orderdate").cast(TimestampType)).as("epoch_s"),
+          date_format(col("o_orderdate").cast(TimestampType),
+            "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("o_orderkey")),
+
     // Math functions (only ops with engine-identical IEEE semantics).
     QE("q09_math_funcs", Some("""
       SELECT s_suppkey,
@@ -201,5 +237,26 @@ object Relational {
         concat_ws(",",
           regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0))).as("caps"),
         md5(col("o_orderpriority").cast("binary")).as("h"))
+        .orderBy("o_orderkey")),
+
+    // String surface III: regexp_count, locate, chr, OVERLAY (SQL-standard
+    // splice; DuckDB lacks it, so the oracle rebuilds it from substr
+    // pieces), and a base64 render of the raw bytes.
+    QE("q220_string_funcs3", Some("""
+      SELECT o_orderkey,
+             CAST(len(regexp_extract_all(o_orderpriority, '[aeiou]')) AS INT) AS vowels,
+             CAST(strpos(o_orderpriority, 'E') AS INT) AS pos_e,
+             chr(65 + CAST(o_orderkey % 26 AS INT)) AS code_chr,
+             substr(o_orderpriority, 1, 1) || '##' ||
+               substr(o_orderpriority, 4) AS spliced,
+             base64(encode(o_orderstatus)) AS b64
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders").filter(col("o_orderkey") < 300).select(
+        col("o_orderkey"),
+        regexp_count(col("o_orderpriority"), lit("[aeiou]")).as("vowels"),
+        locate("E", col("o_orderpriority")).as("pos_e"),
+        expr("chr(65 + o_orderkey % 26)").as("code_chr"),
+        overlay(col("o_orderpriority"), lit("##"), lit(2), lit(2)).as("spliced"),
+        base64(col("o_orderstatus").cast(BinaryType)).as("b64"))
         .orderBy("o_orderkey")))
 }

@@ -143,6 +143,37 @@ object Sources {
           .groupBy("yr")
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("yr")
+      }),
+
+    // DYNAMIC partition overwrite: rewrite ONLY the partitions present in
+    // the incoming batch (here the 'click' slice, values doubled), leaving
+    // sibling partitions untouched — the idempotent daily-restatement
+    // pattern for partitioned 100 TB tables (static mode would wipe the
+    // whole table root; blind append would duplicate the restated day).
+    // The read-back proves exactly one partition changed. Doubling an
+    // exact 2-decimal double is exact, so the oracle reproduces the
+    // restated values bit-for-bit.
+    QE("q218_dynamic_partition_overwrite", Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(12,2)) * 2
+                    ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        val ev = Tables.df(s, d, "events")
+          .select(col("event_id"), col("value"), col("event_type"))
+        val dir = tmp("graft_dpo")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total"))
+          .orderBy("event_type")
       }))
 
   /** One partitioned copy of orders per (session, source dir) — the write

@@ -88,6 +88,10 @@ class QueriesSmokeSuite extends AnyFunSuite {
     // q112 collapses DS q88's 8 scalar subqueries into one pass
     val q112 = plan("q112_ds_multi_conditional")
     assert("FileScan".r.findAllIn(q112).size == 1, s"q112 must scan once:\n$q112")
+    // q214 likewise: the 4 timeband scalar subqueries become one scan of
+    // conditional counts
+    val q214 = plan("q214_ds_timeband_report")
+    assert("FileScan".r.findAllIn(q214).size == 1, s"q214 must scan once:\n$q214")
     // q116's disjunctive EXISTS must decorrelate to joins, not a nested loop
     // over the fact side
     val q116 = plan("q116_ds_exists_or")
