@@ -561,5 +561,22 @@ object Modern {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_high
           FROM o ORDER BY user_id, event_id""")
+      }),
+
+    // SQL SESSION VARIABLES (Spark 4 DECLARE/SET VAR): a typed server-side
+    // variable referenced directly in query text — the parameterization
+    // mechanism for SQL-only clients (no bind protocol needed; q84 covers
+    // wire-level $n binds). The variable folds to a literal at plan time,
+    // so the filter still pushes down to the scan. Oracle: the same query
+    // with the value inlined.
+    QE("q221_session_variables", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 450000.0 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+        s.sql("SET VAR price_floor = 450000.0")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_totalprice > price_floor ORDER BY o_orderkey""")
       }))
 }

@@ -901,6 +901,39 @@ object Pipeline {
           .select(col("lbl").as("cluster"), col("doc_id").as("kept_doc"),
             col("n_chars").as("kept_chars"), col("n_docs"))
           .orderBy("cluster")
+      }),
+
+    // SimHash near-dup PAIRS (p04 only emits the fingerprints): candidates
+    // by 4x16-bit band buckets, verified by hamming = bit_count(XOR) <= 3.
+    // The banding is EXACT here, not probabilistic — pigeonhole: <=3
+    // differing bits cannot touch all 4 bands, so every qualifying pair
+    // shares at least one band key and meets in that bucket
+    // (PipelineSpec pins equality with the all-pairs form). One equi-join
+    // shuffle on the band key, never all-pairs; hamming is a single
+    // codegen'd XOR+popcount per candidate. Engine-specific hashing ->
+    // rows-only for the driver.
+    QE("p48_simhash_neardup", None,
+      (s, d) => {
+        import s.implicits._
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, tx) => (id, MinHashing.simhash(tx)) })
+          .toDF("doc_id", "sh")
+        val bands = sh.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftrightunsigned(col("sh"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("k"))): _*)).as("bk"))
+          .select(col("doc_id"), col("sh"), col("bk.b"), col("bk.k"))
+        val l = bands.select(col("doc_id").as("da"), col("sh").as("sa"),
+          col("b"), col("k"))
+        val r = bands.select(col("doc_id").as("db"), col("sh").as("sb"),
+          col("b"), col("k"))
+        l.join(r, Seq("b", "k")).filter(col("da") < col("db"))
+          .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
+          .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+          .filter(col("hamming") <= 3)
+          .select(col("da"), col("db"), col("hamming"))
+          .orderBy("da", "db")
       }))
 }
 

@@ -344,4 +344,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toDouble / brute.size >= 0.2,
       s"IVF-PQ recall vs brute force too low: $hits/${brute.size}")
   }
+
+  test("simhash banding is EXACT for hamming <= 3 (pigeonhole vs all-pairs)") {
+    val banded = SparkEntry.queries("p48_simhash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over every pair of fingerprints — feasible at test SF
+    val sh = SparkEntry.queries("p04_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    assert(banded === brute,
+      s"banded pair set must equal all-pairs exactly " +
+        s"(banded=${banded.size}, brute=${brute.size})")
+    assert(brute.nonEmpty, "corpus must contain simhash near-dups to exercise this")
+  }
 }
