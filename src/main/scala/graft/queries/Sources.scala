@@ -174,6 +174,39 @@ object Sources {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total"))
           .orderBy("event_type")
+      }),
+
+    // JDBC source AND sink (embedded Derby — the only RDBMS in this
+    // environment): write a projected slice out over JDBC, read it back
+    // with a predicate that must reach the remote side as a pushed-down
+    // WHERE (the JDBC reader ships filters; .explain shows PushedFilters),
+    // then aggregate in Spark. At scale the same path partitions the read
+    // by a numeric column (partitionColumn/num Partitions) so each executor
+    // opens its own cursor slice; a single embedded cursor is the test
+    // stand-in. Oracle: the equivalent relational pipeline.
+    QE("q222_jdbc_roundtrip", Some("""
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 200000.0
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, d) => {
+        val db = tmp("graft_jdbc") + "/ordersdb"
+        val url = s"jdbc:derby:$db;create=true"
+        Tables.df(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite")
+          .format("jdbc").option("url", url)
+          .option("dbtable", "ORDERS_SLICE")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .save()
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", "ORDERS_SLICE")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .load()
+          .filter(col("o_totalprice") > 200000.0)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_custkey")
       }))
 
   /** One partitioned copy of orders per (session, source dir) — the write

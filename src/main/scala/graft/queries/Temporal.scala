@@ -378,6 +378,19 @@ object Temporal {
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
       (s, d) => graft.streaming.EventStream.multiBatchWindowedCounts(s, d)),
 
+    // Incrementally-maintained day rollup: UPDATE-mode windowed agg over
+    // the multi-batch stream, foreachBatch restating exactly the changed
+    // (day, type) parquet partitions via dynamic overwrite — the
+    // materialized-view maintenance pattern (each intermediate table state
+    // is a consistent partial rollup; the final state must equal the batch
+    // aggregate, which is the oracle).
+    QE("q224_stream_incremental_rollup", Some("""
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+      (s, d) => graft.streaming.EventStream.incrementalDayRollup(s, d)),
+
     // Time-series DENSIFICATION + zero-fill: the hourly per-type series
     // with every hour present — missing (hour, type) cells become explicit
     // zeros (the reporting/ML-feature prerequisite; a LEFT JOIN against a

@@ -545,5 +545,29 @@ object TpchShapes {
           .agg(count(lit(1)).as("numcust"),
             sum(col("c_acctbal").cast(Q.dec)).cast(DoubleType).as("totacctbal"))
           .orderBy("cntry")
-      }))
+      }),
+
+    // TPC-H Q6 (forecasting revenue change): the battery's pure
+    // scan-filter-aggregate — every predicate must reach the parquet
+    // reader as PushedFilters and the whole query is one codegen'd pass,
+    // no shuffle beyond the final partial-agg merge. Products of exact
+    // 2-decimal values summed as decimal -> bit-exact oracle. (Q2/Q11/Q17
+    // variants needing partsupp are out of scope: the driver data ships
+    // no partsupp table.)
+    QE("q223_tpch_q6", Some(s"""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast(Q.dec) *
+            col("l_discount").cast(Q.dec)).cast(DoubleType).as("revenue"))))
 }

@@ -739,39 +739,58 @@ object EventStream {
     * exactly. The drain asserts >= 3 data-carrying batches so this can
     * never silently degrade back into a single-trigger replay.
     */
-  def multiBatchWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = Tables.df(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+  /** Stage `norm` (event_id, ts, event_type, value) into `nSpans`
+    * disjoint time-range files plus a trailing flush-sentinel file inside
+    * a fresh directory, modification times pinned so the file stream
+    * processes them oldest-first — one file per trigger under
+    * `maxFilesPerTrigger=1` gives one micro-batch per span. Spans are
+    * disjoint and time-ordered, so nothing ever arrives behind the
+    * watermark. Returns (streamDir, scratchDir); caller deletes both.
+    */
+  private def stageTimeSpanFiles(spark: SparkSession,
+      norm: DataFrame, nSpans: Int): (java.nio.file.Path, java.nio.file.Path) = {
     val bounds = norm.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     val dir = Files.createTempDirectory("graft_mb_stream")
     val tmp = Files.createTempDirectory("graft_mb_tmp")
+    val spanMs = (hi - lo) / nSpans + 1
+    val staged = (0 until nSpans).map { i =>
+      val sLo = new java.sql.Timestamp(lo + i * spanMs)
+      val sHi = new java.sql.Timestamp(lo + (i + 1) * spanMs)
+      norm.filter(col("ts") >= lit(sLo) && col("ts") < lit(sHi))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/span$i")
+      val part = Files.list(Paths.get(s"$tmp/span$i"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+    } :+ {
+      val sentinel = spark.createDataFrame(
+        java.util.List.of(Row(-1L,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+          FlushType, 0.0)),
+        norm.schema)
+      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sentinel")
+      val part = Files.list(Paths.get(s"$tmp/sentinel"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve("batch_99_sentinel.parquet"))
+    }
+    // oldest-first processing order is by modification time: pin it
+    staged.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    (dir, tmp)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
+    Files.deleteIfExists(p)
+  }
+
+  def multiBatchWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.df(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val (dir, tmp) = stageTimeSpanFiles(spark, norm, 4)
     try {
-      val spanMs = (hi - lo) / 4 + 1
-      val staged = (0 until 4).map { i =>
-        val sLo = new java.sql.Timestamp(lo + i * spanMs)
-        val sHi = new java.sql.Timestamp(lo + (i + 1) * spanMs)
-        norm.filter(col("ts") >= lit(sLo) && col("ts") < lit(sHi))
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/span$i")
-        val part = Files.list(Paths.get(s"$tmp/span$i"))
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
-      } :+ {
-        val sentinel = spark.createDataFrame(
-          java.util.List.of(Row(-1L,
-            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
-            FlushType, 0.0)),
-          norm.schema)
-        sentinel.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sentinel")
-        val part = Files.list(Paths.get(s"$tmp/sentinel"))
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        Files.move(part, dir.resolve("batch_99_sentinel.parquet"))
-      }
-      // oldest-first processing order is by modification time: pin it
-      staged.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
       val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
       val stream = spark.readStream.schema(norm.schema)
         .option("maxFilesPerTrigger", "1")
@@ -801,13 +820,71 @@ object EventStream {
       spark.catalog.dropTempView(sink)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         .orderBy("win_start", "event_type")
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
-        Files.deleteIfExists(p)
-      }
-      Seq(dir, tmp).foreach(rm)
-    }
+    } finally Seq(dir, tmp).foreach(rmTree)
+  }
+
+  /** Incrementally-maintained DAY ROLLUP: UPDATE-mode windowed aggregation
+    * over the multi-batch staged stream, delivered through foreachBatch
+    * with DYNAMIC PARTITION OVERWRITE into a day-partitioned parquet table
+    * — the materialized-view maintenance pattern for 100 TB rollups. Each
+    * trigger re-emits the day rows it changed (update mode), and the write
+    * restates exactly those day partitions idempotently (a replayed or
+    * re-updated day overwrites itself; untouched days are never rewritten).
+    * After the final trigger the table equals the batch day aggregate —
+    * which is the oracle — while each intermediate state was itself a
+    * consistent partial rollup, queryable mid-stream.
+    */
+  def incrementalDayRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.df(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val (dir, tmp) = stageTimeSpanFiles(spark, norm, 4)
+    val target = Files.createTempDirectory("graft_rollup_target")
+    val ckpt = Files.createTempDirectory("graft_rollup_ckpt")
+    try {
+      val stream = spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "2 hours")
+        .filter(col("ts") < timestamp_micros(lit(FlushTsMicros)))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val q =
+        try stream.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              // partition granularity == update-key granularity: update
+              // mode emits only CHANGED (day, type) aggregates, so the
+              // overwrite must restate exactly those cells — partitioning
+              // by day alone would wipe a day's unchanged sibling types
+              batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day", "event_type")
+                .parquet(target.toString)
+            }
+            ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        q.processAllAvailable()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 3,
+          s"incremental rollup collapsed to $dataBatches data batches")
+      } finally q.stop()
+      val read = spark.read.parquet(target.toString)
+        .select(col("day").cast(StringType).as("day"), col("event_type"),
+          col("n"), col("total"))
+      val rows = read.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), read.schema)
+        .orderBy("day", "event_type")
+    } finally Seq(dir, tmp, target, ckpt).foreach(rmTree)
   }
 
   /** UNION of two independent file streams — the multi-source streaming
