@@ -934,7 +934,29 @@ object Pipeline {
           .filter(col("hamming") <= 3)
           .select(col("da"), col("db"), col("hamming"))
           .orderBy("da", "db")
-      }))
+      }),
+
+    // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
+    // byte profile (the resize-to-fixed-dims contract: output shape is
+    // constant regardless of input size) — completing the media family
+    // next to decode (p08) and frame fan-out (p39). All-integer segment
+    // arithmetic, so unlike most decode stubs this one is fully
+    // oracle-checked, not rows-only. Typed mapPartitions, rows inherit
+    // the payload's partition — no shuffle.
+    QE("p49_media_resize_bins", Some("""
+      WITH s AS (SELECT doc_id, text, length(text) AS n,
+                        unnest(generate_series(0, 15)) AS seg
+                 FROM documents),
+      b AS (SELECT doc_id, seg, text,
+              (seg * n) // 16 AS s0, ((seg + 1) * n) // 16 AS s1
+            FROM s)
+      SELECT doc_id, CAST(seg AS INT) AS seg,
+             CAST(list_reduce(list_transform(generate_series(s0 + 1, s1),
+                    j -> ord(substr(text, j, 1))), (a, b) -> a + b)
+                  // (s1 - s0) AS BIGINT) AS mean_code
+      FROM b WHERE s1 > s0
+      ORDER BY doc_id, seg"""),
+      (s, d) => MediaDecode.resized(s, t(s, d, "documents"))))
 }
 
 /** Typed MinHash/SimHash kernels used by the pipeline operators: one string
@@ -1133,5 +1155,38 @@ object MediaDecode {
       .mapPartitions(_.flatMap(frameStub))
       .toDF()
       .orderBy("doc_id", "frame_idx")
+  }
+
+  final case class Bin(doc_id: Long, seg: Int, mean_code: Long)
+
+  /** Resize stub: the payload downsampled to a FIXED 16-bin profile (mean
+    * byte value per equal segment) — the resize-to-fixed-dims analog for
+    * the binary column (a real image resize swaps in here; the fixed
+    * output shape regardless of input size is the contract a training
+    * pipeline needs). Segment edges use floor(i*n/16), all-integer, so
+    * the oracle reproduces the bins exactly.
+    */
+  def resizeStub(m: MediaRow): Iterator[Bin] = {
+    val n = m.payload.length
+    Iterator.range(0, 16).flatMap { i =>
+      val s0 = (i.toLong * n / 16).toInt
+      val s1 = ((i + 1).toLong * n / 16).toInt
+      if (s1 > s0) {
+        var sum = 0L
+        var j = s0
+        while (j < s1) { sum += (m.payload(j) & 0xff); j += 1 }
+        Iterator.single(Bin(m.doc_id, i, sum / (s1 - s0)))
+      } else Iterator.empty
+    }
+  }
+
+  def resized(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("n_chars"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(resizeStub))
+      .toDF()
+      .orderBy("doc_id", "seg")
   }
 }

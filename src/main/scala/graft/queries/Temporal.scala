@@ -378,6 +378,23 @@ object Temporal {
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
       (s, d) => graft.streaming.EventStream.multiBatchWindowedCounts(s, d)),
 
+    // LATE-DATA REJECTION: the oldest quarter of the events arrives a
+    // trigger AFTER the watermark has advanced past its windows, so the
+    // aggregation must DROP all of it (the operator asserts
+    // numRowsDroppedByWatermark > 0) — the enforcement half of watermark
+    // semantics, which in-order replays never exercise. Oracle: the
+    // hourly aggregate over on-time rows only, with the identical
+    // millisecond cutoff arithmetic.
+    QE("q225_stream_late_data", Some("""
+      WITH b AS (SELECT epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                        epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      ot AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events, b
+             WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= lo + ((hi - lo) // 4 + 1))
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM ot GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      (s, d) => graft.streaming.EventStream.lateDataWindowedCounts(s, d)),
+
     // Incrementally-maintained day rollup: UPDATE-mode windowed agg over
     // the multi-batch stream, foreachBatch restating exactly the changed
     // (day, type) parquet partitions via dynamic overwrite — the

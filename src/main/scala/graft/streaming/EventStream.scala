@@ -823,6 +823,78 @@ object EventStream {
     } finally Seq(dir, tmp).foreach(rmTree)
   }
 
+  /** LATE-DATA DROP semantics made observable: the newest three quarters
+    * arrive in trigger 1, the flush sentinel in trigger 2 — advancing the
+    * watermark past everything and EVICTING all emitted window state —
+    * and only THEN does the oldest quarter arrive. Every one of its
+    * windows was already emitted-and-evicted, so append's exactly-once
+    * contract forces the aggregation to DROP all of it (asserted via
+    * numRowsDroppedByWatermark > 0). The ordering matters: probing showed
+    * Spark still MERGES late rows whose window state is live (its
+    * documented "no guarantee late data is dropped" half) — rejection is
+    * only mandatory after eviction, so that is what this entry stages.
+    * Oracle: the hourly aggregate over on-time rows only
+    * (`ts >= lo + span`), same millisecond cutoff arithmetic.
+    */
+  def lateDataWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = Tables.df(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val bounds = norm.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val cutoff = new java.sql.Timestamp(lo + ((hi - lo) / 4 + 1))
+    val dir = Files.createTempDirectory("graft_late_stream")
+    val tmp = Files.createTempDirectory("graft_late_tmp")
+    try {
+      val sentinelDf = spark.createDataFrame(
+        java.util.List.of(Row(-1L,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+          FlushType, 0.0)),
+        norm.schema)
+      val parts = Seq(
+        ("batch_00.parquet", norm.filter(col("ts") >= lit(cutoff))),
+        ("batch_01_sentinel.parquet", sentinelDf),
+        ("batch_02_late.parquet", norm.filter(col("ts") < lit(cutoff))))
+      val staged = parts.map { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$name")
+        val part = Files.list(Paths.get(s"$tmp/$name"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, dir.resolve(name))
+      }
+      staged.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val sink = "stream_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val stream = spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "2 hours")
+        .filter(col("ts") < timestamp_micros(lit(FlushTsMicros)))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val q =
+        try stream.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        q.processAllAvailable()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped > 0,
+          "late-data entry must actually drop rows behind the watermark — " +
+            "staging order broke (no rows were late)")
+      } finally q.stop()
+      val out = spark.table(sink)
+      val rows = out.collect()
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("win_start", "event_type")
+    } finally Seq(dir, tmp).foreach(rmTree)
+  }
+
   /** Incrementally-maintained DAY ROLLUP: UPDATE-mode windowed aggregation
     * over the multi-batch staged stream, delivered through foreachBatch
     * with DYNAMIC PARTITION OVERWRITE into a day-partitioned parquet table

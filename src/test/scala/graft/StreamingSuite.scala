@@ -289,6 +289,29 @@ class StreamingSuite extends AnyFunSuite {
       "every error must appear in the right-outer output")
   }
 
+  test("late data arriving after eviction is dropped, not re-emitted") {
+    val s = TestSpark.spark
+    // the operator asserts numRowsDroppedByWatermark > 0 internally
+    val streamed =
+      graft.streaming.EventStream.lateDataWindowedCounts(s, TestSpark.sfDir)
+        .collect().toSeq
+    val ev = Tables.df(s, TestSpark.sfDir, "events")
+    val b = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    val cutoff = new java.sql.Timestamp(
+      b.getTimestamp(0).getTime +
+        ((b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 4 + 1))
+    val batch = ev.filter(col("ts") >= lit(cutoff))
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("win_start", "event_type")
+      .collect().toSeq
+    assert(streamed.map(_.toString) === batch.map(_.toString),
+      "post-eviction late rows must be rejected; output = on-time aggregate " +
+        s"(got ${streamed.size} windows, want ${batch.size})")
+    // and every window key appears exactly once (append exactly-once held)
+    assert(streamed.map(r => (r.get(0), r.getString(1))).distinct.size === streamed.size)
+  }
+
   test("multi-batch stream (maxFilesPerTrigger=1) equals the single-trigger result") {
     val s = TestSpark.spark
     // the operator itself asserts >=3 data-carrying micro-batches ran
