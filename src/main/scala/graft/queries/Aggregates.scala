@@ -338,6 +338,29 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // Count-min sketch: the mergeable frequency sketch next to HLL (q162)
+    // — built distributed (one partial sketch per partition, merged
+    // map-side), probed on the driver for the small event-type vocabulary
+    // (a bounded collect, like the trained ANN codebooks). Fixed seed +
+    // width 2/eps >> |vocabulary| means no hash collisions among the 5
+    // types, so the estimates equal the true counts and the plain
+    // group-by is an exact oracle.
+    QE("q228_count_min_sketch", Some("""
+      SELECT event_type, COUNT(*) AS est
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        val bin = t(s, d, "events")
+          .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bin))
+        val types = t(s, d, "events").select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted
+        import s.implicits._
+        types.toSeq.map(tp => (tp, cms.estimateCount(tp)))
+          .toDF("event_type", "est").orderBy("event_type")
+      }),
+
     // PIVOT with MULTIPLE aggregates per pivot value (q27 is the single-agg
     // form): count and exact value total per (user, pivoted event type),
     // null cells coalesced so both engines agree on absent combinations.

@@ -177,5 +177,37 @@ object Subqueries {
         .select(col("n_nationkey"),
           col("info").getField("nm").as("nm"),
           col("info").getField("rk").as("rk"))
-        .orderBy("n_nationkey")))
+        .orderBy("n_nationkey")),
+
+    // NOT IN three-valued-logic trap: one NULL in the subquery makes the
+    // whole NOT IN unknowable, so the poisoned variant must return ZERO
+    // rows (the classic silent-wrong-answer bug when an engine compiles
+    // NOT IN as a plain anti join); the clean variant is the real
+    // null-aware anti join with actual survivors. Both variants in one
+    // result so the contrast itself is what gets hash-checked.
+    QE("q226_not_in_nulls", Some("""
+      SELECT 'clean' AS variant, COUNT(*) AS n FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice <= 400000)
+      UNION ALL
+      SELECT 'poisoned', COUNT(*) FROM customer
+      WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 400000
+                                       THEN CAST(NULL AS BIGINT)
+                                       ELSE o_custkey END
+                              FROM orders)
+      ORDER BY variant"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT 'clean' AS variant, COUNT(*) AS n FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                  WHERE o_totalprice <= 400000)
+          UNION ALL
+          SELECT 'poisoned', COUNT(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 400000
+                                           THEN CAST(NULL AS BIGINT)
+                                           ELSE o_custkey END
+                                  FROM orders)
+          ORDER BY variant""")
+      }))
 }

@@ -140,6 +140,31 @@ object Windows {
           .orderBy("user_id", "event_id")
       }),
 
+    // TIME-INTERVAL RANGE frame: trailing 1-hour window per row in each
+    // user's event-time order — the time-series sliding aggregate (rate
+    // limiting, rolling counts) that ROWS frames cannot express when
+    // events are irregularly spaced. RANGE peers are defined by the
+    // interval bound, so ties and gaps behave identically in both engines.
+    QE("q227_time_range_frame", Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT event_id, user_id,
+                 COUNT(*) OVER w AS n_1h,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, event_id""")
+      }),
+
     // Named WINDOW clause through SQL text (reference AB:810-840).
     QE("q36_window_named", Some("""
       SELECT user_id, event_id,
