@@ -78,6 +78,30 @@ object Extras {
         s.table("graft_ins_t").orderBy("o_orderkey", "o_totalprice")
       }),
 
+    // ROW-LEVEL FILTER + COLUMN MASK via a policy view — the standard
+    // governance pattern when the engine has no native RLS: consumers see
+    // only AUTOMOBILE-segment rows, the customer name masked to a stable
+    // sha2 token (joinable, not reversible), and the account balance
+    // coarsened to a band. The policy is a plain view, so every predicate
+    // a consumer adds still pushes through it into the scan.
+    QE("q230_policy_view", Some("""
+      SELECT sha256(c_name)::VARCHAR AS name_token,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+             c_nationkey
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      ORDER BY name_token"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW customer_masked AS
+                 SELECT sha2(c_name, 256) AS name_token,
+                        CASE WHEN c_acctbal < 0 THEN 'negative'
+                             WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+                        c_nationkey
+                 FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""")
+        s.sql("SELECT * FROM customer_masked ORDER BY name_token")
+      }),
+
     // Column DEFAULT values (Spark 4 DDL surface): INSERTs that omit a
     // column — or say DEFAULT explicitly — materialize the declared
     // default at write time. Seeded from nation (deterministic), read

@@ -176,6 +176,41 @@ object Sources {
           .orderBy("event_type")
       }),
 
+    // SCHEMA EVOLUTION on a parquet directory: v1 files carry (custkey,
+    // total), later v2 files add a `channel` column; `mergeSchema` unifies
+    // the footprints and v1 rows surface NULL channel — the lakehouse
+    // reality where a 100 TB table's schema widens mid-life and old files
+    // are never rewritten. (mergeSchema costs a footer read per file at
+    // planning; production pins the merged schema in a metastore instead —
+    // the read-side semantics are what is exercised here.) Oracle: the
+    // same union with explicit NULL padding.
+    QE("q229_schema_evolution", Some("""
+      WITH v1 AS (SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS total,
+                         CAST(NULL AS VARCHAR) AS channel
+                  FROM orders WHERE o_orderkey % 2 = 0),
+      v2 AS (SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS total,
+                    CASE WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'store' END AS channel
+             FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT channel, COUNT(*) AS n,
+             CAST(SUM(CAST(total AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      GROUP BY channel ORDER BY channel NULLS FIRST"""),
+      (s, d) => {
+        val dir = tmp("graft_evo")
+        val o = Tables.df(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_custkey"), col("o_totalprice").as("total"))
+          .write.mode("overwrite").parquet(s"$dir/v=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_custkey"), col("o_totalprice").as("total"),
+            when(col("o_orderkey") % 4 === 1, "web").otherwise("store").as("channel"))
+          .write.mode("overwrite").parquet(s"$dir/v=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n"), Q.dsum(col("total")).as("total"))
+          .orderBy(col("channel").asc_nulls_first)
+      }),
+
     // JDBC source AND sink (embedded Derby — the only RDBMS in this
     // environment): write a projected slice out over JDBC, read it back
     // with a predicate that must reach the remote side as a pushed-down
