@@ -338,6 +338,27 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // Aggregate FILTER clause (SQL-standard conditional aggregation
+    // syntax; the CASE-WHEN rewrite is what q214 exercises) — mixed
+    // filtered and unfiltered aggregates in one group-by, still one scan.
+    QE("q231_filter_clause", Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_all,
+             COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_all,
+                 COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      }),
+
     // Count-min sketch: the mergeable frequency sketch next to HLL (q162)
     // — built distributed (one partial sketch per partition, merged
     // map-side), probed on the driver for the small event-type vocabulary

@@ -176,6 +176,25 @@ object Sources {
           .orderBy("event_type")
       }),
 
+    // Line-oriented TEXT source: the rawest ingestion format (log files,
+    // one-doc-per-line dumps) — write the corpus as text, read it back as
+    // `value` lines, recompute lengths. The driver corpus is newline-free
+    // so lines round-trip 1:1; a real log pipeline would follow this scan
+    // with the same parsing expressions (split/regexp) the other entries
+    // exercise. Oracle: the same profile straight off the table.
+    QE("q232_text_source", Some("""
+      SELECT length(text) AS len, COUNT(*) AS n
+      FROM documents GROUP BY len ORDER BY len"""),
+      (s, d) => {
+        val dir = tmp("graft_text")
+        Tables.df(s, d, "documents").select(col("text"))
+          .write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .groupBy(length(col("value")).cast(LongType).as("len"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("len")
+      }),
+
     // SCHEMA EVOLUTION on a parquet directory: v1 files carry (custkey,
     // total), later v2 files add a `channel` column; `mergeSchema` unifies
     // the footprints and v1 rows surface NULL channel — the lakehouse
