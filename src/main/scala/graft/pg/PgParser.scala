@@ -43,11 +43,20 @@ class PgParserInterface(delegate: ParserInterface) extends ParserInterface {
 
 /** Extension builder: `SparkSession.builder.withExtensions(new PgExtensions)`
   * or `spark.sql.extensions=graft.pg.PgExtensions` (mirrors the reference's
-  * extension injection, SQLServerEnv.scala:73-97).
+  * extension injection, SQLServerEnv.scala:73-97). Installs the WHOLE
+  * engine, not just the dialect: the PG delegating parser, the time-band
+  * range-join rewrite rule (nest-loop theta → binned equi-join; fires only
+  * on its exact guarded shape), and the native as-of-join strategy — so a
+  * session configured with this one class gets the custom plan machinery
+  * without touching the experimental API (which the entries use only for
+  * per-session, test-scoped installs).
   */
 class PgExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new PgParserInterface(delegate))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 /** Library-level entry to the PG dialect for sessions built without the

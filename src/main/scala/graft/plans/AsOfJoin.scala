@@ -131,6 +131,14 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    plan(spark, left, right, key, ts, as)
+  }
+
+  /** Build the custom logical node WITHOUT installing the strategy — for
+    * sessions where [[graft.pg.PgExtensions]] already injected it.
+    */
+  def plan(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, ts: String, as: String): DataFrame = {
     def attr(plan: LogicalPlan, name: String): AttributeReference =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${plan.output}"))
