@@ -91,4 +91,36 @@ class PlanLeversSuite extends AnyFunSuite {
         s"the hot key's partition must be marked split by AQE:\n$plan")
     }
   }
+
+  test("JDBC: predicate pushes to the remote side; partitioned read opens N cursors") {
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc_t") + "/plandb"
+    val url = s"jdbc:derby:$db;create=true"
+    Tables.df(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "ORDERS_P")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").save()
+    val single = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "ORDERS_P")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+      .filter(col("o_totalprice") > 200000.0)
+    // the filter must reach the remote SQL, not run Spark-side post-fetch
+    val plan = single.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice"),
+      s"JDBC filter must be pushed down:\n$plan")
+    // the 100 TB path: partitionColumn splits the read into stride-bounded
+    // cursors, one per executor slot
+    val partitioned = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "ORDERS_P")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "1").option("upperBound", "60001")
+      .option("numPartitions", "4").load()
+    assert(partitioned.rdd.getNumPartitions === 4,
+      "partitioned JDBC read must open one cursor slice per partition")
+    assert(partitioned.count() === single.sparkSession.read.format("jdbc")
+      .option("url", url).option("dbtable", "ORDERS_P")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load().count(),
+      "partition slicing must not lose or duplicate rows")
+  }
 }
