@@ -935,7 +935,11 @@ object EventStream {
               // mode emits only CHANGED (day, type) aggregates, so the
               // overwrite must restate exactly those cells — partitioning
               // by day alone would wipe a day's unchanged sibling types
-              batch.write.mode("overwrite")
+              // the per-trigger update set is a few hundred aggregate rows;
+              // without coalesce each (day,type) dir gets one file PER
+              // in-memory partition — 4x the file-commit overhead for rows
+              // that fit one writer
+              batch.coalesce(1).write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("day", "event_type")
                 .parquet(target.toString)
