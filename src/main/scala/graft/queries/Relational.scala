@@ -239,6 +239,40 @@ object Relational {
         md5(col("o_orderpriority").cast("binary")).as("h"))
         .orderBy("o_orderkey")),
 
+    // Regexp capture-group BACKREFERENCES in replacement: the dialect trap
+    // where Spark spells a group $1 and DuckDB/PG spell it \1 — the oracle
+    // uses its own syntax, values must agree.
+    QE("q234_regexp_backref", Some("""
+      SELECT o_orderkey,
+             regexp_replace(o_orderpriority, '(\d)-(\w+)', '\2-\1') AS swapped,
+             regexp_replace(o_orderstatus, '(.)', '[\1]') AS boxed
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+      (s, d) => t(s, d, "orders").filter(col("o_orderkey") < 300).select(
+        col("o_orderkey"),
+        regexp_replace(col("o_orderpriority"), "(\\d)-(\\w+)", "$2-$1").as("swapped"),
+        regexp_replace(col("o_orderstatus"), "(.)", "[$1]").as("boxed"))
+        .orderBy("o_orderkey")),
+
+    // NULL-handling function family: NULLIF (sentinel → NULL), NVL/IFNULL
+    // (default fill), NVL2 (three-way presence switch — DuckDB has none,
+    // so the oracle spells the equivalent CASE).
+    QE("q235_null_funcs", Some("""
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'O') AS st_or_null,
+             ifnull(nullif(o_orderstatus, 'O'), 'open') AS st_filled,
+             CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                  THEN 'closed' ELSE 'open' END AS st_state
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_orderkey,
+                 nullif(o_orderstatus, 'O') AS st_or_null,
+                 nvl(nullif(o_orderstatus, 'O'), 'open') AS st_filled,
+                 nvl2(nullif(o_orderstatus, 'O'), 'closed', 'open') AS st_state
+          FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")
+      }),
+
     // String surface III: regexp_count, locate, chr, OVERLAY (SQL-standard
     // splice; DuckDB lacks it, so the oracle rebuilds it from substr
     // pieces), and a base64 render of the raw bytes.

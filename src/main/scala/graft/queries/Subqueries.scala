@@ -179,6 +179,28 @@ object Subqueries {
           col("info").getField("rk").as("rk"))
         .orderBy("n_nationkey")),
 
+    // Array surface II beyond q72's indexing: distinct-count, position
+    // (Spark returns 0 for absent where DuckDB returns NULL — coalesced to
+    // agree), membership, and a sorted slice render. All codegen'd array
+    // expressions over the token split — no explode, no shuffle.
+    QE("q233_array_funcs2", Some("""
+      WITH tk AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)
+      SELECT doc_id,
+             CAST(len(list_distinct(ts)) AS INT) AS n_unique,
+             CAST(coalesce(list_position(ts, 'the'), 0) AS INT) AS pos_the,
+             list_contains(ts, 'data') AS has_data,
+             array_to_string(list_sort(ts[1:5]), ' ') AS first5_sorted
+      FROM tk ORDER BY doc_id"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("ts", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(array_distinct(col("ts"))).as("n_unique"),
+            array_position(col("ts"), "the").cast(IntegerType).as("pos_the"),
+            array_contains(col("ts"), "data").as("has_data"),
+            concat_ws(" ", sort_array(slice(col("ts"), 1, 5))).as("first5_sorted"))
+          .orderBy("doc_id")),
+
     // NOT IN three-valued-logic trap: one NULL in the subquery makes the
     // whole NOT IN unknowable, so the poisoned variant must return ZERO
     // rows (the classic silent-wrong-answer bug when an engine compiles
