@@ -179,6 +179,40 @@ object Subqueries {
           col("info").getField("rk").as("rk"))
         .orderBy("n_nationkey")),
 
+    // Schema'd JSON column parsing (from_json) WITH corrupt-record
+    // handling: a seventh of the rows get a deliberately malformed payload
+    // — PERMISSIVE mode yields a NULL struct for those instead of failing
+    // the job (the only survivable posture when 100 TB of logs contain
+    // bad records), and the entry counts parsed vs corrupt per type.
+    // q67 covers path extraction; this is the typed-schema parse.
+    QE("q236_from_json_corrupt", Some("""
+      WITH j AS (SELECT event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE CAST(json_extract(props, '$.k') AS INT) END AS k,
+                   CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+                 FROM events)
+      SELECT event_type,
+             COUNT(k) AS n_parsed,
+             CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+             CAST(SUM(k) AS BIGINT) AS k_total
+      FROM j GROUP BY event_type ORDER BY event_type"""),
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("jraw",
+            // corrupt PREFIX: Jackson tolerates trailing garbage, so a
+            // broken head is what actually makes the parse fail
+            when(col("event_id") % 7 === 0, substring(col("props"), 2, 1000000))
+              .otherwise(col("props")))
+          .withColumn("p", from_json(col("jraw"),
+            StructType(Seq(StructField("k", IntegerType)))))
+          .groupBy("event_type")
+          // PERMISSIVE returns a struct with NULL FIELDS for a corrupt
+          // record (the struct itself stays non-null since Spark 3)
+          .agg(count(col("p.k")).as("n_parsed"),
+            count(when(col("p.k").isNull, 1)).as("n_corrupt"),
+            sum(col("p.k")).as("k_total"))
+          .orderBy("event_type")),
+
     // Array surface II beyond q72's indexing: distinct-count, position
     // (Spark returns 0 for absent where DuckDB returns NULL — coalesced to
     // agree), membership, and a sorted slice render. All codegen'd array
