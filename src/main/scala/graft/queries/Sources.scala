@@ -176,6 +176,56 @@ object Sources {
           .orderBy("event_type")
       }),
 
+    // MALFORMED-CSV handling: a seventh of the lines are garbage. The two
+    // survivable read postures, contrasted in one output: PERMISSIVE keeps
+    // every line and captures the raw text of bad ones in the corrupt
+    // column (audit path), DROPMALFORMED silently sheds them (throughput
+    // path). FAILFAST — the third mode — is what a 100 TB ingest must NOT
+    // run with. Oracle: the same %7 rule computed relationally.
+    QE("q237_csv_malformed", Some("""
+      WITH src AS (SELECT o_orderkey, o_totalprice,
+                          CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS bad
+                   FROM orders WHERE o_orderkey < 2000)
+      SELECT 'dropmalformed' AS mode, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN bad = 0 THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                  AS DOUBLE) AS total
+      FROM src WHERE bad = 0
+      UNION ALL
+      SELECT 'permissive_corrupt', CAST(SUM(bad) AS BIGINT), NULL
+      FROM src
+      ORDER BY mode"""),
+      (s, d) => {
+        val dir = tmp("graft_badcsv")
+        Tables.df(s, d, "orders").filter(col("o_orderkey") < 2000)
+          // malformed = a field whose TYPE CONVERSION fails (a short line
+          // merely gets null-padded, which Spark does not count as
+          // malformed — pinned here by using unparseable tokens instead)
+          .select(when(col("o_orderkey") % 7 === 0,
+              concat(lit("X"), col("o_orderkey"), lit(",YBAD")))
+            .otherwise(concat_ws(",", col("o_orderkey"), col("o_totalprice")))
+            .as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+          StructField("_corrupt", StringType)))
+        val permissive = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+        val dropped = s.read.schema(StructType(schema.fields.dropRight(1)))
+          .option("mode", "DROPMALFORMED")
+          .csv(dir)
+        dropped.agg(lit("dropmalformed").as("mode"), count(lit(1)).as("n"),
+            Q.dsum(col("o_totalprice")).as("total"))
+          // the scan must reference a data column next to the corrupt one
+          // (Spark disallows corrupt-column-only queries on raw files)
+          .unionByName(permissive.agg(lit("permissive_corrupt").as("mode"),
+            count(when(col("_corrupt").isNotNull && col("o_orderkey").isNull, 1))
+              .as("n"),
+            lit(null).cast(DoubleType).as("total")))
+          .orderBy("mode")
+      }),
+
     // Line-oriented TEXT source: the rawest ingestion format (log files,
     // one-doc-per-line dumps) — write the corpus as text, read it back as
     // `value` lines, recompute lengths. The driver corpus is newline-free
