@@ -53,6 +53,20 @@ object PgMessages {
   def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
     msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
 
+  /** NegotiateProtocolVersion ('v'): sent when the client requests a 3.x
+    * minor above what we speak, or `_pq_.*` protocol options we don't
+    * recognize — newest minor supported + the unsupported option names;
+    * the connection then proceeds at that downgraded level (PG docs,
+    * protocol-flow "Protocol versions").
+    */
+  def negotiateProtocolVersion(buf: ByteBuf, newestMinor: Int,
+      unsupported: Seq[String]): Unit =
+    msg(buf, 'v') { b =>
+      b.writeInt(newestMinor)
+      b.writeInt(unsupported.size)
+      unsupported.foreach(cstr(b, _))
+    }
+
   def backendKeyData(buf: ByteBuf, pid: Int, secret: Int): Unit =
     msg(buf, 'K') { b => b.writeInt(pid); b.writeInt(secret) }
 

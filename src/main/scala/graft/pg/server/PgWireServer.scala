@@ -177,7 +177,8 @@ object PgMd5 {
 private sealed trait PgClientMsg
 private case object SslRequest extends PgClientMsg
 private final case class CancelReq(pid: Int, secret: Int) extends PgClientMsg
-private final case class Startup(params: Map[String, String]) extends PgClientMsg
+private final case class Startup(params: Map[String, String],
+    minor: Int = 0) extends PgClientMsg
 private final case class Typed(tpe: Byte, payload: Array[Byte]) extends PgClientMsg
 
 /** Reassembles TCP fragments into whole V3 messages; handles the unframed
@@ -199,7 +200,7 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
         if (in.readableBytes() < 16) return
         in.skipBytes(8)
         out.add(CancelReq(in.readInt(), in.readInt()))
-      } else if (code == 196608) { // protocol 3.0 StartupMessage
+      } else if ((code >>> 16) == 3) { // protocol 3.x StartupMessage
         // PG caps startup packets at 10000 bytes; reject before allocating
         if (len < 9 || len > 10000) {
           throw new IllegalStateException(s"invalid startup packet length: $len")
@@ -210,7 +211,8 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
         in.readBytes(body)
         // body is k\0v\0...\0 pairs
         val kv = new String(body, UTF_8).split('\u0000').filter(_.nonEmpty)
-        out.add(Startup(kv.grouped(2).collect { case Array(k, v) => k -> v }.toMap))
+        out.add(Startup(kv.grouped(2).collect { case Array(k, v) => k -> v }.toMap,
+          minor = code & 0xffff))
         startupDone = true
       } else {
         throw new IllegalStateException(s"Unsupported startup: len=$len code=$code")
@@ -333,7 +335,18 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       SessionRegistry.cancel(pid, secret)
       ctx.close()
 
-    case Startup(params) =>
+    case Startup(params, minor) =>
+      // 3.x with a minor above ours, or unrecognized _pq_.* protocol
+      // options: answer NegotiateProtocolVersion (newest minor we speak =
+      // 0, plus the option names), then proceed at the downgraded level —
+      // the PG-specified forward-compat handshake (a hard reject here
+      // would break every future-minor client)
+      val pqOptions = params.keys.filter(_.startsWith("_pq_.")).toSeq.sorted
+      if (minor > 0 || pqOptions.nonEmpty) {
+        val out = ctx.alloc().buffer()
+        negotiateProtocolVersion(out, newestMinor = 0, unsupported = pqOptions)
+        ctx.writeAndFlush(out)
+      }
       if (config.scramLookup.isDefined) {
         // SASL negotiation: advertise the mechanism, client answers with
         // SASLInitialResponse ('p')

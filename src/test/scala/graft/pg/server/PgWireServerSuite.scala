@@ -189,16 +189,21 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
 
     /** run the startup flow, returning (pid, secret) from BackendKeyData */
     def startupKeyData(): (Int, Int) = {
-      val body = cstr("user") ++ cstr("graft") ++ cstr("database") ++ cstr("default") :+ 0.toByte
-      os.writeInt(8 + body.length)
-      os.writeInt(196608)
-      os.write(body)
-      os.flush()
-      val msgs = drainUntilReady()
+      val msgs = startupRaw(196608,
+        cstr("user") ++ cstr("graft") ++ cstr("database") ++ cstr("default") :+ 0.toByte)
       msgs.find(_._1 == 'K').map { case (_, p) =>
         val b = java.nio.ByteBuffer.wrap(p)
         (b.getInt, b.getInt)
       }.getOrElse((-1, -1))
+    }
+
+    /** send an arbitrary startup packet and drain to ReadyForQuery */
+    def startupRaw(code: Int, body: Array[Byte]): Seq[(Char, Array[Byte])] = {
+      os.writeInt(8 + body.length)
+      os.writeInt(code)
+      os.write(body)
+      os.flush()
+      drainUntilReady()
     }
 
     def send(tpe: Char, payload: Array[Byte]): Unit = {
@@ -491,6 +496,26 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(errFor("SELECT 1 +") === "42601") // syntax_error
     // connection stays healthy across classified errors
     c.send('Q', c.cstr("SELECT 1 AS ok"))
+    assert(c.drainUntilReady().exists(_._1 == 'D'))
+    c.close()
+  }
+
+  test("protocol 3.2 startup gets NegotiateProtocolVersion, then works normally") {
+    val c = new RawClient
+    // minor 2 + an unknown _pq_ protocol option: the server must answer
+    // 'v' (newest minor = 0, option listed) and continue at 3.0
+    val msgs = c.startupRaw((3 << 16) | 2,
+      c.cstr("user") ++ c.cstr("graft") ++ c.cstr("database") ++ c.cstr("default") ++
+        c.cstr("_pq_.fancy_feature") ++ c.cstr("on") :+ 0.toByte)
+    val nego = msgs.find(_._1 == 'v')
+    assert(nego.isDefined, s"expected NegotiateProtocolVersion, got ${msgs.map(_._1)}")
+    val b = java.nio.ByteBuffer.wrap(nego.get._2)
+    assert(b.getInt === 0, "newest supported minor must be 0")
+    assert(b.getInt === 1, "exactly the one _pq_ option is unsupported")
+    assert(msgs.exists(_._1 == 'R') && msgs.exists(_._1 == 'Z'),
+      "startup must complete after negotiation")
+    // and the downgraded connection executes queries
+    c.send('Q', c.cstr("SELECT 41 + 1 AS v"))
     assert(c.drainUntilReady().exists(_._1 == 'D'))
     c.close()
   }
