@@ -338,6 +338,33 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // Grouped TOP-K as a custom TypedImperativeAggregate
+    // (graft.functions.TopKByValue — the third custom-function tier next
+    // to the codegen'd scalar Expression and the typed Aggregator UDAF):
+    // the aggregation buffer is a capped k-element min-heap, so top-3 per
+    // user is ONE hash aggregate — O(n log k), map-side partial heaps,
+    // only k rows per group ever leave the map side. The rank-window
+    // alternative (q181's oracle, reused here) must shuffle and sort every
+    // row of every group even with WindowGroupLimit. Ties break by
+    // event_id, a total order, so results are hash-exact.
+    QE("q238_topk_aggregate", Some("""
+      WITH r AS (SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rnk
+                 FROM events)
+      SELECT user_id, CAST(rnk AS INT) AS rnk, event_id,
+             CAST(value AS DOUBLE) AS value
+      FROM r WHERE rnk <= 3 ORDER BY user_id, rnk"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(graft.functions.TopKAgg.topK(s, col("value"), col("event_id"), 3)
+            .as("top"))
+          .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("user_id"), (col("pos") + 1).cast(IntegerType).as("rnk"),
+            col("e.id").as("event_id"), col("e.value").as("value"))
+          .orderBy("user_id", "rnk")),
+
     // Aggregate FILTER clause (SQL-standard conditional aggregation
     // syntax; the CASE-WHEN rewrite is what q214 exercises) — mixed
     // filtered and unfiltered aggregates in one group-by, still one scan.
