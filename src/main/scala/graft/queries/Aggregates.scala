@@ -338,6 +338,23 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // DataFrameStatFunctions crosstab: the contingency-table API
+    // (pairwise frequency of two low-cardinality columns in one pass).
+    // Columns come back named by the right-side value; sorted by the
+    // left value for determinism. Oracle: conditional aggregation.
+    QE("q239_crosstab", Some("""
+      SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, d) =>
+        t(s, d, "orders").stat
+          .crosstab("o_orderpriority", "o_orderstatus")
+          .select(col("o_orderpriority_o_orderstatus"),
+            col("F"), col("O"), col("P"))
+          .orderBy("o_orderpriority_o_orderstatus")),
+
     // Grouped TOP-K as a custom TypedImperativeAggregate
     // (graft.functions.TopKByValue — the third custom-function tier next
     // to the codegen'd scalar Expression and the typed Aggregator UDAF):

@@ -936,6 +936,45 @@ object Pipeline {
           .orderBy("da", "db")
       }),
 
+    // Dedup METHOD-AGREEMENT matrix: how the MinHash-verified Jaccard
+    // pair set (p03) and the edit-distance pair set (p46) overlap — the
+    // diagnostic that tells a corpus run whether its near-dup detectors
+    // are redundant or complementary (both/only-one counts, one row).
+    // Both pair sets are tiny verified outputs, so the matrix is two
+    // broadcast-joined set differences; the oracle recomputes both sets
+    // exactly in SQL.
+    QE("p50_dedup_method_matrix", Some(s"""
+      WITH ${jaccardPairsCte(0.8)},
+      ed AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM (SELECT doc_id, lower(text) AS t FROM documents) a
+             JOIN (SELECT doc_id, lower(text) AS t FROM documents) b
+               ON substr(a.t, 1, 16) = substr(b.t, 1, 16) AND a.doc_id < b.doc_id
+             WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 5)
+      SELECT
+        (SELECT COUNT(*) FROM pairs JOIN ed USING (da, db)) AS n_both,
+        (SELECT COUNT(*) FROM pairs WHERE NOT EXISTS
+           (SELECT 1 FROM ed WHERE ed.da = pairs.da AND ed.db = pairs.db)) AS n_jaccard_only,
+        (SELECT COUNT(*) FROM ed WHERE NOT EXISTS
+           (SELECT 1 FROM pairs WHERE pairs.da = ed.da AND pairs.db = ed.db)) AS n_edit_only"""),
+      (s, d) => {
+        val jac = minhashNearDupPairs(s, d, 0.8).select("da", "db")
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .select(col("doc_id"), substring(col("t"), 1, 16).as("blk"),
+            substring(col("t"), 1, 80).as("pfx"))
+        val ed = docs.select(col("doc_id").as("da"), col("blk"), col("pfx").as("pa"))
+          .join(docs.select(col("doc_id").as("db"), col("blk"), col("pfx").as("pb")),
+            Seq("blk"))
+          .filter(col("da") < col("db") &&
+            levenshtein(col("pa"), col("pb")) <= 5)
+          .select("da", "db")
+        val both = jac.join(ed, Seq("da", "db"), "left_semi").count()
+        val jOnly = jac.join(ed, Seq("da", "db"), "left_anti").count()
+        val eOnly = ed.join(jac, Seq("da", "db"), "left_anti").count()
+        import s.implicits._
+        Seq((both, jOnly, eOnly)).toDF("n_both", "n_jaccard_only", "n_edit_only")
+      }),
+
     // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
     // byte profile (the resize-to-fixed-dims contract: output shape is
     // constant regardless of input size) — completing the media family
