@@ -338,6 +338,35 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // DataFrameNaFunctions: fill / drop / replace — the null-repair API
+    // family (distinct from expression-level COALESCE, which q06 covers).
+    // Nulls are derived deterministically (readings <= 50 blanked), then
+    // one output row contrasts all three repairs. Oracle: the equivalent
+    // relational spellings.
+    QE("q240_na_functions", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CASE WHEN value > 50 THEN value END AS hi
+                 FROM events)
+      SELECT COUNT(*) AS n_all,
+             CAST(SUM(CAST(COALESCE(hi, 0.0) AS DECIMAL(12,2))) AS DOUBLE) AS filled_total,
+             (SELECT COUNT(*) FROM e WHERE hi IS NOT NULL) AS n_after_drop,
+             (SELECT COUNT(*) FROM e
+               WHERE (CASE WHEN event_type = 'click' THEN 'tap' ELSE event_type END) = 'tap')
+               AS n_tap
+      FROM e"""),
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            when(col("value") > 50, col("value")).as("hi"))
+        val filled = e.na.fill(0.0, Seq("hi"))
+        val dropped = e.na.drop(Seq("hi"))
+        val replaced = e.na.replace("event_type", Map("click" -> "tap"))
+        filled.agg(count(lit(1)).as("n_all"), Q.dsum(col("hi")).as("filled_total"))
+          .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_after_drop"))))
+          .crossJoin(broadcast(replaced.filter(col("event_type") === "tap")
+            .agg(count(lit(1)).as("n_tap"))))
+      }),
+
     // DataFrameStatFunctions crosstab: the contingency-table API
     // (pairwise frequency of two low-cardinality columns in one pass).
     // Columns come back named by the right-side value; sorted by the
