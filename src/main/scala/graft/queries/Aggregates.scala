@@ -338,6 +338,26 @@ object Aggregates {
           .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
           .orderBy("bucket")),
 
+    // HAVING with a scalar subquery: groups kept only when above the
+    // global average group size — the post-aggregation correlated gate
+    // (Spark plans the subquery once, broadcast into the having filter,
+    // never a per-group re-plan).
+    QE("q241_having_subquery", Some("""
+      SELECT o_custkey, COUNT(*) AS n FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) > (SELECT AVG(cnt) FROM
+        (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+      ORDER BY o_custkey"""),
+      (s, d) => {
+        Tables.views(s, d)
+        s.sql("""
+          SELECT o_custkey, COUNT(*) AS n FROM orders
+          GROUP BY o_custkey
+          HAVING COUNT(*) > (SELECT AVG(cnt) FROM
+            (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+          ORDER BY o_custkey""")
+      }),
+
     // DataFrameNaFunctions: fill / drop / replace — the null-repair API
     // family (distinct from expression-level COALESCE, which q06 covers).
     // Nulls are derived deterministically (readings <= 50 blanked), then

@@ -975,6 +975,60 @@ object Pipeline {
         Seq((both, jOnly, eOnly)).toDF("n_both", "n_jaccard_only", "n_edit_only")
       }),
 
+    // Z-ORDER key computation: interleave the low 16 bits of two cluster
+    // dimensions (user, hour-of-epoch) into one locality-preserving sort
+    // key — the multi-dimensional data-layout primitive (sort-by-z before
+    // writing gives 2-d range queries row-group locality that single-key
+    // sorting cannot; OSS Spark has no zorder, so the engine supplies
+    // the key). Pure integer bit arithmetic — bit-identical in DuckDB's
+    // spelled-out form. Output: the first 200 events in z order.
+    QE("p51_zorder_key", Some(s"""
+      WITH b AS (SELECT event_id,
+                   CAST(user_id % 65536 AS BIGINT) AS a,
+                   -- floor() then exact integer ops: DuckDB's // and
+                   -- BIGINT casts on doubles ROUND, Spark's unix_timestamp
+                   -- truncates — floor is the spelling both agree on
+                   (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600) % 65536 AS hb
+                 FROM events)
+      SELECT event_id, ${(0 until 16).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((hb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")} AS z
+      FROM b ORDER BY z, event_id LIMIT 200"""),
+      (s, d) => {
+        val a = (col("user_id") % 65536).cast(LongType)
+        val hb = ((unix_timestamp(col("ts").cast(TimestampType)) / 3600)
+          .cast(LongType) % 65536)
+        val z = (0 until 16).map { i =>
+          shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftrightunsigned(hb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+        t(s, d, "events")
+          .select(col("event_id"), z.as("z"))
+          .orderBy("z", "event_id")
+          .limit(200)
+      }),
+
+    // Deterministic SHARD ASSIGNMENT + balance report: docs hashed to 16
+    // shards (the write-layout decision for a 100 TB corpus), with
+    // per-shard counts and token mass — the skew check that decides
+    // whether the shard key needs salting. xxhash64 is engine-specific,
+    // so the shard key here is the exact-arithmetic doc_id multiplicative
+    // hash (Knuth), reproducible in any engine.
+    QE("p52_shard_balance", Some("""
+      WITH s AS (SELECT ((doc_id * 2654435761) % 9223372036854775807) % 16 AS shard,
+                        n_chars
+                 FROM documents)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM s GROUP BY shard ORDER BY shard"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(((col("doc_id") * lit(2654435761L)) % lit(9223372036854775807L) % 16)
+            .as("shard"), col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy("shard")),
+
     // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
     // byte profile (the resize-to-fixed-dims contract: output shape is
     // constant regardless of input size) — completing the media family
