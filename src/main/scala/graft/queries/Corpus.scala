@@ -598,5 +598,96 @@ object Corpus {
           .filter(col("hk") < col("ttr") * lit(2147483647.0))
           .select(col("doc_id"), col("ttr").cast("double").as("ttr"))
           .orderBy("doc_id")
+      }),
+
+    // Token-BUDGET selection: keep the best documents until a global token
+    // budget is hit (the "we can only afford X training tokens" cut).
+    // Order is (n_chars DESC, doc_id) with tokens = n_chars div 4 (the
+    // chars-per-token heuristic); budget = half the corpus token mass. A
+    // 100 TB global cumulative sum must NOT be a single-partition window
+    // over the corpus: phase 1 aggregates token mass per distinct score (a
+    // tiny table), cumsums THAT, and finds the boundary score; every full
+    // bucket above the boundary is selected by a broadcast range check and
+    // only the ONE boundary bucket gets a per-doc window. Corpus-side plan:
+    // scan + small-key agg + broadcast join — no global sort. The oracle is
+    // the naive whole-corpus window, pinning that the two formulations
+    // select the identical document set.
+    QE("p54_token_budget_select", Some("""
+      WITH d AS (SELECT doc_id, lang, n_chars // 4 AS tok, n_chars FROM documents),
+      b AS (SELECT SUM(tok) // 2 AS budget FROM d),
+      c AS (SELECT doc_id, lang, tok,
+              SUM(tok) OVER (ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+      FROM c, b WHERE cum <= budget GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), expr("n_chars div 4").as("tok"),
+            col("n_chars"))
+        val budget = docs.agg(expr("sum(tok) div 2").as("budget"))
+        val buckets = docs.groupBy("n_chars").agg(sum("tok").as("btok"))
+          .withColumn("cumb",
+            sum(col("btok")).over(Window.orderBy(col("n_chars").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prevb", col("cumb") - col("btok"))
+        val joined = docs.join(broadcast(buckets), "n_chars")
+          .crossJoin(broadcast(budget))
+        val full = joined.filter(col("cumb") <= col("budget"))
+        val boundary = joined
+          .filter(col("cumb") > col("budget") && col("prevb") <= col("budget"))
+          .withColumn("cumdoc", col("prevb") + sum(col("tok")).over(
+            Window.partitionBy("n_chars").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cumdoc") <= col("budget"))
+          .drop("cumdoc")
+        full.unionByName(boundary)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("tokens"))
+          .orderBy("lang")
+      }),
+
+    // VOCABULARY COVERAGE curve: corpus token frequencies ranked, with
+    // cumulative coverage read off at growing vocab checkpoints — the
+    // tokenizer-budget decision ("what fraction of the token stream does a
+    // top-V vocabulary cover"). One explode→agg pass builds the frequency
+    // table (map-side partial agg); the ranked window then runs over the
+    // AGGREGATED vocabulary, never the token stream, capped by a
+    // take-ordered top-1000 first (at 100 TB the cap would come from the
+    // bounded top-k aggregate, q238 — same effect: the single-partition
+    // window only ever sees <= 1000 rows). Checkpoint attach is a tiny
+    // broadcast theta join; rk <= v (not rk = v) keeps the entry total at
+    // any SF where the vocab is smaller than a checkpoint.
+    QE("p55_vocab_coverage", Some("""
+      WITH tk AS (SELECT unnest(str_split(text, ' ')) AS t FROM documents),
+      tc AS (SELECT t, COUNT(*) AS c FROM tk WHERE t <> '' GROUP BY t),
+      tot AS (SELECT SUM(c) AS total FROM tc),
+      r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk,
+              SUM(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tc)
+      SELECT CAST(v AS INT) AS vocab_size, CAST(MAX(cum) AS BIGINT) AS covered,
+             CAST(MAX(total) AS BIGINT) AS total
+      FROM (VALUES (5), (10), (20)) AS vs(v) JOIN r ON r.rk <= v CROSS JOIN tot
+      GROUP BY v ORDER BY vocab_size"""),
+      (s, d) => {
+        import s.implicits._
+        val tc = t(s, d, "documents")
+          .select(explode(toks(col("text"))).as("t"))
+          .filter(col("t") =!= "")
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val tot = tc.agg(sum("c").as("total"))
+        val w = Window.orderBy(col("c").desc, col("t"))
+        val ranked = tc.orderBy(col("c").desc, col("t")).limit(1000)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum",
+            sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        broadcast(Seq(5, 10, 20).toDF("v"))
+          .join(ranked, col("rk") <= col("v"))
+          .crossJoin(broadcast(tot))
+          .groupBy("v")
+          .agg(max("cum").as("covered"), max("total").as("total"))
+          .select(col("v").cast("int").as("vocab_size"),
+            col("covered").cast("long").as("covered"),
+            col("total").cast("long").as("total"))
+          .orderBy("vocab_size")
       }))
 }

@@ -1029,6 +1029,39 @@ object Pipeline {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
           .orderBy("shard")),
 
+    // Johnson-Lindenstrauss RANDOM PROJECTION: 64-d float embeddings down
+    // to 8 dims via a deterministic ±1 sign matrix (sign = parity of an
+    // exact integer hash of (input-row, output-dim), so the oracle
+    // reproduces every sign; divisor 11 is coprime to the 40503 dim
+    // stride, so no output dim is a structural alias of another — // 7
+    // was measured to make dim 7 exactly -dim 0). The pre-ANN shrink
+    // step: pairwise distances preserved within (1±eps) by JL, and every
+    // downstream join/cluster/shuffle carries 8x less vector mass.
+    // Expression-only left fold in index order — bit-identical to
+    // DuckDB's list_reduce, no shuffle, whole-stage codegen'd. At 100 TB
+    // the 8 dims would stay one array column; emitted long-form here so
+    // the driver's comparator can hash scalar cells.
+    QE("p53_random_projection", Some("""
+      WITH s AS (SELECT vec_id, embedding AS e FROM embeddings),
+      j AS (SELECT unnest(generate_series(0, 7)) AS dim)
+      SELECT vec_id, CAST(dim AS INT) AS dim,
+             list_reduce(list_transform(generate_series(1, len(e)),
+               i -> CAST(e[i] AS DOUBLE) *
+                    (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761 + dim * 40503) // 11) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END)),
+               (x, y) -> x + y) / sqrt(8.0) AS y
+      FROM s, j ORDER BY vec_id, dim"""),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("e"),
+            explode(expr("sequence(0, 7)")).as("dim"))
+          .select(col("vec_id"), col("dim"),
+            expr("""aggregate(sequence(1, size(e)), CAST(0.0 AS DOUBLE),
+              (acc, i) -> acc + CAST(element_at(e, i) AS DOUBLE) *
+                (CASE WHEN ((CAST(i - 1 AS BIGINT) * 2654435761L + CAST(dim AS BIGINT) * 40503L) div 11) % 2 = 0
+                      THEN 1.0D ELSE -1.0D END)) / sqrt(8.0D)""").as("y"))
+          .orderBy("vec_id", "dim")),
+
     // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
     // byte profile (the resize-to-fixed-dims contract: output shape is
     // constant regardless of input size) — completing the media family
