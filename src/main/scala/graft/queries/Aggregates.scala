@@ -358,6 +358,30 @@ object Aggregates {
           ORDER BY o_custkey""")
       }),
 
+    // Dataset.observe + Observation: named metrics collected DURING the
+    // main action (a CollectMetrics node in the plan), not by a second
+    // scan — the pipeline-monitoring primitive (row counts / checksums /
+    // extrema every production job should emit for free). The observed
+    // metrics ARE the entry's result; the oracle recomputes them with a
+    // plain aggregate. Metrics chosen order-insensitive (count, integer
+    // sum, max) so the merge across 32 partitions is exact.
+    QE("q242_observe_metrics", Some("""
+      SELECT COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+      FROM lineitem"""),
+      (s, d) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation()
+        val li = t(s, d, "lineitem").observe(obs,
+          count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_key"),
+          max(col("l_extendedprice")).as("max_price"))
+        li.count() // the one action; metrics ride along with it
+        val m = obs.get
+        Seq((m("n").asInstanceOf[Long], m("sum_key").asInstanceOf[Long],
+          m("max_price").asInstanceOf[Double])).toDF("n", "sum_key", "max_price")
+      }),
+
     // DataFrameNaFunctions: fill / drop / replace — the null-repair API
     // family (distinct from expression-level COALESCE, which q06 covers).
     // Nulls are derived deterministically (readings <= 50 blanked), then

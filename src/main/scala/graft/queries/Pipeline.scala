@@ -1062,6 +1062,37 @@ object Pipeline {
                       THEN 1.0D ELSE -1.0D END)) / sqrt(8.0D)""").as("y"))
           .orderBy("vec_id", "dim")),
 
+    // Per-LABEL CENTROIDS (class prototype vectors): mean embedding per
+    // label and dimension — the nearest-centroid classifier / cluster
+    // summary primitive. Double sums are partition-order-sensitive, so
+    // each component is quantized to a Q20 fixed-point BIGINT first
+    // (floor(x * 2^20) — floor spelled explicitly: DuckDB's BIGINT cast
+    // on doubles ROUNDS); the integer sum is then exact and
+    // order-insensitive, and the single final division is bit-identical
+    // in both engines. posexplode → hash agg with map-side partials: one
+    // shuffle of (label, dim) keys, scales linearly.
+    QE("p56_label_centroids", Some("""
+      WITH u AS (SELECT label, embedding AS e,
+                        unnest(generate_series(1, len(e))) AS dim
+                 FROM embeddings),
+      s AS (SELECT label, dim,
+              SUM(CAST(floor(CAST(e[dim] AS DOUBLE) * 1048576.0) AS BIGINT)) AS sq,
+              COUNT(*) AS n
+            FROM u GROUP BY label, dim)
+      SELECT label, CAST(dim AS INT) AS dim,
+             CAST(sq AS DOUBLE) / (n * 1048576) AS centroid
+      FROM s ORDER BY label, dim"""),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).as("dim"),
+            floor(col("v").cast("double") * lit(1048576.0)).cast("long").as("q"))
+          .groupBy("label", "dim")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim").cast("int").as("dim"),
+            (col("sq").cast("double") / (col("n") * lit(1048576L))).as("centroid"))
+          .orderBy("label", "dim")),
+
     // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
     // byte profile (the resize-to-fixed-dims contract: output shape is
     // constant regardless of input size) — completing the media family
