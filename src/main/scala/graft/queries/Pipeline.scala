@@ -1093,6 +1093,30 @@ object Pipeline {
             (col("sq").cast("double") / (col("n") * lit(1048576L))).as("centroid"))
           .orderBy("label", "dim")),
 
+    // Embedding DIMENSION HEALTH: per-dimension min/max/zero-count over
+    // the corpus — the pre-training screen for dead (constant) and
+    // degenerate dimensions that would waste PQ codebook capacity and
+    // distort IVF cells. min/max/count are order-insensitive, so unlike
+    // mean/variance this is exactly oracle-checkable with no quantization.
+    // Same posexplode → (dim)-keyed partial agg as p56: one 64-key
+    // shuffle regardless of corpus size.
+    QE("p57_dim_health", Some("""
+      WITH u AS (SELECT embedding AS e, unnest(generate_series(1, len(e))) AS dim
+                 FROM embeddings)
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(MIN(CAST(e[dim] AS DOUBLE)) AS DOUBLE) AS lo,
+             CAST(MAX(CAST(e[dim] AS DOUBLE)) AS DOUBLE) AS hi,
+             CAST(COUNT(CASE WHEN e[dim] = 0 THEN 1 END) AS BIGINT) AS n_zero
+      FROM u GROUP BY dim ORDER BY dim"""),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select((col("pos") + 1).cast("int").as("dim"), col("v").cast("double").as("v"))
+          .groupBy("dim")
+          .agg(min("v").as("lo"), max("v").as("hi"),
+            count(when(col("v") === 0.0, lit(1))).as("n_zero"))
+          .orderBy("dim")),
+
     // Multimodal RESIZE: each payload downsampled to a fixed 16-bin mean-
     // byte profile (the resize-to-fixed-dims contract: output shape is
     // constant regardless of input size) — completing the media family
