@@ -600,10 +600,14 @@ object Corpus {
           .orderBy("doc_id")
       }),
 
-    // Token-BUDGET selection: keep the best documents until a global token
-    // budget is hit (the "we can only afford X training tokens" cut).
-    // Order is (n_chars DESC, doc_id) with tokens = n_chars div 4 (the
-    // chars-per-token heuristic); budget = half the corpus token mass. A
+    // GLOBAL token-BUDGET selection: keep the best documents until a
+    // corpus-wide token budget is hit (the "we can only afford X training
+    // tokens" cut). p36 solves the PER-SOURCE variant with a
+    // source-partitioned window — that trick is unavailable here because
+    // the budget spans sources, which is exactly what makes the naive
+    // formulation a global sort. Order is (n_chars DESC, doc_id) with
+    // tokens = n_chars div 4 (the chars-per-token heuristic); budget =
+    // half the corpus token mass. A
     // 100 TB global cumulative sum must NOT be a single-partition window
     // over the corpus: phase 1 aggregates token mass per distinct score (a
     // tiny table), cumsums THAT, and finds the boundary score; every full
