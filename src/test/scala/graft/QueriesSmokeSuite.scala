@@ -185,6 +185,41 @@ class QueriesSmokeSuite extends AnyFunSuite {
       s"q159 must read exactly one year partition:\n$plan")
   }
 
+  test("closing pipeline plans: projection shuffle-free, budget cut broadcast") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    // p53: the projection is pure per-row expression work — no join, no
+    // aggregate, no shuffle besides the final output sort
+    val p53 = plan("p53_random_projection")
+    assert(!p53.contains("Join") && !p53.contains("HashAggregate"),
+      s"p53 must stay expression-only:\n$p53")
+    // the ONLY exchange allowed is the range partitioning for the output
+    // sort — the projection itself moves no data
+    assert("Exchange".r.findAllIn(p53).size == 1,
+      s"p53 must not shuffle before the output sort:\n$p53")
+    // p54: the corpus side joins only BROADCAST sides (bucket table +
+    // budget scalar) — a sort-merge join here would mean the global-sort
+    // formulation snuck back in
+    val p54 = plan("p54_token_budget_select")
+    assert("BroadcastExchange".r.findAllIn(p54).size >= 2,
+      s"p54 bucket table and budget must broadcast:\n$p54")
+    assert(!p54.contains("SortMergeJoin"), s"p54 must not shuffle-join:\n$p54")
+    // p55: the vocab cap must plan as per-partition top-k + driver merge,
+    // and the token stream must partial-aggregate map-side
+    val p55 = plan("p55_vocab_coverage")
+    assert(p55.contains("TakeOrderedAndProject"), s"p55 cap must be top-k:\n$p55")
+    assert("HashAggregate".r.findAllIn(p55).size >= 2,
+      s"p55 frequencies must partial-aggregate:\n$p55")
+    // p56/p57: one scan each, partial+final hash aggregation on the
+    // (label,dim)/(dim) keys
+    for (n <- Seq("p56_label_centroids", "p57_dim_health")) {
+      val p = plan(n)
+      assert("FileScan".r.findAllIn(p).size == 1, s"$n must scan once:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$n must partial-aggregate:\n$p")
+    }
+  }
+
   test("TPC-H completion plans: dims broadcast, windows over aggregates") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
