@@ -36,6 +36,36 @@ object Corpus {
   /** p26: top-k keywords per document. */
   private val TopKeywords = 3
 
+  /** GLOBAL token-budget cut, two-phase (p54): select the document rows
+    * whose inclusive cumulative `tok` in (n_chars DESC, doc_id) order fits
+    * `budget` — equivalent to the naive whole-corpus window cumsum, but
+    * with no global sort: per-score bucket masses are cumsummed (tiny,
+    * distinct n_chars values only), full buckets pass a broadcast range
+    * check, and only the single boundary bucket gets a per-doc window.
+    * `docs` needs (doc_id, n_chars, tok) plus any carry-through columns;
+    * `budget` is a 1-row DF with a `budget` column so callers can keep it
+    * a broadcast scalar computed in-plan. PipelineSpec pins equivalence
+    * with the naive window across edge budgets (0, bucket-edge, total+).
+    */
+  private[graft] def budgetSelect(docs: DataFrame, budget: DataFrame): DataFrame = {
+    val buckets = docs.groupBy("n_chars").agg(sum("tok").as("btok"))
+      .withColumn("cumb",
+        sum(col("btok")).over(Window.orderBy(col("n_chars").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prevb", col("cumb") - col("btok"))
+    val joined = docs.join(broadcast(buckets), "n_chars")
+      .crossJoin(broadcast(budget))
+    val full = joined.filter(col("cumb") <= col("budget"))
+    val boundary = joined
+      .filter(col("cumb") > col("budget") && col("prevb") <= col("budget"))
+      .withColumn("cumdoc", col("prevb") + sum(col("tok")).over(
+        Window.partitionBy("n_chars").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cumdoc") <= col("budget"))
+      .drop("cumdoc")
+    full.unionByName(boundary)
+  }
+
   val entries: Seq[QE] = Seq(
     // Bloom-prefiltered benchmark decontamination — p18's exact-overlap rule
     // re-planned the way a 100 TB run would actually execute it. p18 ships
@@ -629,22 +659,7 @@ object Corpus {
           .select(col("doc_id"), col("lang"), expr("n_chars div 4").as("tok"),
             col("n_chars"))
         val budget = docs.agg(expr("sum(tok) div 2").as("budget"))
-        val buckets = docs.groupBy("n_chars").agg(sum("tok").as("btok"))
-          .withColumn("cumb",
-            sum(col("btok")).over(Window.orderBy(col("n_chars").desc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("prevb", col("cumb") - col("btok"))
-        val joined = docs.join(broadcast(buckets), "n_chars")
-          .crossJoin(broadcast(budget))
-        val full = joined.filter(col("cumb") <= col("budget"))
-        val boundary = joined
-          .filter(col("cumb") > col("budget") && col("prevb") <= col("budget"))
-          .withColumn("cumdoc", col("prevb") + sum(col("tok")).over(
-            Window.partitionBy("n_chars").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("cumdoc") <= col("budget"))
-          .drop("cumdoc")
-        full.unionByName(boundary)
+        budgetSelect(docs, budget)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("tokens"))
           .orderBy("lang")

@@ -360,4 +360,34 @@ class PipelineSpec extends AnyFunSuite {
         s"(banded=${banded.size}, brute=${brute.size})")
     assert(brute.nonEmpty, "corpus must contain simhash near-dups to exercise this")
   }
+
+  test("budgetSelect equals the naive global-window cut at every edge budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy scores: 7 distinct n_chars buckets shared by ~30 docs each,
+    // so bucket boundaries (the only nontrivial branch) are exercised; tok
+    // varies within a bucket to catch any key/order mixup
+    val docs = (1L to 200L).map { id =>
+      val nc = 10 + (id % 7) * 5
+      (id, nc, nc / 4 + id % 3)
+    }.toDF("doc_id", "n_chars", "tok").repartition(8).cache()
+    val total = docs.agg(sum("tok")).as[Long].head()
+    // bucket cumulative edges in (n_chars DESC) order: the budgets where
+    // the boundary bucket flips — test one below, exactly at, one above
+    val edges = docs.groupBy("n_chars").agg(sum("tok").as("btok"))
+      .orderBy(col("n_chars").desc).select("btok").as[Long].collect()
+      .scanLeft(0L)(_ + _).drop(1)
+    val budgets = (Seq(0L, 1L, total / 2, total, total + 100) ++
+      edges.flatMap(e => Seq(e - 1, e, e + 1))).distinct
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (b <- budgets) {
+      val naive = docs.withColumn("cum", sum(col("tok")).over(w))
+        .filter(col("cum") <= b).select("doc_id").as[Long].collect().toSet
+      val fast = graft.queries.Corpus.budgetSelect(docs, Seq(b).toDF("budget"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(fast == naive,
+        s"budget $b: two-phase selected ${fast.size}, naive ${naive.size}")
+    }
+  }
 }
