@@ -21,10 +21,15 @@ object Bench {
   /** Streaming entries pay a fixed state-store/checkpoint setup cost per
     * run that dwarfs their data work at bench SF; min-of-two is meaningless
     * for fixed-cost entries, so they are timed once (pass 1 only). Matched
-    * by name (every streaming entry carries "stream"; a hardcoded set went
-    * stale once and silently double-timed the newer entries).
+    * by the anchored naming convention `qNN_stream[_...]` (a hardcoded set
+    * went stale once and silently double-timed the newer entries; a bare
+    * substring match would misclassify a future "upstream"-named batch
+    * entry). BenchConventionSuite trips if any entry name contains
+    * "stream" without matching the anchor, forcing explicit classification.
     */
-  private def isStreaming(name: String): Boolean = name.contains("stream")
+  private[graft] val StreamingName = "^q\\d+_stream(_.*)?$".r
+  private[graft] def isStreaming(name: String): Boolean =
+    StreamingName.matches(name)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -128,7 +128,11 @@ object PgCatalog {
     emptyView(spark, "pg_depend", "objid INT, classid INT, refobjid INT, refclassid INT")
     emptyView(spark, "pg_description",
       "objoid INT, classoid INT, objsubid INT, description STRING")
-    emptyView(spark, "pg_index", "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN")
+    emptyView(spark, "pg_index",
+      // indkey is PG's int2vector of indexed column numbers; pgjdbc's
+      // getPrimaryKeys expands it via information_schema._pg_expandarray
+      "oid INT, indrelid INT, indexrelid INT, indisprimary BOOLEAN, " +
+        "indkey ARRAY<SMALLINT>")
     emptyView(spark, "pg_inherits",
       "inhrelid INT, inhparent INT, inhseqno INT, inhdetachpending BOOLEAN")
     emptyView(spark, "pg_policy",

@@ -203,6 +203,13 @@ object PgRewrite {
 
     def handleGenerateSeries(): Unit = {
       val args = splitTopLevel(scanParens(), ',').map(a => PgRewrite(a.trim))
+      // range() needs foldable bounds (it's a planning-time TVF — and the
+      // scalable choice: a distributed scan, no materialized array). pgjdbc's
+      // TypeInfoCache emits generate_series(1, array_upper(current_schemas
+      // (false), 1)) — UDF-call bounds that range() rejects — so non-literal
+      // bounds fall back to explode(sequence(...)): tiny by construction
+      // (metadata-sized), correct for any expression.
+      val literalArgs = args.forall(_.trim.matches("[+-]?\\d+"))
       // optional alias: [AS] ident [(col)]
       var j = skipWs(i)
       var alias: Option[String] = None
@@ -228,10 +235,19 @@ object PgRewrite {
         }
       }
       val col = colName.getOrElse("generate_series")
-      val range =
-        if (args.size >= 3) s"range(${args(0)}, (${args(1)})+1, ${args(2)})"
-        else s"range(${args(0)}, (${args(1)})+1)"
-      out.append(s"(SELECT id AS $col FROM $range)")
+      val body =
+        if (literalArgs) {
+          val range =
+            if (args.size >= 3) s"range(${args(0)}, (${args(1)})+1, ${args(2)})"
+            else s"range(${args(0)}, (${args(1)})+1)"
+          s"SELECT id AS $col FROM $range"
+        } else {
+          val seq =
+            if (args.size >= 3) s"sequence(${args(0)}, ${args(1)}, ${args(2)})"
+            else s"sequence(${args(0)}, ${args(1)})"
+          s"SELECT explode($seq) AS $col"
+        }
+      out.append(s"($body)")
       alias.foreach(a => out.append(s" AS $a"))
     }
 
@@ -254,11 +270,77 @@ object PgRewrite {
       }
     }
 
+    /** Scan a balanced `[...]` starting at `sql(i) == '['`; returns the inner
+      * text and leaves i after the close bracket.
+      */
+    def scanBrackets(): String = {
+      var depth = 0
+      val start = i
+      var inner = -1
+      while (i < n) {
+        sql.charAt(i) match {
+          case '\'' =>
+            val keep = out.length; copyString(); out.setLength(keep)
+          case '[' =>
+            depth += 1; if (depth == 1) inner = i + 1; i += 1
+          case ']' =>
+            depth -= 1; i += 1
+            if (depth == 0) return sql.substring(inner, i - 1)
+          case _ => i += 1
+        }
+      }
+      sql.substring(start + 1)
+    }
+
     while (i < n) {
       val c = sql.charAt(i)
       c match {
         case '\'' => copyString()
         case '"' => copyQuotedIdent()
+        case '[' if lastNonWs == ')' =>
+          // PG array subscript on a parenthesized expression — pgjdbc's
+          // metadata queries emit (current_schemas(true))[1]. PG subscripts
+          // are 1-based, exactly element_at's convention, so wrap the
+          // already-emitted paren group in element_at. (Subscripts directly
+          // on identifiers are left alone: Spark parses those natively and
+          // internal SQL may rely on its 0-based convention.)
+          val idx = PgRewrite(scanBrackets()).trim
+          var k = out.length - 1
+          while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+          var depth = 0
+          var open = -1
+          while (k >= 0 && open < 0) {
+            out.charAt(k) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = k
+              case _ =>
+            }
+            k -= 1
+          }
+          if (open >= 0) {
+            // (expr)[i] → element_at((expr), i)
+            out.insert(open, "element_at(")
+            out.append(s", $idx)")
+          } else {
+            out.append(s"[$idx]")
+          }
+          lastWord = ""
+        case '(' if {
+          // (qualified.ident).field — PG composite-field access pgjdbc emits
+          // as (i.keys).n; Spark wants plain i.keys.n. Lookahead only: a
+          // paren group that is a bare dotted identifier followed by `.`.
+          var k = i + 1
+          while (k < n && (isIdentChar(sql.charAt(k)) || sql.charAt(k) == '.' ||
+            sql.charAt(k).isWhitespace)) k += 1
+          k < n && sql.charAt(k) == ')' && k + 1 < n && sql.charAt(k + 1) == '.' &&
+            sql.substring(i + 1, k).trim
+              .matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)+")
+        } =>
+          var k = i + 1
+          while (sql.charAt(k) != ')') k += 1
+          out.append(sql.substring(i + 1, k).trim)
+          i = k + 1 // past ')'; the following '.' flows through normally
+          lastWord = ""
         case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => copyLineComment()
         case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => copyBlockComment()
         case '$' if i + 1 < n && sql.charAt(i + 1).isDigit =>
@@ -329,6 +411,31 @@ object PgRewrite {
             // system functions are session-level (reference resolves them via
             // a real pg_catalog database, catalog.scala:87-118)
             i = j + 1
+          } else if (word.equalsIgnoreCase("information_schema") && j < n &&
+              sql.charAt(j) == '.') {
+            val (nxt, _) = readIdent(j + 1)
+            if (nxt.equalsIgnoreCase("_pg_expandarray")) {
+              // strip the qualifier; the function rewrite below picks it up
+              i = j + 1
+            } else {
+              // information_schema.X → the session view information_schema_X
+              // (PgCatalog registers them; a fused name avoids claiming
+              // generic unqualified names like `tables`/`columns`)
+              out.append("information_schema_")
+              i = j + 1
+              lastWord = ""
+            }
+          } else if (word.equalsIgnoreCase("_pg_expandarray") && isCall) {
+            // information_schema._pg_expandarray(arr) yields SETOF (x, n) —
+            // the element and its 1-based ordinal (pgjdbc getPrimaryKeys
+            // expands pg_index.indkey with it). Spark equivalent: explode an
+            // array of structs; with a single alias the struct column takes
+            // the alias name, so (i.keys).x / (i.keys).n resolve as field
+            // accesses after the paren-strip rewrite above.
+            i = afterWs
+            val arg = PgRewrite(scanParens()).trim
+            out.append(
+              s"explode(transform($arg, (_v, _p) -> struct(_v AS x, _p + 1 AS n)))")
           } else if (word.equalsIgnoreCase("operator") && isCall) {
             // PG OPERATOR(schema.op) syntax from psql metadata queries
             i = afterWs

@@ -762,7 +762,11 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val nParams = in.getShort.toInt
     val declaredOids = (0 until nParams).map(_ => in.getInt)
     PgDialect.registerParamFunction(session.spark)
-    val plan = parser.parsePlan(sql)
+    // the empty statement is legal in the extended protocol (pgjdbc's
+    // isValid() runs it): Parse succeeds, Execute answers EmptyQueryResponse
+    val plan =
+      if (sql.trim.isEmpty) org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()
+      else parser.parsePlan(sql)
     val schema =
       if (sql.trim.isEmpty) new StructType()
       else Internals.analyzedSchema(session.spark, plan)
@@ -862,6 +866,12 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val portal = session.portals.getOrElse(name,
       throw new IllegalArgumentException(s"unknown portal: '$name'"))
     if (!portal.started) ServerStats.statementsRun.incrementAndGet()
+    if (portal.stmt.sql.trim.isEmpty) {
+      // PG §55.2.3: executing the empty statement yields EmptyQueryResponse
+      // in place of CommandComplete
+      PgMessages.emptyQueryResponse(currentOut)
+      return
+    }
     if (portal.schema.isEmpty) {
       withOperation(portal.stmt.sql.take(80)) {
         runTrackingTimeZone(Internals.ofRows(session.spark, portal.bound).collect())

@@ -321,13 +321,17 @@ object Corpus {
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
                len(str_split(text, ' ')) AS toks
         FROM (SELECT source, text,
-                     ((doc_id * 2654435761) % 4294967296) % 100 AS b
+                     (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS b
               FROM documents))
       SELECT source, split, COUNT(*) AS n_docs,
              CAST(SUM(toks) AS BIGINT) AS tokens
       FROM s GROUP BY 1, 2 ORDER BY source, split"""),
       (s, d) => {
-        val b = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % 100
+        // mod 2^31 first: unmasked, the product wraps in Spark past
+        // doc_id ~3.5e9 while DuckDB promotes to HUGEINT — split drift
+        // exactly at production corpus sizes
+        val b = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(4294967296L)) % 100
         t(s, d, "documents")
           .select(col("source"),
             when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
@@ -617,12 +621,14 @@ object Corpus {
                    len(str_split(text, ' ')) AS ttr
                  FROM documents)
       SELECT doc_id, CAST(ttr AS DOUBLE) AS ttr FROM q
-      WHERE CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) < ttr * 2147483647.0
+      WHERE CAST(((doc_id % 2147483648) * 2654435761) % 2147483647 AS DOUBLE) < ttr * 2147483647.0
       ORDER BY doc_id"""),
       (s, d) => {
         val ts = split(col("text"), " ")
         val ttr = (size(array_distinct(ts)).cast("double") / size(ts)).as("ttr")
-        val hk = ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).cast("double")
+        // mask mod 2^31 pre-multiply so the hash never overflows Long (see p17)
+        val hk = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483647L)).cast("double")
         t(s, d, "documents")
           .select(col("doc_id"), ttr, hk.as("hk"))
           .filter(col("hk") < col("ttr") * lit(2147483647.0))

@@ -700,13 +700,17 @@ object Pipeline {
       WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
       SELECT doc_id, d.lang
       FROM documents d JOIN n USING (lang)
-      WHERE CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE)
+      WHERE CAST(((doc_id % 2147483648) * 2654435761) % 2147483647 AS DOUBLE)
             < least(1.0, 40.0 / cnt) * 2147483647.0
       ORDER BY doc_id"""),
       (s, d) => {
         val docs = t(s, d, "documents")
         val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-        val hk = ((col("doc_id") * lit(2654435761L)) % lit(2147483647L)).cast(DoubleType)
+        // doc_id masked mod 2^31 before the multiply: keeps the product
+        // under 2^63 in Spark's non-ANSI Long arithmetic (DuckDB promotes
+        // to HUGEINT, so an overflow would diverge silently past ~3.5e9 ids)
+        val hk = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(2147483647L)).cast(DoubleType)
         docs.join(broadcast(counts), "lang")
           .filter(hk < least(lit(1.0), lit(40.0) / col("cnt")) * lit(2147483647.0))
           .select(col("doc_id"), col("lang"))
@@ -1013,9 +1017,13 @@ object Pipeline {
     // per-shard counts and token mass — the skew check that decides
     // whether the shard key needs salting. xxhash64 is engine-specific,
     // so the shard key here is the exact-arithmetic doc_id multiplicative
-    // hash (Knuth), reproducible in any engine.
+    // hash (Knuth), reproducible in any engine. doc_id is reduced mod 2^31
+    // BEFORE the multiply so the product stays under 2^63 for any doc_id:
+    // an unmasked product wraps silently in Spark (non-ANSI) past
+    // doc_id ~3.5e9 while DuckDB promotes to HUGEINT — divergent shards
+    // exactly at the corpus sizes where sharding matters.
     QE("p52_shard_balance", Some("""
-      WITH s AS (SELECT ((doc_id * 2654435761) % 9223372036854775807) % 16 AS shard,
+      WITH s AS (SELECT (((doc_id % 2147483648) * 2654435761) % 9223372036854775807) % 16 AS shard,
                         n_chars
                  FROM documents)
       SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
@@ -1023,7 +1031,8 @@ object Pipeline {
       FROM s GROUP BY shard ORDER BY shard"""),
       (s, d) =>
         t(s, d, "documents")
-          .select(((col("doc_id") * lit(2654435761L)) % lit(9223372036854775807L) % 16)
+          .select((((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+            % lit(9223372036854775807L) % 16)
             .as("shard"), col("n_chars"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))

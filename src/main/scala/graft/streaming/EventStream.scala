@@ -456,9 +456,7 @@ object EventStream {
       java.util.List.of(Row(sentinelVals: _*)), rawSchema)
     val sentinelOut = Files.createTempDirectory("graft_stream_sentinel")
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelOut.toString)
-    val part = Files.list(sentinelOut).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
-    Files.move(part, dir.resolve("sentinel.parquet"))
+    Files.move(firstParquet(sentinelOut), dir.resolve("sentinel.parquet"))
 
     val stream = agg(Tables.normalizeTs(spark.readStream
         .schema(rawSchema)
@@ -502,10 +500,7 @@ object EventStream {
       drain(q)
     } finally {
       q.stop()
-      Seq(dir, sentinelOut).foreach { d =>
-        Files.list(d).forEach(p => Files.deleteIfExists(p))
-        Files.deleteIfExists(d)
-      }
+      Seq(dir, sentinelOut).foreach(rmTree)
     }
     readResult()
   }
@@ -759,9 +754,8 @@ object EventStream {
       val sHi = new java.sql.Timestamp(lo + (i + 1) * spanMs)
       norm.filter(col("ts") >= lit(sLo) && col("ts") < lit(sHi))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/span$i")
-      val part = Files.list(Paths.get(s"$tmp/span$i"))
-        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.move(part, dir.resolve(f"batch_$i%02d.parquet"))
+      Files.move(firstParquet(Paths.get(s"$tmp/span$i")),
+        dir.resolve(f"batch_$i%02d.parquet"))
     } :+ {
       val sentinel = spark.createDataFrame(
         java.util.List.of(Row(-1L,
@@ -769,9 +763,8 @@ object EventStream {
           FlushType, 0.0)),
         norm.schema)
       sentinel.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sentinel")
-      val part = Files.list(Paths.get(s"$tmp/sentinel"))
-        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.move(part, dir.resolve("batch_99_sentinel.parquet"))
+      Files.move(firstParquet(Paths.get(s"$tmp/sentinel")),
+        dir.resolve("batch_99_sentinel.parquet"))
     }
     // oldest-first processing order is by modification time: pin it
     staged.zipWithIndex.foreach { case (p, i) =>
@@ -781,8 +774,26 @@ object EventStream {
     (dir, tmp)
   }
 
+  /** `Files.list` holds an open directory handle that java.nio requires the
+    * caller to close; recursing or moving files while the stream is still
+    * open leaks one fd per directory per streaming-entry run. Every listing
+    * in this file goes through here so the handle always closes.
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try {
+      val it = s.iterator()
+      val b = Vector.newBuilder[java.nio.file.Path]
+      while (it.hasNext) b += it.next()
+      b.result()
+    } finally s.close()
+  }
+
+  private def firstParquet(dir: java.nio.file.Path): java.nio.file.Path =
+    listDir(dir).find(_.getFileName.toString.endsWith(".parquet")).get
+
   private def rmTree(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
+    if (Files.isDirectory(p)) listDir(p).foreach(rmTree)
     Files.deleteIfExists(p)
   }
 
@@ -810,7 +821,11 @@ object EventStream {
         finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         q.processAllAvailable()
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        // the 1-row flush sentinel also registers numInputRows > 0, so a
+        // bare >0 count would let the staging silently degrade to 2 real
+        // data spans; > 1 excludes exactly the sentinel batch (a 1-row real
+        // span would only make this trip EARLY — loud, never silent)
+        val dataBatches = q.recentProgress.count(_.numInputRows > 1)
         require(dataBatches >= 3,
           s"multi-batch stream collapsed to $dataBatches data batches — " +
             "maxFilesPerTrigger staging broke")
@@ -856,9 +871,7 @@ object EventStream {
         ("batch_02_late.parquet", norm.filter(col("ts") < lit(cutoff))))
       val staged = parts.map { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$name")
-        val part = Files.list(Paths.get(s"$tmp/$name"))
-          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        Files.move(part, dir.resolve(name))
+        Files.move(firstParquet(Paths.get(s"$tmp/$name")), dir.resolve(name))
       }
       staged.zipWithIndex.foreach { case (p, i) =>
         Files.setLastModifiedTime(p,
@@ -950,7 +963,8 @@ object EventStream {
         finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         q.processAllAvailable()
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        // > 1, not > 0: the 1-row flush sentinel must not count as a data span
+        val dataBatches = q.recentProgress.count(_.numInputRows > 1)
         require(dataBatches >= 3,
           s"incremental rollup collapsed to $dataBatches data batches")
       } finally q.stop()
@@ -1014,13 +1028,7 @@ object EventStream {
       spark.catalog.dropTempView(sink)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         .orderBy("win_start", "event_type")
-    } finally dirs.foreach { d =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(d)
-    }
+    } finally dirs.foreach(rmTree)
   }
 
   /** Windowed aggregation delivered through foreachBatch to an
@@ -1057,12 +1065,6 @@ object EventStream {
         val rows = read.collect()
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), read.schema)
       }.orderBy("day_start", "event_type")
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rm)
-        Files.deleteIfExists(p)
-      }
-      Seq(outDir, ckpt).foreach(rm)
-    }
+    } finally Seq(outDir, ckpt).foreach(rmTree)
   }
 }

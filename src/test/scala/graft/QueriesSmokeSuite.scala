@@ -16,13 +16,48 @@ class QueriesSmokeSuite extends AnyFunSuite {
     // >=5-distinct-buyer HAVING gate: below the bar at sf0.001
     "q190_ds_above_category_avg")
 
+  // Tripwire for Bench.isStreaming's name heuristic: onQueryStarted fires
+  // synchronously with start(), so the per-entry delta tells exactly
+  // whether an entry ran a StreamingQuery — both misclassification
+  // directions (a streaming entry the bench would double-time, and a
+  // "…stream…"-named batch entry the bench would single-time) fail loudly.
+  private val streamStarts = new java.util.concurrent.atomic.AtomicInteger
+  private lazy val listenerReady: Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        streamStarts.incrementAndGet()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+  }
+
   SparkEntry.all.foreach { q =>
     test(q.name) {
+      listenerReady
+      val before = streamStarts.get()
       val df = q.fn(spark, TestSpark.sfDir)
       assert(df.schema.nonEmpty, "schema must be non-empty")
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      val started = streamStarts.get() - before
+      if (Bench.isStreaming(q.name)) {
+        assert(started > 0,
+          s"${q.name} is bench-flagged streaming but started no StreamingQuery")
+      } else {
+        assert(started === 0,
+          s"${q.name} started $started StreamingQueries but Bench.isStreaming " +
+            "doesn't flag it — it would be double-timed in bench pass 2")
+      }
     }
+  }
+
+  test("entry names containing 'stream' all match the anchored convention") {
+    val offenders = SparkEntry.all.map(_.name)
+      .filter(n => n.contains("stream") && !Bench.isStreaming(n))
+    assert(offenders.isEmpty,
+      s"$offenders contain 'stream' without matching qNN_stream[_...] — " +
+        "rename to the convention or classify explicitly in Bench.StreamingName")
   }
 
   test("flagship entry returns rows") {

@@ -97,4 +97,41 @@ class PgRewriteSpec extends AnyFunSuite {
     assert(PgRewrite("SELECT t.typname::regtype FROM pg_type t") ===
       "SELECT t.typname FROM pg_type t")
   }
+
+  test("array subscript on a parenthesized expression becomes element_at") {
+    // pgjdbc getSchemas: (pg_catalog.current_schemas(true))[1]
+    assert(PgRewrite("SELECT (pg_catalog.current_schemas(true))[1]") ===
+      "SELECT element_at((current_schemas(true)), 1)")
+    // non-literal index (pgjdbc TypeInfoCache): (current_schemas(false))[s.r]
+    assert(PgRewrite("SELECT (current_schemas(false))[s.r] AS nspname") ===
+      "SELECT element_at((current_schemas(false)), s.r) AS nspname")
+    // plain identifier subscripts stay native Spark syntax
+    assert(PgRewrite("SELECT arr[1] FROM t") === "SELECT arr[1] FROM t")
+  }
+
+  test("composite-field access (i.keys).n loses its parens") {
+    assert(PgRewrite("SELECT (i.keys).n AS KEY_SEQ, (i.keys).x FROM t") ===
+      "SELECT i.keys.n AS KEY_SEQ, i.keys.x FROM t")
+    // a parenthesized non-identifier expression is untouched
+    assert(PgRewrite("SELECT (a + b).n") === "SELECT (a + b).n")
+  }
+
+  test("information_schema._pg_expandarray expands to explode/struct") {
+    val got = PgRewrite("SELECT information_schema._pg_expandarray(i.indkey) AS keys FROM pg_index i")
+    assert(got ===
+      "SELECT explode(transform(i.indkey, (_v, _p) -> struct(_v AS x, _p + 1 AS n))) AS keys FROM pg_index i")
+  }
+
+  test("information_schema views get fused names") {
+    assert(PgRewrite("SELECT * FROM information_schema.tables") ===
+      "SELECT * FROM information_schema_tables")
+  }
+
+  test("generate_series with non-literal bounds falls back to explode(sequence)") {
+    assert(PgRewrite("SELECT * FROM generate_series(1, array_upper(current_schemas(false), 1)) AS s(r)") ===
+      "SELECT * FROM (SELECT explode(sequence(1, array_upper(current_schemas(false), 1))) AS r) AS s")
+    // literal bounds keep the distributed range() form
+    assert(PgRewrite("SELECT * FROM generate_series(1, 5)") ===
+      "SELECT * FROM (SELECT id AS generate_series FROM range(1, (5)+1))")
+  }
 }
