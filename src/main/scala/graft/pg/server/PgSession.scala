@@ -96,6 +96,8 @@ object SessionRegistry {
   }
   def unregister(pid: Int): Unit = sessions.remove(pid)
 
+  private[server] def get(pid: Int): Option[PgSession] = Option(sessions.get(pid))
+
   /** Close sessions idle past the timeout (reference idle reaping,
     * SparkSQLServiceManager.scala:137-158).
     */

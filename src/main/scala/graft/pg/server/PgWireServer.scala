@@ -34,6 +34,17 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
     sessionIdleTimeoutMs: Long = 0L, config: PgServerConfig = PgServerConfig()) {
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(workerThreads)
+  // Query execution must NOT run on the I/O event loop: (a) a long Spark
+  // job would starve every other connection pinned to the same loop, and
+  // (b) streaming a large result needs to BLOCK on the socket when the
+  // client reads slower than Spark produces (see maybeFlush) — blocking the
+  // loop on its own write future would deadlock. A DefaultEventExecutorGroup
+  // keeps netty's per-channel ordering guarantee (each channel pins to one
+  // executor thread) while the loop stays free for socket I/O. 64 threads =
+  // 64 concurrently-RUNNING statements; more connections than that simply
+  // queue, they don't fail.
+  private val handlerGroup =
+    new io.netty.util.concurrent.DefaultEventExecutorGroup(64)
   @volatile private var channel: Channel = _
   private val reaper =
     if (sessionIdleTimeoutMs > 0) Some(new SessionReaper(sessionIdleTimeoutMs, 1000)) else None
@@ -65,8 +76,9 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
       .channel(classOf[NioServerSocketChannel])
       .childHandler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit =
-          ch.pipeline().addLast(new PgFrameDecoder,
-            new PgConnectionHandler(base, sslCtx, config))
+          ch.pipeline()
+            .addLast(new PgFrameDecoder) // frame reassembly stays on the loop
+            .addLast(handlerGroup, new PgConnectionHandler(base, sslCtx, config))
       })
     channel = b.bind(port).sync().channel()
     boundPort = channel.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
@@ -80,6 +92,7 @@ class PgWireServer(base: SparkSession, port: Int = 5432, workerThreads: Int = 4,
     if (channel != null) channel.close().sync()
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
     workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    handlerGroup.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
   }
 }
 
@@ -320,11 +333,17 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       case Some(ssl) =>
         // 'S' goes out in clear; the SslHandler prepended afterwards then
         // runs the TLS handshake and the client resends its startup packet
-        // encrypted (reference protocol.scala:929-953)
-        val b = ctx.alloc().buffer(1)
-        b.writeByte('S')
-        ctx.writeAndFlush(b)
-        ctx.pipeline().addFirst(ssl.newHandler(ctx.alloc()))
+        // encrypted (reference protocol.scala:929-953). Both steps run as
+        // ONE task on the channel's I/O loop: this handler executes on
+        // handlerGroup, and from here the client's ClientHello could race
+        // past the decoder before addFirst lands — on the single-threaded
+        // loop no read can interleave between the 'S' flush and the insert.
+        ctx.channel().eventLoop().execute { () =>
+          val b = ctx.alloc().buffer(1)
+          b.writeByte('S')
+          ctx.writeAndFlush(b)
+          ctx.pipeline().addFirst(ssl.newHandler(ctx.alloc()))
+        }
       case None =>
         val b = ctx.alloc().buffer(1)
         b.writeByte('N') // no SSL; client retries in clear (reference protocol.scala:1190-1196)
@@ -1065,11 +1084,24 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     n
   }
 
-  /** hand a full chunk to the socket and continue on a fresh buffer */
+  /** Hand a full chunk to the socket and continue on a fresh buffer —
+    * honoring BACKPRESSURE: writeAndFlush is async, so without the
+    * writability gate a multi-100MB result to a slow reader queues
+    * entirely in the channel's outbound buffer and OOMs the server
+    * (PgBoundedHeapSuite caught exactly that with a 512 MB heap). Once the
+    * outbound high-water mark trips, block this handler thread (never the
+    * I/O loop — handlers run on handlerGroup) until the socket drains.
+    */
   private def maybeFlush(): Unit =
     if (currentOut.readableBytes() > ChunkBytes && ctxRef != null) {
-      ctxRef.writeAndFlush(currentOut)
+      // the promise must carry the CHANNEL's executor, not this handler's:
+      // a ctx-created promise would trip netty's await-deadlock check
+      // (listeners fire on the awaiting thread), while completion itself is
+      // signaled by the I/O loop — safe to await from the handler thread
+      val p = ctxRef.channel().newPromise()
+      ctxRef.writeAndFlush(currentOut, p)
       currentOut = ctxRef.alloc().buffer()
+      if (!ctxRef.channel().isWritable) p.awaitUninterruptibly()
     }
 
   private def sessionZone: java.time.ZoneId =
