@@ -34,6 +34,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated entry filter for targeted runs (the local
+    // sf1 scale-up check times only the heaviest entries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.all.filter(q => names(q.name))
+      case None => SparkEntry.all
+    }
     // wall-clock budget for the optional second pass: once exceeded, the
     // remaining pass-2 queries keep their pass-1 numbers and the bench still
     // emits a complete line — a degraded host window can no longer turn the
@@ -112,7 +120,7 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
     // Pass 1: every entry once; per-query progress to stderr (the driver
     // keeps a stderr tail, so a hard kill still shows where time went).
-    SparkEntry.all.foreach { q =>
+    selected.foreach { q =>
       val t = timeOne(q)
       best.synchronized { best(q.name) = t }
       System.err.println(f"[bench] ${q.name} ${t}%.2fs")
@@ -126,7 +134,7 @@ object Bench {
     // but ~50x slow), so consecutive iterations both land in the burst
     // while the same query in a separated pass runs clean. Streaming
     // entries skip pass 2: their time is fixed setup cost, not noise.
-    SparkEntry.all.foreach { q =>
+    selected.foreach { q =>
       if (!isStreaming(q.name) && elapsed < budgetSecs) {
         val t = timeOne(q)
         best.synchronized { best(q.name) = math.min(best(q.name), t) }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale factor from the driver's largest shipped one
+  * (sf0.1) for LOCAL scale-up measurement: facts are unioned K times with
+  * join keys shifted per copy (so lineitem⋈orders fan-out is preserved,
+  * not squared), dims are copied as-is — the same shape TPC-H scaling has
+  * for small SFs. Usage:
+  *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  * The output is for the scale-up check only (BENCH_LOCAL.md); driver
+  * correctness always runs against the shipped testdata.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copyOf(name: String): Unit =
+      Tables.df(spark, src, name).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    /** union `copies` key-shifted replicas; shift spacing far above any
+      * real key so copies never collide
+      */
+    def scaled(name: String, keyShifts: Map[String, Long]): Unit = {
+      val base = Tables.df(spark, src, name)
+      val un = (0 until copies).map { i =>
+        keyShifts.foldLeft(base) { case (df, (c, spacing)) =>
+          df.withColumn(c, col(c) + lit(i * spacing))
+        }
+      }.reduce(_ unionAll _)
+      un.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copyOf)
+    val orderSpacing = 1000000000L
+    scaled("orders", Map("o_orderkey" -> orderSpacing))
+    scaled("lineitem", Map("l_orderkey" -> orderSpacing))
+    scaled("events", Map("event_id" -> 100000000L))
+    scaled("documents", Map("doc_id" -> 10000000L))
+    scaled("embeddings", Map("vec_id" -> 10000000L))
+    // scalastyle:off println
+    println(s"wrote ${copies}x of $src to $out")
+    // scalastyle:on println
+    spark.stop()
+  }
+}

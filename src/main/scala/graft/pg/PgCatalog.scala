@@ -204,6 +204,44 @@ object PgCatalog {
           "attgenerated STRING")) // '' = plain column, referenced by \d on PG>=12
       .createOrReplaceTempView("pg_attribute")
 
+    // information_schema emulation (beyond-reference): many BI tools query
+    // information_schema, not pg_catalog. Backed by the SAME live snapshot
+    // as pg_class/pg_attribute; PgRewrite fuses the qualifier, so
+    // information_schema.tables resolves to information_schema_tables.
+    Seq(("default", defaultNamespace, "spark-user"))
+      .toDF("catalog_name", "schema_name", "schema_owner")
+      .createOrReplaceTempView("information_schema_schemata")
+    val isTable = (t: org.apache.spark.sql.catalog.Table) =>
+      t.tableType == "MANAGED" || t.tableType == "EXTERNAL"
+    val infoTableRows = tbls.map { t =>
+      Row("default", defaultNamespace, t.name,
+        if (isTable(t)) "BASE TABLE" else "VIEW")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(infoTableRows: _*),
+      StructType.fromDDL("table_catalog STRING, table_schema STRING, " +
+        "table_name STRING, table_type STRING"))
+      .createOrReplaceTempView("information_schema_tables")
+    val infoViewRows = tbls.filterNot(isTable).map { t =>
+      Row("default", defaultNamespace, t.name, null)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(infoViewRows.toSeq: _*),
+      StructType.fromDDL("table_catalog STRING, table_schema STRING, " +
+        "table_name STRING, view_definition STRING"))
+      .createOrReplaceTempView("information_schema_views")
+    // columns re-derive from the cached pg_attribute sweep (attrelid-10000 =
+    // table index) — no second listColumns RPC storm
+    val nameByIdx = tbls.zipWithIndex.map { case (t, i) => i -> t.name }.toMap
+    val infoColRows = attrRows.map { r =>
+      Row("default", defaultNamespace, nameByIdx(r.getInt(1) - 10000),
+        r.getString(2), r.getInt(8), null,
+        if (r.getBoolean(4)) "NO" else "YES", typeNameOf(r.getInt(3)))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(infoColRows: _*),
+      StructType.fromDDL("table_catalog STRING, table_schema STRING, " +
+        "table_name STRING, column_name STRING, ordinal_position INT, " +
+        "column_default STRING, is_nullable STRING, data_type STRING"))
+      .createOrReplaceTempView("information_schema_columns")
+
     PgFunctions.register(spark)
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QE, Tables}
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -195,22 +195,40 @@ object Aggregates {
     // (hll_union_agg) without touching raw rows again — at 100 TB the
     // second aggregation reads KBs. approx_count_distinct (q26) is the
     // same idea locked inside one aggregate; the explicit sketch column
-    // is what pipelines persist and re-merge across days. No DuckDB
-    // equivalent sketch -> rows-only here; AggregatesSketchSuite pins the
-    // estimate within 3% of exact and byte-identical across re-runs (the
-    // sketch has no RNG).
-    QE("q162_hll_sketch", None,
+    // is what pipelines persist and re-merge across days. DuckDB has no
+    // equivalent sketch, so the ESTIMATE itself can't hash-match — instead
+    // the entry emits the EXACT distinct count (oracle-verified) alongside
+    // an in-query bound check: |estimate − exact| ≤ 3% · exact (lgK=12 →
+    // theoretical RSE ≈ 1.04/√4096 ≈ 1.6%, so 3% ≈ 2σ headroom; the
+    // sketch is RNG-free and the pin is also unit-tested in
+    // AggregatesSketchSuite). The oracle emits TRUE — a hash match proves
+    // both the exact counts AND that every estimate sat inside its bound.
+    QE("q162_hll_sketch", Some("""
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS within_3pct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+      ORDER BY event_type"""),
       (s, d) => {
         val perType = t(s, d, "events")
           .groupBy("event_type")
-          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            count_distinct(col("user_id")).as("exact_users"))
         val global = perType
           .agg(hll_union_agg(col("sk")).as("sk"))
           .select(lit("ALL").as("event_type"),
-            hll_sketch_estimate(col("sk")).as("est_users"))
+            hll_sketch_estimate(col("sk")).as("est"))
+          .crossJoin(t(s, d, "events")
+            .agg(count_distinct(col("user_id")).as("exact_users")))
+        val bound = (est: Column, exact: Column) =>
+          (abs(est.cast(DoubleType) - exact.cast(DoubleType))
+            <= lit(0.03) * exact.cast(DoubleType)).as("within_3pct")
         perType
-          .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"))
-          .unionAll(global)
+          .select(col("event_type"), col("exact_users"),
+            bound(hll_sketch_estimate(col("sk")), col("exact_users")))
+          .unionAll(global.select(col("event_type"), col("exact_users"),
+            bound(col("est"), col("exact_users"))))
           .orderBy("event_type")
       }),
 

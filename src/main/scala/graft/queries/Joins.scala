@@ -15,7 +15,102 @@ import org.apache.spark.sql.types._
 object Joins {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
+  /** Scope the AQE skew-join knobs to a block: broadcast disabled so the
+    * tiny weight table can't dodge the shuffle, detection thresholds scaled
+    * to the test SFs (production keeps the 256 MB default — the SHAPE of
+    * the plan transformation is what's pinned here, and it's size-relative).
+    * Values are restored afterwards so no other entry inherits them.
+    */
+  private[graft] def withSkewJoinConfs[T](s: SparkSession)(f: => T): T = {
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // the narrow (sk, l_quantity) rows compress hard — the sf0.001 hot
+      // partition is only a few KB on the shuffle wire, so detection and
+      // split sizes sit at 2KB; coalescing is off so the tiny non-hot
+      // partitions don't get merged into the comparison baseline
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The deliberately-skewed join q243 materializes: ~75% of lineitem maps
+    * to one key (sk=0), the rest spreads over 97 keys; the 99-row weight
+    * side must sort-merge (broadcast disabled), so the sk=0 shuffle
+    * partition dwarfs the median and AQE's OptimizeSkewedJoin splits it
+    * into advisory-sized reads. The aggregate groups by the DIM-side
+    * attribute (w), not the join key: grouping by sk would let the final
+    * agg reuse the join's hash partitioning, and AQE refuses to split a
+    * skewed partition whose partitioning a downstream stage still needs
+    * (verified — the split only fires once the agg forces its own
+    * exchange). Complements p14's MANUAL salting: same skew problem,
+    * runtime re-plan instead of a rewritten key.
+    */
+  private[graft] def aqeSkewJoinPlan(s: SparkSession, d: String): DataFrame = {
+    // the payload column is what a real fact row carries through the
+    // shuffle; it is all-integer text (doubles format differently across
+    // engines) and per-row unique, so compression can't shrink the hot
+    // partition below the detection threshold. The aggregate consumes it
+    // (sum of lengths), so column pruning cannot strip it.
+    val payload = concat_ws("#",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+    // AQE splits a skewed reduce partition along MAPPER boundaries, so the
+    // map stage must have several tasks to split between. The test parquet
+    // is one small file = one row group = ONE scan task (verified:
+    // skew=true never appears over it, however low the thresholds), so the
+    // round-robin repartition stands in for the thousands-of-mappers scan
+    // a 100 TB fact table has naturally — on a real deployment it is
+    // unnecessary and would be dropped.
+    val l = t(s, d, "lineitem").select(
+      when(col("l_orderkey") % 4 < 3, lit(0L))
+        .otherwise(col("l_orderkey") % 97 + 1).as("sk"),
+      col("l_quantity"), repeat(payload, 3).as("payload"))
+      .repartition(16)
+    val r = s.range(0, 99).select(col("id").as("rk"), (col("id") % 7 + 1).as("w"))
+    l.join(r, col("sk") === col("rk"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(Q.dec) * col("w")).cast(DoubleType).as("wsum"),
+        sum(length(col("payload"))).cast(LongType).as("plen"))
+      .orderBy("w")
+  }
+
   val entries: Seq[QE] = Seq(
+    // AQE SKEW JOIN: runtime mitigation for the key-skew that kills big
+    // joins at 100 TB. AQE reads detection thresholds at EXECUTION time, so
+    // the entry materializes under the scoped confs and returns the small
+    // aggregate locally; PlanLeversSuite asserts the final adaptive plan
+    // really ran the join with skew=true splits.
+    QE("q243_aqe_skew_join", Some("""
+      WITH l AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+                             ELSE l_orderkey % 97 + 1 END AS sk,
+                        l_quantity,
+                        repeat(concat_ws('#', l_orderkey, l_partkey, l_suppkey,
+                                         l_linenumber), 3) AS payload
+                 FROM lineitem),
+      r AS (SELECT unnest(generate_series(0, 98)) AS rk),
+      r2 AS (SELECT rk, rk % 7 + 1 AS w FROM r)
+      SELECT w, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * w) AS DOUBLE) AS wsum,
+             CAST(SUM(LENGTH(payload)) AS BIGINT) AS plen
+      FROM l JOIN r2 ON l.sk = r2.rk
+      GROUP BY w ORDER BY w"""),
+      (s, d) => withSkewJoinConfs(s) {
+        val out = aqeSkewJoinPlan(s, d)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy("w")
+      }),
+
     // TPC-H Q5 shape: 5-way inner join, dims broadcast, agg on nation.
     QE("q10_join_5way", Some(s"""
       SELECT n_name, ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue

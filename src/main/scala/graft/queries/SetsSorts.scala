@@ -44,13 +44,30 @@ object SetsSorts {
         .select("l_suppkey", "l_orderkey", "l_linenumber")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")),
 
-    // TABLESAMPLE — engine-specific randomness, so no SQL oracle (driver
-    // records the weaker rows-only check); seeded for Spark-side determinism.
-    QE("q43_tablesample", None,
-      (s, d) => t(s, d, "lineitem")
-        .sample(withReplacement = false, 0.1, seed = 42)
-        .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")),
+    // TABLESAMPLE — the sampled ROWS are engine-specific randomness no
+    // second engine reproduces, but the sample's CONTRACT is checkable:
+    // the entry runs the seeded 10% Bernoulli sample, then emits its
+    // oracle-verifiable invariants — the sample is a subset of the source
+    // (zero fabricated keys via anti-join) and the sampled fraction lands
+    // inside [7%, 13%] (±3σ at sf0.001's ~6k rows is under ±1.2%, so the
+    // bound is generous yet seed-stable). The oracle emits the same
+    // constants; a hash match proves both invariants held.
+    QE("q43_tablesample", Some(
+      "SELECT TRUE AS subset_ok, TRUE AS fraction_ok"),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sampled = li.sample(withReplacement = false, 0.1, seed = 42)
+          .select("l_orderkey", "l_linenumber")
+        val fabricated = sampled.join(
+          li.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti")
+        sampled.agg(count(lit(1)).as("n"))
+          .crossJoin(li.agg(count(lit(1)).as("total")))
+          .crossJoin(fabricated.agg(count(lit(1)).as("bad")))
+          .select((col("bad") === 0).as("subset_ok"),
+            (col("n") >= col("total") * 0.07 && col("n") <= col("total") * 0.13)
+              .as("fraction_ok"))
+      }),
 
     // SELECT DISTINCT projection.
     QE("q44_distinct", Some("""

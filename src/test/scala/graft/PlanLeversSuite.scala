@@ -92,6 +92,20 @@ class PlanLeversSuite extends AnyFunSuite {
     }
   }
 
+  test("q243's skewed lineitem join runs with AQE skew splits on the real table") {
+    graft.queries.Joins.withSkewJoinConfs(spark) {
+      val df = graft.queries.Joins.aqeSkewJoinPlan(spark, TestSpark.sfDir)
+      val rows = df.collect() // finalize the adaptive plan
+      assert(rows.nonEmpty && rows.map(_.getLong(0)).toSet.subsetOf((1L to 7L).toSet),
+        "per-weight-class aggregates expected")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"q243's join must carry AQE skew splits at execution:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "broadcast must stay disabled or there is no shuffle to split")
+    }
+  }
+
   test("JDBC: predicate pushes to the remote side; partitioned read opens N cursors") {
     val db = java.nio.file.Files.createTempDirectory("graft_jdbc_t") + "/plandb"
     val url = s"jdbc:derby:$db;create=true"

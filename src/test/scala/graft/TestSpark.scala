@@ -14,5 +14,9 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  // overridable for the local scale-up check (plan asserts re-run at sf1
+  // via SPARK_GRAFT_TEST_SF=/tmp/graft_sf1); default is the driver's
+  // smallest shipped SF
+  val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 }

@@ -104,6 +104,25 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SELECT typname FROM pg_type WHERE oid = 20") === "int8")
   }
 
+  test("psql: information_schema views reflect the live catalog") {
+    TestSpark.spark.sql(
+      "CREATE OR REPLACE VIEW infoschema_probe AS SELECT 1 AS id, 'x' AS txt")
+    try {
+      assert(psql("SELECT schema_name FROM information_schema.schemata") === "spark")
+      assert(psql(
+        "SELECT table_type FROM information_schema.tables WHERE table_name = 'infoschema_probe'")
+        === "VIEW")
+      assert(psql(
+        "SELECT column_name, data_type, is_nullable FROM information_schema.columns " +
+          "WHERE table_name = 'infoschema_probe' ORDER BY ordinal_position")
+        // literal-backed view columns are non-nullable in Spark's catalog
+        === "id|int4|NO\ntxt|varchar|NO")
+      assert(psql(
+        "SELECT table_name FROM information_schema.views WHERE table_name = 'infoschema_probe'")
+        === "infoschema_probe")
+    } finally TestSpark.spark.sql("DROP VIEW IF EXISTS infoschema_probe")
+  }
+
   test("psql: error surfaces as ERROR not disconnect") {
     val res = Seq("psql", s"host=127.0.0.1 port=$port dbname=default user=graft",
       "-At", "-c", "SELECT no_such_column").!(ProcessLogger(_ => ()))
