@@ -302,6 +302,13 @@ object Sources {
           .format("jdbc").option("url", url)
           .option("dbtable", "ORDERS_SLICE")
           .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          // the sf1 scale-up run flagged this entry 14.6x at 10x data; a
+          // 10x executeBatch was A/B-measured and did NOT move it (20.1s ->
+          // 19.7s): embedded Derby's logged btree insert is the floor, not
+          // JDBC round trips. Kept at 10000 as the correct client posture;
+          // the real scale answer (BENCH_LOCAL.md) is that JDBC sinks are
+          // for dimension-sized exports, never fact mass.
+          .option("batchsize", "10000")
           .save()
         s.read.format("jdbc").option("url", url)
           .option("dbtable", "ORDERS_SLICE")
