@@ -12,6 +12,40 @@ object OpState extends Enumeration {
   val Initialized, Running, Finished, Canceled, Error, Closed = Value
 }
 
+/** Raised when `statement_timeout` fires; maps to SQLSTATE 57014. */
+final class StatementTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** Raised when a client cancel request lands; maps to SQLSTATE 57014
+  * (PG uses query_canceled for both cases, distinguished by message).
+  */
+final class QueryCanceledException(msg: String) extends RuntimeException(msg)
+
+object Operation {
+  /** One shared daemon timer arms every statement's timeout; firing just
+    * cancels a job group, so a single thread never backs up.
+    */
+  private[server] val timeoutScheduler = {
+    Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
+      val t = new Thread(r, "graft-statement-timeout")
+      t.setDaemon(true)
+      t
+    })
+  }
+
+  /** PG accepts `statement_timeout` as bare milliseconds or with a unit
+    * suffix (ms/s/min); 0 or unparseable disables.
+    */
+  private[server] def parseTimeoutMs(v: String): Long = {
+    val t = v.trim.toLowerCase.stripPrefix("'").stripSuffix("'").trim
+    try {
+      if (t.endsWith("ms")) t.dropRight(2).trim.toLong
+      else if (t.endsWith("min")) t.dropRight(3).trim.toLong * 60000L
+      else if (t.endsWith("s")) t.dropRight(1).trim.toLong * 1000L
+      else t.toLong
+    } catch { case _: NumberFormatException => 0L }
+  }
+}
+
 final class Operation(val session: PgSession, val statement: String) {
   private val state = new AtomicReference[OpState.Value](OpState.Initialized)
   val jobGroup: String = session.nextJobGroup()
@@ -19,11 +53,14 @@ final class Operation(val session: PgSession, val statement: String) {
 
   def currentState: OpState.Value = state.get()
 
+  private val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Run `body` under this operation's job group with state tracking. */
   def run[T](body: => T): T = {
     state.set(OpState.Running)
     startedAt = System.currentTimeMillis()
     session.busy = true
+    session.currentQuery = statement
     session.activeJobGroup = jobGroup
     val sc = session.spark.sparkContext
     sc.setJobGroup(jobGroup, statement.take(80), interruptOnCancel = true)
@@ -31,15 +68,32 @@ final class Operation(val session: PgSession, val statement: String) {
     // concurrent sessions' jobs (reference ExecutorImpl.scala:131-145);
     // under the default FIFO scheduler the property is inert
     sc.setLocalProperty("spark.scheduler.pool", s"graft-pg-${session.pid}")
+    // PG statement_timeout: SET through the session conf, armed per
+    // statement, fires as a job-group cancel + SQLSTATE 57014
+    val timeoutMs =
+      Operation.parseTimeoutMs(session.spark.conf.get("statement_timeout", "0"))
+    val timer = if (timeoutMs > 0) {
+      Some(Operation.timeoutScheduler.schedule(new Runnable {
+        override def run(): Unit = { timedOut.set(true); cancel() }
+      }, timeoutMs, TimeUnit.MILLISECONDS))
+    } else None
     try {
       val r = body
       state.compareAndSet(OpState.Running, OpState.Finished)
       r
     } catch {
       case e: Throwable =>
-        if (state.get() != OpState.Canceled) state.set(OpState.Error)
+        if (state.get() == OpState.Canceled) {
+          if (timedOut.get()) {
+            throw new StatementTimeoutException(
+              s"canceling statement due to statement timeout (${timeoutMs}ms)")
+          }
+          throw new QueryCanceledException("canceling statement due to user request")
+        }
+        state.set(OpState.Error)
         throw e
     } finally {
+      timer.foreach(_.cancel(false))
       session.busy = false
       session.touch() // a just-finished statement resets the idle clock
       sc.setLocalProperty("spark.scheduler.pool", null)

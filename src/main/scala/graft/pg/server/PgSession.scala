@@ -48,6 +48,12 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
   @volatile var lastActivity: Long = System.currentTimeMillis()
   @volatile var busy: Boolean = false
   @volatile var onReap: () => Unit = () => ()
+  /** most recent statement text (pg_stat_activity.query semantics: PG
+    * keeps showing the LAST query when the backend goes idle)
+    */
+  @volatile var currentQuery: String = ""
+  @volatile var appName: String = ""
+  val backendStart: Long = System.currentTimeMillis()
   def touch(): Unit = lastActivity = System.currentTimeMillis()
 
   /** job-group id for the next statement; cancellation targets the group
@@ -116,6 +122,16 @@ object SessionRegistry {
 
   private[server] def activeCount: Int = sessions.size()
 
+  /** (pid, busy, backendStart, lastQuery) per live session — the
+    * pg_stat_activity backing rows.
+    */
+  private[server] def activity: Seq[(Int, Boolean, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    sessions.values().asScala.toVector
+      .map(s => (s.pid, s.busy, s.backendStart, s.currentQuery))
+      .sortBy(_._1)
+  }
+
   /** (pid, busy, ms since last activity) per live session, for the UI. */
   private[server] def snapshot: Seq[(Int, Boolean, Long)] = {
     val now = System.currentTimeMillis()
@@ -123,5 +139,34 @@ object SessionRegistry {
     sessions.values().asScala.toVector
       .map(s => (s.pid, s.busy, now - s.lastActivity))
       .sortBy(_._1)
+  }
+}
+
+/** Live `pg_stat_activity` emulation: unlike the static pg_catalog views
+  * (snapshotted per connection at startup), this one must reflect sessions
+  * that appear and disappear at any moment — so the server re-registers it
+  * immediately before executing any statement that references it. The
+  * querying backend reports itself `active` with the in-flight statement,
+  * exactly PG's behavior.
+  */
+private[server] object StatActivity {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+
+  def register(spark: org.apache.spark.sql.SparkSession,
+      selfPid: Int, selfQuery: String): Unit = {
+    val rows: Seq[Row] = SessionRegistry.activity.map { case (pid, busy, start, q) =>
+      val appName = SessionRegistry.get(pid).map(_.appName).getOrElse("")
+      val (state, query) =
+        if (pid == selfPid) ("active", selfQuery)
+        else (if (busy) "active" else "idle", q)
+      Row(pid, "spark-user", "default", appName, state, query,
+        new java.sql.Timestamp(start))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType.fromDDL(
+        "pid INT, usename STRING, datname STRING, application_name STRING, " +
+          "state STRING, query STRING, backend_start TIMESTAMP"))
+      .createOrReplaceTempView("pg_stat_activity")
   }
 }

@@ -312,6 +312,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   private var session: PgSession = _
   /** startup user while the cleartext-password exchange is pending */
   private var pendingUser: Option[String] = None
+  private var startupAppName: String = ""
   private var pendingSalt: Array[Byte] = _
   private var scramPhase: Int = 0
   private var scram: ScramSha256Server = _
@@ -361,6 +362,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       // the PG-specified forward-compat handshake (a hard reject here
       // would break every future-minor client)
       val pqOptions = params.keys.filter(_.startsWith("_pq_.")).toSeq.sorted
+      startupAppName = params.getOrElse("application_name", "")
       if (minor > 0 || pqOptions.nonEmpty) {
         val out = ctx.alloc().buffer()
         negotiateProtocolVersion(out, newestMinor = 0, unsupported = pqOptions)
@@ -521,6 +523,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     ServerStats.sessionsOpened.incrementAndGet()
     session = SessionRegistry.create(base, config.singleSession)
     session.onReap = () => ctx.close()
+    session.appName = startupAppName
     PgCatalog.register(session.spark)
     val out = ctx.alloc().buffer()
     authenticationOk(out)
@@ -705,6 +708,15 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     }
   }
 
+  /** Views whose contents change between statements (unlike the static
+    * pg_catalog snapshot): re-registered immediately before any statement
+    * that references them.
+    */
+  private def refreshDynamicViews(sql: String): Unit =
+    if (sql.toLowerCase.contains("pg_stat_activity")) {
+      StatActivity.register(session.spark, session.pid, sql)
+    }
+
   /** Simple query flow §3.1: parse -> execute -> RowDescription + DataRows +
     * CommandComplete, always text format (reference protocol.scala:585-660).
     */
@@ -716,7 +728,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       return
     }
     var copyInStarted = false
-    stmts.foreach { stmt => PgCopy.parse(stmt) match {
+    stmts.foreach { stmt =>
+      refreshDynamicViews(stmt)
+      PgCopy.parse(stmt) match {
       case Some(ci: PgCopy.CopyIn) =>
         if (stmts.length > 1) throw new IllegalArgumentException(
           "COPY FROM STDIN must be the only statement in a simple query")
@@ -780,6 +794,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val sql = readCStr(in)
     val nParams = in.getShort.toInt
     val declaredOids = (0 until nParams).map(_ => in.getInt)
+    refreshDynamicViews(sql)
     PgDialect.registerParamFunction(session.spark)
     // the empty statement is legal in the extended protocol (pgjdbc's
     // isValid() runs it): Parse succeeds, Execute answers EmptyQueryResponse
@@ -1168,6 +1183,8 @@ object PgWireServer {
       depth += 1
     }
     e match {
+      case _: StatementTimeoutException => "57014" // query_canceled (timeout)
+      case _: QueryCanceledException => "57014" // query_canceled (user request)
       case _: ArithmeticException => "22012" // division_by_zero
       case _: IllegalArgumentException => "22023" // invalid_parameter_value
       case _: UnsupportedOperationException => "0A000" // feature_not_supported

@@ -179,6 +179,69 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SELECT 9") === "9") // connection pool still healthy
   }
 
+  private def dataCells(p: Array[Byte]): Seq[String] = {
+    val b = java.nio.ByteBuffer.wrap(p)
+    val n = b.getShort.toInt
+    (0 until n).map { _ =>
+      val len = b.getInt
+      if (len == -1) null
+      else { val v = new Array[Byte](len); b.get(v); new String(v, UTF_8) }
+    }
+  }
+
+  private def sqlStateOf(payload: Array[Byte]): String = {
+    var i = 0
+    while (i < payload.length && payload(i) != 0) {
+      val tpe = payload(i).toChar
+      val end = payload.indexOf(0.toByte, i + 1)
+      if (tpe == 'C') return new String(payload, i + 1, end - i - 1, UTF_8)
+      i = end + 1
+    }
+    "?"
+  }
+
+  test("statement_timeout cancels the statement with SQLSTATE 57014") {
+    val c = new RawClient
+    c.startup()
+    c.send('Q', c.cstr("SET statement_timeout=1200"))
+    c.drainUntilReady()
+    val t0 = System.currentTimeMillis()
+    // >>1.2s uncancelled
+    c.send('Q', c.cstr("SELECT max(id * 2 + 1) FROM range(200000000000)"))
+    val msgs = c.drainUntilReady()
+    val elapsed = System.currentTimeMillis() - t0
+    val err = msgs.find(_._1 == 'E')
+    assert(err.isDefined, "timed-out statement must surface an ErrorResponse")
+    assert(sqlStateOf(err.get._2) === "57014", "PG query_canceled SQLSTATE")
+    assert(new String(err.get._2, UTF_8).contains("statement timeout"))
+    assert(elapsed < 30000, s"timeout fired too late: ${elapsed}ms")
+    // 0 disables; the session is healthy
+    c.send('Q', c.cstr("SET statement_timeout=0"))
+    c.drainUntilReady()
+    c.send('Q', c.cstr("SELECT 3"))
+    assert(c.drainUntilReady().exists(_._1 == 'D'))
+    c.close()
+  }
+
+  test("pg_stat_activity lists live sessions with state and last query") {
+    val c1 = new RawClient
+    c1.startup()
+    val c2 = new RawClient
+    c2.startup()
+    c2.send('Q', c2.cstr("SELECT 42 AS stat_marker"))
+    c2.drainUntilReady()
+    c1.send('Q', c1.cstr(
+      "SELECT state, query FROM pg_stat_activity ORDER BY backend_start"))
+    val rows = c1.drainUntilReady().filter(_._1 == 'D').map(m => dataCells(m._2))
+    assert(rows.length >= 2, s"both sessions must be listed, got $rows")
+    // the querying backend reports itself active with the in-flight query
+    assert(rows.exists(r => r(0) == "active" && r(1).contains("pg_stat_activity")))
+    // the idle session shows its LAST statement (PG semantics)
+    assert(rows.exists(r => r(0) == "idle" && r(1).contains("stat_marker")),
+      s"idle session with its last query expected in $rows")
+    c1.close(); c2.close()
+  }
+
   test("cancel actually interrupts a running query") {
     val c = new RawClient
     val (pid, secret) = c.startupKeyData()
