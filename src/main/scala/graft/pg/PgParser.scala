@@ -15,8 +15,15 @@ import org.apache.spark.sql.types.StructType
   * `SparkSessionExtensions.injectParser` ([[PgExtensions]]).
   */
 class PgParserInterface(delegate: ParserInterface) extends ParserInterface {
+  // transaction-control no-ops: Spark has no transactions, so these
+  // complete with their PG tags (reference handles BEGIN/COMMIT/ROLLBACK;
+  // SAVEPOINT/RELEASE/ROLLBACK TO are the psql-script superset — each a
+  // no-op under autocommit semantics, exactly like BEGIN)
   private val txnRe =
-    """(?is)\s*(BEGIN(\s+(WORK|TRANSACTION))?|COMMIT(\s+WORK)?|ROLLBACK(\s+WORK)?|START\s+TRANSACTION|END)\s*;?\s*""".r
+    ("""(?is)\s*(BEGIN(\s+(WORK|TRANSACTION))?|COMMIT(\s+WORK)?|""" +
+      """ROLLBACK(\s+WORK)?(\s+TO\s+(SAVEPOINT\s+)?[A-Za-z_]\w*)?|""" +
+      """START\s+TRANSACTION|END|ABORT(\s+WORK)?|""" +
+      """SAVEPOINT\s+[A-Za-z_]\w*|RELEASE(\s+SAVEPOINT)?\s+[A-Za-z_]\w*)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case txnRe(_*) => PgBeginCommand()

@@ -169,4 +169,25 @@ private[server] object StatActivity {
           "state STRING, query STRING, backend_start TIMESTAMP"))
       .createOrReplaceTempView("pg_stat_activity")
   }
+
+  /** `pg_stat_statements` emulation over the ServerStats recent-statement
+    * ring: per-statement-text call counts and execution-time statistics —
+    * the workload-profiling view DBAs reach for first. Bounded by the
+    * ring's 100-event window (the real extension has its own bounded
+    * hashtable; PG semantics of "recent workload profile" are preserved).
+    */
+  def registerStatements(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val rows: Seq[Row] = ServerStats.recentStatements
+      .groupBy(_.statement)
+      .map { case (q, evs) =>
+        val times = evs.map(_.durationMs.toDouble)
+        Row(q, evs.size.toLong, times.sum, times.min, times.max,
+          times.sum / times.size)
+      }.toSeq
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType.fromDDL(
+        "query STRING, calls BIGINT, total_exec_time DOUBLE, " +
+          "min_exec_time DOUBLE, max_exec_time DOUBLE, mean_exec_time DOUBLE"))
+      .createOrReplaceTempView("pg_stat_statements")
+  }
 }

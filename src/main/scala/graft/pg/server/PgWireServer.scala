@@ -695,7 +695,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         // END is SQL-standard COMMIT; PG tags it COMMIT (tag-checking
         // clients track transaction state from these)
         case "COMMIT" | "END" => "COMMIT"
-        case "ROLLBACK" | "ABORT" => "ROLLBACK"
+        case "ROLLBACK" | "ABORT" => "ROLLBACK" // incl. ROLLBACK TO — PG tags both ROLLBACK
+        case "SAVEPOINT" => "SAVEPOINT"
+        case "RELEASE" => "RELEASE"
         case _ => "BEGIN"
       }
       case _ => first match {
@@ -712,10 +714,15 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     * pg_catalog snapshot): re-registered immediately before any statement
     * that references them.
     */
-  private def refreshDynamicViews(sql: String): Unit =
-    if (sql.toLowerCase.contains("pg_stat_activity")) {
+  private def refreshDynamicViews(sql: String): Unit = {
+    val lower = sql.toLowerCase
+    if (lower.contains("pg_stat_activity")) {
       StatActivity.register(session.spark, session.pid, sql)
     }
+    if (lower.contains("pg_stat_statements")) {
+      StatActivity.registerStatements(session.spark)
+    }
+  }
 
   /** Simple query flow §3.1: parse -> execute -> RowDescription + DataRows +
     * CommandComplete, always text format (reference protocol.scala:585-660).

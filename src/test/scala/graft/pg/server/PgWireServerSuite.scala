@@ -77,6 +77,23 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(tagOf("ROLLBACK") === "ROLLBACK")
     assert(tagOf("END") === "COMMIT")
     assert(tagOf("BEGIN") === "BEGIN")
+    // savepoint family: psql-script no-ops under autocommit semantics
+    assert(tagOf("SAVEPOINT sp1") === "SAVEPOINT")
+    assert(tagOf("RELEASE SAVEPOINT sp1") === "RELEASE")
+    assert(tagOf("ROLLBACK TO SAVEPOINT sp1") === "ROLLBACK")
+    assert(tagOf("ABORT") === "ROLLBACK")
+  }
+
+  test("pg_stat_statements profiles the recent workload") {
+    psql("SELECT 123456 AS stmt_marker")
+    psql("SELECT 123456 AS stmt_marker")
+    val out = psql(
+      "SELECT calls, total_exec_time >= 0 FROM pg_stat_statements " +
+        "WHERE query LIKE '%stmt_marker%' AND query NOT LIKE '%pg_stat%'")
+    // the ring keeps the last 100 events; both runs of the marker counted
+    val cols = out.split("\\|")
+    assert(cols(0).toLong >= 2, s"expected >=2 calls, got $out")
+    assert(cols(1) === "t")
   }
 
   test("psql: Spark-4 interval types render PG-style text") {
