@@ -58,6 +58,28 @@ object Pipeline {
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thresh
     ORDER BY da, db"""
 
+  /** DuckDB CTE rebuilding the 60-bit portable SimHash per document (ends
+    * with `sh(doc_id, simhash)`): token hash = first 15 md5 hex digits
+    * folded (identical to the Scala kernel's top-60-md5-bits), then the
+    * ±1 bit votes and sign rule. Shared by the p04 and p48 oracles.
+    */
+  private object SimhashOracle {
+    val cte: String = """
+      WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),
+      h AS (SELECT doc_id,
+              list_reduce(list_transform(generate_series(1, 15),
+                i -> CAST(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1 AS BIGINT)),
+                (a, x) -> a * 16 + x) AS h
+            FROM tok),
+      bits AS (SELECT doc_id, b AS bit,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+               GROUP BY doc_id, b),
+      sh AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id)"""
+  }
+
   /** Ordered-fold dot product of two double-cast float arrays: both engines
     * fold left-to-right over identical element products -> bit-identical.
     */
@@ -347,9 +369,13 @@ object Pipeline {
     QE("p03_minhash_neardup", Some(jaccardOracle(0.8)),
       (s, d) => minhashNearDupPairs(s, d, 0.8).orderBy("da", "db")),
 
-    // SimHash fingerprints, typed single-pass (engine-specific 64-bit
-    // hashing -> rows-only check; locality asserted in PipelineSpec).
-    QE("p04_simhash", None,
+    // SimHash fingerprints, typed single-pass. Oracle-checkable since
+    // round 7: the token hash is the top 60 bits of md5 (portable), so
+    // DuckDB rebuilds every fingerprint bit-for-bit — per token a hex
+    // fold, per bit a ±1 vote, sign → bit (locality additionally asserted
+    // in PipelineSpec).
+    QE("p04_simhash", Some(SimhashOracle.cte +
+      " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
       (s, d) => {
         import s.implicits._
         t(s, d, "documents")
@@ -908,25 +934,34 @@ object Pipeline {
       }),
 
     // SimHash near-dup PAIRS (p04 only emits the fingerprints): candidates
-    // by 4x16-bit band buckets, verified by hamming = bit_count(XOR) <= 3.
+    // by 4x15-bit band buckets, verified by hamming = bit_count(XOR) <= 3.
     // The banding is EXACT here, not probabilistic — pigeonhole: <=3
     // differing bits cannot touch all 4 bands, so every qualifying pair
     // shares at least one band key and meets in that bucket
     // (PipelineSpec pins equality with the all-pairs form). One equi-join
     // shuffle on the band key, never all-pairs; hamming is a single
-    // codegen'd XOR+popcount per candidate. Engine-specific hashing ->
-    // rows-only for the driver.
-    QE("p48_simhash_neardup", None,
+    // codegen'd XOR+popcount per candidate. Oracle-checked since round 7
+    // (portable md5-derived fingerprints, all-pairs DuckDB form).
+    QE("p48_simhash_neardup", Some(SimhashOracle.cte + """
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY da, db"""),
       (s, d) => {
         import s.implicits._
         val sh = t(s, d, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions(_.map { case (id, tx) => (id, MinHashing.simhash(tx)) })
           .toDF("doc_id", "sh")
+        // 60-bit fingerprints -> 4 bands x 15 bits (pigeonhole stays exact
+        // for hamming <= 3); the ORACLE is the all-pairs form the banding
+        // provably equals — affordable in DuckDB at verify SF, while the
+        // entry itself never goes quadratic
         val bands = sh.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-            shiftrightunsigned(col("sh"), b * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("k"))): _*)).as("bk"))
+            shiftrightunsigned(col("sh"), b * 15)
+              .bitwiseAND(lit(0x7FFFL)).as("k"))): _*)).as("bk"))
           .select(col("doc_id"), col("sh"), col("bk.b"), col("bk.k"))
         val l = bands.select(col("doc_id").as("da"), col("sh").as("sa"),
           col("b"), col("k"))
@@ -1272,20 +1307,40 @@ object MinHashing {
         element_at(mh, b * NgramBandRows + r + 1))): _*))
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
+  /** Portable 60-bit token hash: the first 15 hex digits of md5 folded to
+    * an integer — i.e. the top 60 bits of the digest, which is exactly
+    * `(first 8 bytes as big-endian long) >>> 4`. md5 is bit-identical in
+    * every engine, so a DuckDB oracle reproduces the value digit-by-digit
+    * (unlike xxhash64, whose seed/variant is engine-specific); 60 bits
+    * keeps every intermediate inside a non-overflowing BIGINT in both
+    * engines.
+    */
+  private def portableHash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+  }
+
+  /** 60-bit SimHash over whitespace tokens (portable md5-derived token
+    * hash — see [[portableHash60]] — so the fingerprints themselves are
+    * DuckDB-oracle-checkable; was xxhash64/rows-only before round 7).
+    */
   def simhash(text: String): Long = {
-    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
     text.split(' ').foreach { tk =>
-      val h = hash64(tk, 42L)
+      val h = portableHash60(md, tk)
       var i = 0
-      while (i < 64) {
+      while (i < 60) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
         i += 1
       }
     }
     var out = 0L
     var i = 0
-    while (i < 64) {
+    while (i < 60) {
       if (counts(i) > 0) out |= (1L << i)
       i += 1
     }

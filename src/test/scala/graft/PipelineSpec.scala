@@ -34,6 +34,22 @@ class PipelineSpec extends AnyFunSuite {
       "random pairs should be farther apart than near-dups on average")
   }
 
+  test("simhash token hash equals the DuckDB oracle's md5 hex-digit fold") {
+    // single-token doc: every bit votes exactly once, so the fingerprint
+    // IS the token hash — pin it against the fold the oracle SQL spells
+    // out (first 15 hex digits of md5, folded a*16+digit), so a kernel
+    // refactor can't silently break engine parity without DuckDB present
+    for (tok <- Seq("hello", "x", "the quick", "émoji½")) {
+      val word = tok.split(' ').head
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val folded = hex.take(15).foldLeft(0L)((a, c) =>
+        a * 16 + java.lang.Long.parseLong(c.toString, 16))
+      assert(queries.MinHashing.simhash(word) === folded,
+        s"portable hash diverged from the oracle formula for '$word'")
+    }
+  }
+
   test("LSH ANN: deterministic, reranked, recall vs brute force") {
     val brute = SparkEntry.queries("p06_ann_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
