@@ -66,13 +66,16 @@ case class LshBucket(child: Expression, matrix: Array[Array[Double]])
 }
 
 object LshBucket {
-  /** The registered function decodes (table, planes) literals back into the
-    * plane sub-matrix via the provider installed by [[bind]] — function
-    * registries pass Expressions, not arbitrary objects.
+  /** The registered function decodes (family, table, planes) literals back
+    * into the plane sub-matrix via the provider installed by [[bind]] —
+    * function registries pass Expressions, not arbitrary objects. `family`
+    * selects the plane source (0 = seeded gaussian, 1 = portable
+    * md5-derived) so entries with different verification postures can
+    * coexist without racing on a rebindable global.
     */
-  @volatile private var planeProvider: (Int, Int) => Array[Array[Double]] = _
+  @volatile private var planeProvider: (Int, Int, Int) => Array[Array[Double]] = _
 
-  def bind(provider: (Int, Int) => Array[Array[Double]]): Unit =
+  def bind(provider: (Int, Int, Int) => Array[Array[Double]]): Unit =
     planeProvider = provider
 
   private def intLit(e: Expression): Int =
@@ -80,10 +83,12 @@ object LshBucket {
 
   def register(spark: SparkSession): Unit =
     Internals.registerExprFunction(spark, "lsh_bucket",
-      args => LshBucket(args(0), planeProvider(intLit(args(1)), intLit(args(2)))))
+      args => LshBucket(args(0),
+        planeProvider(intLit(args(1)), intLit(args(2)), intLit(args(3)))))
 
-  def apply(spark: SparkSession, emb: Column, table: Int, planes: Int): Column = {
+  def apply(spark: SparkSession, emb: Column, table: Int, planes: Int,
+      family: Int = 0): Column = {
     register(spark)
-    call_function("lsh_bucket", emb, lit(table), lit(planes))
+    call_function("lsh_bucket", emb, lit(family), lit(table), lit(planes))
   }
 }

@@ -114,6 +114,25 @@ object Pipeline {
     Array.fill(LshTables, MaxLshPlanes, EmbDim)(rnd.nextGaussian())
   }
 
+  /** Portable hyperplanes for the oracle-checked LSH entry (p07): component
+    * (t, p, i) is an md5 hex digit of "t:p:(i/32)" minus 7.5 — iid uniform
+    * on {-7.5 … +7.5} (symmetric, never zero), a perfectly serviceable
+    * sign-LSH direction distribution, and reproducible digit-for-digit in
+    * DuckDB (`strpos('0123…f', substr(md5(…), (i-1)%32+1, 1)) - 1 - 7.5`).
+    * The dot products fold left-to-right in both engines, so even the
+    * near-zero sign decisions agree bit-for-bit. The gaussian family above
+    * stays for p15/p19: their oracle is exact all-pairs, so replanting
+    * their planes would re-roll a recall dice the entries already passed.
+    */
+  private val lshPlanesPortable: Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Array.tabulate(LshTables, MaxLshPlanes, EmbDim) { (t, p, i) =>
+      Character.digit(hex(s"$t:$p:${i / 32}").charAt(i % 32), 16) - 7.5
+    }
+  }
+
   /** Corpus row count WITHOUT an extra full scan in the query path: catalog /
     * CBO statistics when the plan carries them (ANALYZE'd tables at real
     * scale), else a memoized zero-column count — parquet answers that from
@@ -141,9 +160,11 @@ object Pipeline {
     * (one fused loop; the HOF spelling materialized `planes` zip_with
     * arrays per row).
     */
-  private[graft] def lshBucket(s: SparkSession, emb: Column, table: Int, planes: Int): Column = {
-    graft.functions.LshBucket.bind((t, p) => lshPlanes(t).take(p))
-    graft.functions.LshBucket(s, emb, table, planes)
+  private[graft] def lshBucket(s: SparkSession, emb: Column, table: Int, planes: Int,
+      portable: Boolean = false): Column = {
+    graft.functions.LshBucket.bind((f, t, p) =>
+      (if (f == 1) lshPlanesPortable else lshPlanes)(t).take(p))
+    graft.functions.LshBucket(s, emb, table, planes, if (portable) 1 else 0)
   }
 
   /** Multiprobe set: the exact bucket plus every Hamming-1 neighbor. Probing
@@ -485,15 +506,50 @@ object Pipeline {
 
     // LSH-bucketed ANN: hyperplane sign buckets per table (plane count
     // derived from corpus size), query-side multiprobe, exact rerank inside
-    // buckets. Rows-only check; recall vs brute force asserted in
-    // PipelineSpec.
-    QE("p07_ann_lsh", None,
+    // buckets. Oracle-checked since round 7: the portable md5-derived
+    // planes let DuckDB rebuild every bucket code (ordered-fold dot signs
+    // are bit-exact), replay the same Hamming-1 multiprobe + bucket join,
+    // and rerank with the identical cosine fold — the oracle mirrors the
+    // ALGORITHM, so it stays exact regardless of recall (which PipelineSpec
+    // pins separately vs brute force). The SQL recomputes planes-per-table
+    // from COUNT(*) with the same integer-division ceil-log2 as
+    // lshPlanesFor, so the check holds at any verify SF.
+    QE("p07_ann_lsh", Some(s"""
+      WITH np AS (SELECT CASE WHEN GREATEST(1, COUNT(*) // 128) <= 1 THEN 6
+          ELSE LEAST(20, GREATEST(6, CAST(FLOOR(LOG2(CAST(GREATEST(1, COUNT(*) // 128) - 1 AS DOUBLE))) AS INT) + 1)) END AS planes
+        FROM embeddings),
+      tbls AS (SELECT unnest(generate_series(0, ${LshTables - 1})) AS tbl),
+      codes AS (
+        SELECT e.vec_id, e.embedding, tbls.tbl,
+          CAST(list_reduce(list_transform(generate_series(0, np.planes - 1), p ->
+            CASE WHEN list_reduce(list_transform(generate_series(1, len(e.embedding)), i ->
+                   CAST(e.embedding[i] AS DOUBLE) *
+                   (CAST(strpos('0123456789abcdef', substr(md5(CAST(tbl AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' ||
+                      CAST((i - 1) // 32 AS VARCHAR)), ((i - 1) % 32) + 1, 1)) - 1 AS DOUBLE) - 7.5)),
+                   (x, y) -> x + y) > 0
+            THEN CAST(1 AS BIGINT) << p ELSE 0 END), (a, b) -> a + b) AS INT) AS bucket
+        FROM embeddings e, tbls, np),
+      probes AS (
+        SELECT c.vec_id AS qid, c.embedding AS qe, c.tbl,
+               unnest([c.bucket] || list_transform(generate_series(0, np.planes - 1),
+                 p -> CAST(xor(c.bucket, CAST(1 AS INT) << p) AS INT))) AS bucket
+        FROM codes c, np WHERE c.vec_id < 5),
+      cand AS (
+        SELECT DISTINCT p.qid, p.qe, c2.vec_id, c2.embedding
+        FROM probes p JOIN codes c2 USING (tbl, bucket)
+        WHERE p.qid <> c2.vec_id),
+      scored AS (SELECT qid, vec_id, ${oDot("qe", "embedding")} /
+                   (sqrt(${oDot("qe", "qe")}) * sqrt(${oDot("embedding", "embedding")})) AS cos
+                 FROM cand)
+      SELECT qid, vec_id, cos FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 3
+      ORDER BY qid, cos DESC, vec_id"""),
       (s, d) => {
         val e = t(s, d, "embeddings")
         val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
         val buckets = (0 until LshTables).map { tb =>
           e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-            lshBucket(s, col("embedding"), tb, planes).as("bucket"))
+            lshBucket(s, col("embedding"), tb, planes, portable = true).as("bucket"))
         }.reduce(_ unionAll _).persist()
         // multiprobe only the (tiny, broadcast) query side — the corpus
         // side stays one row per (table, vector)
