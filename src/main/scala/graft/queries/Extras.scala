@@ -141,15 +141,33 @@ object Extras {
         out
       }),
 
-    // Metadata ops: SHOW TABLES / DESCRIBE / EXPLAIN run and return rows
-    // (spark-specific output -> rows-only check).
-    QE("q79_metadata_ops", None,
+    // Metadata ops: SHOW TABLES / DESCRIBE / EXPLAIN all still run, but
+    // since round 7 the entry emits their CATALOG-PARITY contract instead
+    // of engine-formatted text: the table's presence and its column names
+    // are facts BOTH engines' catalogs hold (DuckDB reads them back from
+    // information_schema over the same registered views), and the EXPLAIN
+    // row degrades to "produced a non-empty plan" — the only part of plan
+    // text that is engine-neutral.
+    QE("q79_metadata_ops", Some("""
+      SELECT 'table' AS kind, table_name AS name
+      FROM information_schema.tables WHERE table_name = 'nation'
+      UNION ALL
+      SELECT 'column', column_name
+      FROM information_schema.columns WHERE table_name = 'nation'
+      UNION ALL
+      SELECT 'explain_nonempty', 'true'
+      ORDER BY kind, name"""),
       (s, d) => {
         Tables.views(s, d)
-        val show = s.sql("SHOW TABLES").select(col("tableName")).where(col("tableName") === "nation")
-        val desc = s.sql("DESCRIBE TABLE nation").select(col("col_name"))
-        val expl = s.sql("EXPLAIN SELECT count(*) FROM nation").select(col("plan"))
-        show.unionAll(desc).unionAll(expl.select(substring(col("plan"), 1, 7).as("col_name")))
+        val show = s.sql("SHOW TABLES").where(col("tableName") === "nation")
+          .select(lit("table").as("kind"), col("tableName").as("name"))
+        val desc = s.sql("DESCRIBE TABLE nation")
+          .where(!col("col_name").startsWith("#") && col("col_name") =!= "")
+          .select(lit("column").as("kind"), col("col_name").as("name"))
+        val expl = s.sql("EXPLAIN SELECT count(*) FROM nation")
+          .where(length(col("plan")) > 0)
+          .limit(1).select(lit("explain_nonempty").as("kind"), lit("true").as("name"))
+        show.unionAll(desc).unionAll(expl).orderBy("kind", "name")
       }),
 
     // Scalar UDF registration + use in SQL (reference catalog.scala:217-221).
