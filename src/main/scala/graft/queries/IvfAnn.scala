@@ -2,10 +2,9 @@ package graft.queries
 
 import graft.{QE, Tables}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, FloatType}
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * counterpart to the hyperplane-LSH tables of p07. The corpus is
@@ -19,22 +18,30 @@ import org.apache.spark.sql.types.{DecimalType, FloatType}
   * table would be written `bucketBy(cell)` so a query's candidate fetch is
   * a partition-pruned read of `NProbe` cells, never a full scan.
   *
-  * Centroid training (round 5, replacing the first-N seed): a deterministic
-  * 1-in-`TrainSampleEvery` sample of the corpus runs `TrainIters` Lloyd
-  * iterations — cosine assignment against the current centroids, then
-  * per-cell element-wise means. The mean is computed in DECIMAL (exact sum,
-  * one deterministic rounding at the division) so training is bit-stable
-  * under any partitioning; each refined centroid table is ~NumCells rows
-  * and is localCheckpoint'ed, the same tiny-table materialization step
-  * every distributed k-means performs between iterations. Empty cells keep
-  * their previous centroid.
+  * Centroid training (round 7, replacing the decimal-mean spherical fit):
+  * vectors are unit-normalized and quantized to integers
+  * (u_i = floor(x_i/||x|| · 2^20 + 0.5) — the scalar-quantized index
+  * representation real vector stores ship), and a deterministic
+  * 1-in-`TrainSampleEvery` sample runs `TrainIters` Lloyd passes of plain
+  * k-means in that integer space: squared-L2 assignment (exact BIGINT
+  * arithmetic — L2 on unit vectors is the standard spherical-k-means
+  * surrogate, cf. faiss's normalize-then-L2), then round-half-up integer
+  * means, floor((2·Σv + n)/(2n)), evaluated in doubles that stay ≤ 2^53 so
+  * the division is exact. Every training op is therefore either exact
+  * integer (order-free under any partitioning) or a single identically-
+  * rounded IEEE op — which is what lets the DuckDB oracle replay the WHOLE
+  * pipeline, Lloyd iterations included, and check p22 bit-for-bit
+  * ([[AnnSql]]). Empty cells keep their previous centroid. Magnitude
+  * bounds: |u_i| ≤ 2^20, so a 64-dim squared distance ≤ 2^46 and a cell
+  * sum over N members ≤ N·2^20 — Long-safe to N ~ 2^42 members; past that
+  * a production fit would widen the mean accumulator to DECIMAL.
   *
-  * Engine-specific cell geometry -> rows-only driver check; recall vs the
-  * p06 brute-force oracle (trained >= seed), run-to-run determinism, and
-  * rerank ordering are asserted in PipelineSpec.
+  * Recall vs the p06 brute-force oracle (trained >= seed), run-to-run
+  * determinism, objective descent, and rerank ordering are asserted in
+  * PipelineSpec.
   */
 object IvfAnn {
-  private val NumCells = 16
+  private[queries] val NumCells = 16
   private val NProbe = 4
   private val TopK = 3
   private val NumQueries = 5
@@ -44,9 +51,40 @@ object IvfAnn {
     * is ~1e6 rows regardless of corpus size)
     */
   private val TrainSampleEvery = 2
+  /** quantization scale: unit components land in [-2^20, 2^20] */
+  private[queries] val QScale = 1L << 20
 
   val entries: Seq[QE] = Seq(
-    QE("p22_ann_ivf", None, (s, d) => query(s, d)))
+    QE("p22_ann_ivf", Some(s"""
+      WITH ${AnnSql.quantUnitCte(QScale)},
+      ${AnnSql.ivfTrainCtes(NumCells, TrainSampleEvery, TrainIters)},
+      ${AnnSql.ivfCellsCte},
+      ${AnnSql.ivfProbesCte(NumQueries, NProbe)},
+      cand AS (
+        SELECT p.qid, p.qe, c.vec_id, c.embedding
+        FROM probes p JOIN cells c USING (cell) WHERE p.qid <> c.vec_id),
+      ${AnnSql.rerankSelect(TopK)}"""),
+      (s, d) => query(s, d)))
+
+  /** Unit-normalized integer quantization of a float-array column: the norm
+    * is the same ordered double fold the oracle uses, and every op after it
+    * (divide, scale, +0.5, floor) rounds once, identically, in any IEEE
+    * engine.
+    */
+  private[queries] def quantizeUnit(c: Column): Column = {
+    val norm = sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b))
+    transform(c, x => floor(x.cast("double") / norm * lit(QScale.toDouble) + lit(0.5)))
+  }
+
+  /** Exact integer squared L2 between two BIGINT-array columns. */
+  private[queries] def il2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** embeddings + their quantized unit vectors `u`. */
+  private[queries] def uq(s: SparkSession, d: String): DataFrame =
+    Tables.df(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), quantizeUnit(col("embedding")).as("u"))
 
   def query(s: SparkSession, d: String): DataFrame = query(s, d, trained = true)
 
@@ -60,21 +98,21 @@ object IvfAnn {
   def query(s: SparkSession, d: String, trained: Boolean,
       nProbe: Int = NProbe,
       queryRange: (Long, Long) = (0L, NumQueries.toLong)): DataFrame = {
-    val e = Tables.df(s, d, "embeddings")
+    val e = uq(s, d)
     val cents = if (trained) trainedCentroids(s, d) else seedCentroids(e)
-    // score every vector against every centroid: broadcast cross of a
-    // NumCells-row build side, exact cosine, one corpus scan
-    val scored = scoreAgainst(s, e, cents)
-    // corpus side: each vector lands in exactly one cell (argmax, ties to
+    // distance of every vector to every centroid: broadcast cross of a
+    // NumCells-row build side, exact integer L2, one corpus scan
+    val scored = distAgainst(e, cents)
+    // corpus side: each vector lands in exactly one cell (argmin, ties to
     // the lowest centroid id)
     val cells = scored.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"),
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"))
     // query side: the NProbe nearest cells per query, multiprobe-style
     val probes = scored
       .filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
       .withColumn("_rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
       .filter(col("_rn") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cell"))
     // candidates = probed cells only; exact rerank; a vector is in one cell
@@ -89,25 +127,31 @@ object IvfAnn {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
-  /** Mean nearest-centroid cosine over the corpus — the spherical-k-means
-    * objective the Lloyd iterations climb; exposed for the property test.
+  /** Mean nearest-centroid squared L2 over the TRAINING SAMPLE, in the
+    * quantized space — the exact objective the Lloyd passes descend
+    * (monotone by k-means theory up to the ±0.5 centroid rounding);
+    * exposed for the property test.
     */
   def quantizerObjective(s: SparkSession, d: String, trained: Boolean): Double = {
-    val e = Tables.df(s, d, "embeddings")
+    val e = uq(s, d)
+    val sample = e.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0)
     val cents = if (trained) trainedCentroids(s, d) else seedCentroids(e)
-    scoreAgainst(s, e, cents).groupBy("vec_id").agg(max(col("cos")).as("best"))
+    distAgainst(sample, cents).groupBy("vec_id").agg(min(col("dist")).as("best"))
       .agg(avg(col("best"))).head().getDouble(0)
   }
 
-  private[queries] def scoreAgainst(s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
+  /** Every (vector, centroid) integer distance; the centroid side is tiny
+    * and broadcast.
+    */
+  private[queries] def distAgainst(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        graft.functions.CosineSimilarity(s, col("embedding"), col("ce")).as("cos"))
+      .select(e.columns.map(col) :+ col("cid") :+
+        il2(col("u"), col("ce")).as("dist"): _*)
 
-  /** Deterministic seed: the first NumCells vectors. */
+  /** Deterministic seed: the first NumCells quantized vectors. */
   private[queries] def seedCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").cast("int").as("cid"), col("u").as("ce"))
 
   /** The trained coarse quantizer is a build-once artifact — a real
     * deployment fits it offline and ships it alongside the index, it is
@@ -118,44 +162,44 @@ object IvfAnn {
     * re-running the Lloyd passes.
     */
   private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, List[Float])]]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, List[Long])]]
 
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
     val rows = centCache.getOrElseUpdate(d,
-      trainCentroids(s, Tables.df(s, d, "embeddings")).collect().toSeq
-        .map(r => (r.getAs[Int]("cid"), r.getSeq[Float](r.fieldIndex("ce")).toList)))
+      trainCentroids(s, uq(s, d)).collect().toSeq
+        .map(r => (r.getAs[Int]("cid"), r.getSeq[Long](r.fieldIndex("ce")).toList)))
     import s.implicits._
     rows.toDF("cid", "ce")
   }
 
-  /** Sampled Lloyd fit: assignment scan + exact-decimal per-cell means,
-    * TrainIters times. Every stage is a distributed aggregate; the only
-    * materialized object is the NumCells-row centroid table per iteration.
+  /** Sampled Lloyd fit in the quantized integer space: exact-integer L2
+    * assignment + round-half-up integer means, TrainIters times. Every
+    * stage is a distributed aggregate over exact arithmetic (bit-stable
+    * under ANY partitioning — there is no floating-point accumulation at
+    * all); the only materialized object is the NumCells-row centroid table
+    * per iteration.
     */
   private[queries] def trainCentroids(s: SparkSession, e: DataFrame): DataFrame = {
     val sample = e.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0)
+      .select("vec_id", "u")
     var cents = seedCentroids(e)
     for (_ <- 1 to TrainIters) {
-      val assigned = scoreAgainst(s, sample, cents)
+      val assigned = distAgainst(sample, cents)
         .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
-      // SPHERICAL mean per cell (assignment is cosine, so points average as
-      // unit vectors — a raw mean lets large-magnitude vectors drag the
-      // centroid): normalize per row, then element-wise exact-decimal mean
-      // — exact sum, one rounding at the divide, bit-stable under any
-      // partitioning (a plain double avg is order-dependent)
-      val norm = sqrt(aggregate(transform(col("embedding"),
-        x => x.cast("double") * x.cast("double")), lit(0.0), (a, b) => a + b))
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+          first(col("u")).as("u"))
+      // round-half-up integer mean per element: floor((2·Σv + n) / (2n)).
+      // Σv is an exact Long sum (order-free); the division runs in doubles
+      // that stay far under 2^53, so both the quotient and its floor are
+      // exact — the identical value in any engine.
       val means = assigned
-        .select(col("cid"),
-          posexplode(transform(col("embedding"),
-            x => x.cast("double") / norm)).as(Seq("pos", "v")))
+        .select(col("cid"), posexplode(col("u")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
-        .agg(avg(col("v").cast(DecimalType(27, 12))).as("m"))
+        .agg(floor((sum(col("v")) * 2 + count(lit(1))).cast("double") /
+          (count(lit(1)) * 2).cast("double")).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast(FloatType)).as("ce"))
+          x => x.getField("m")).as("ce"))
       // cells that captured no sample points keep their previous centroid
       val kept = cents.join(means, Seq("cid"), "left_anti")
       cents = means.select("cid", "ce").unionByName(kept.select("cid", "ce"))

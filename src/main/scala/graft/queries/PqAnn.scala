@@ -5,7 +5,6 @@ import graft.{QE, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, FloatType}
 
 /** Product quantization (PQ) — the third ANN family next to hyperplane LSH
   * (p07) and IVF cells (p22), and the one that actually makes 100 TB of
@@ -20,16 +19,22 @@ import org.apache.spark.sql.types.{DecimalType, FloatType}
   * IVF's centroid set. Encoding is one corpus scan (subvector explode ->
   * broadcast-join argmin -> regroup); no shuffle keyed on the corpus except
   * the per-vector regroup. ADC search (p28) never touches raw corpus
-  * vectors: the query precomputes its 8x16 distance table (640 doubles for
+  * vectors: the query precomputes its 8x16 distance table (640 entries for
   * 5 queries), the shortlist is a broadcast-join + sum over codes, and only
   * the top shortlist rows are reranked with the exact codegen cosine.
   *
-  * Training mirrors IvfAnn: a deterministic 1-in-2 sample, 2 Lloyd passes
-  * per subspace, exact-decimal elementwise means (bit-stable under any
-  * partitioning), empty cells keep their previous centroid. Codebook
-  * geometry is engine-specific -> rows-only driver check; determinism,
-  * code-range, objective-improvement, and recall properties live in
-  * PipelineSpec.
+  * Training mirrors IvfAnn's round-7 integer form: vectors are quantized
+  * raw (u_i = floor(x_i · 2^20 + 0.5) — PQ operates on unnormalized
+  * vectors), and each subspace runs `TrainIters` Lloyd passes of k-means in
+  * that integer space — exact-BIGINT squared-L2 assignment, round-half-up
+  * integer means floor((2·Σv + n)/(2n)) evaluated in doubles ≤ 2^53 (hence
+  * exact), ties always to the lowest cid, empty cells keep their previous
+  * centroid. ADC distances become exact integer sums of 8 table lookups —
+  * no floating-point accumulation anywhere until the final cosine rerank.
+  * That is what lets the DuckDB oracle replay ALL of p27/p28/p29 — Lloyd
+  * training, encoding, ADC, routing — bit-for-bit ([[AnnSql]]).
+  * Determinism, code-range, objective-improvement, and recall properties
+  * live in PipelineSpec.
   */
 object PqAnn {
   private val M = 8          // subspaces
@@ -41,41 +46,114 @@ object PqAnn {
   private val Shortlist = 20 // ADC candidates kept for exact rerank
   private val TopK = 3
   private val IvfProbe = 4   // coarse cells probed per query in p29
+  /** raw-space quantization scale (same grid as IvfAnn's unit space) */
+  private val QScale = IvfAnn.QScale
+  /** recon_err is reported back in float-space units: dist / (2^20)^2 */
+  private val ErrScale = (QScale * QScale).toDouble
+
+  private def pqBooksSql: String =
+    s"""${AnnSql.quantRawCte(QScale)},
+      ${AnnSql.pqTrainCtes(M, SubDim, K, TrainSampleEvery, TrainIters)},
+      ${AnnSql.pqCodesCte}"""
+
+  /** query-side CTEs shared by the p28/p29 oracles: q(qid, qe, qu),
+    * qsubs, and the per-(query, subspace, centroid) integer distance table
+    * qtab.
+    */
+  private def pqQuerySql: String =
+    s"""q AS (SELECT vec_id AS qid, embedding AS qe, u AS qu
+          FROM rq WHERE vec_id < $NumQueries),
+      qsubs AS (
+        SELECT qid, qe, m,
+          list_transform(generate_series(1, $SubDim), i -> qu[m * $SubDim + i]) AS qsub
+        FROM q CROSS JOIN pq_ms),
+      qtab AS (
+        SELECT s.qid, s.m, b.cid, ${AnnSql.il2("s.qsub", "b.ce")} AS qdist
+        FROM qsubs s JOIN books b USING (m))"""
 
   val entries: Seq[QE] = Seq(
-    QE("p27_pq_encode", None, (s, d) => encode(s, d)),
-    QE("p28_ann_pq", None, (s, d) => query(s, d)),
-    QE("p29_ann_ivfpq", None, (s, d) => ivfPqQuery(s, d)))
+    QE("p27_pq_encode", Some(s"""
+      WITH $pqBooksSql
+      SELECT vec_id,
+        string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS codes,
+        CAST(SUM(dist) AS DOUBLE) / $ErrScale AS recon_err
+      FROM codes GROUP BY vec_id ORDER BY vec_id"""),
+      (s, d) => encode(s, d)),
 
-  /** Squared L2 between two float vectors, as a deterministic left-to-right
-    * fold (0.0-seeded; 0.0 + x is exact, so the fold order is the array
-    * order on both engines).
+    QE("p28_ann_pq", Some(s"""
+      WITH $pqBooksSql,
+      $pqQuerySql,
+      adc AS (
+        SELECT t.qid, c.vec_id, SUM(t.qdist) AS adist
+        FROM codes c JOIN qtab t ON t.m = c.m AND t.cid = c.cid
+        WHERE t.qid <> c.vec_id GROUP BY t.qid, c.vec_id),
+      short AS (
+        SELECT qid, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= $Shortlist),
+      cand AS (
+        SELECT s.qid, q.qe, s.vec_id, e.embedding
+        FROM short s JOIN q USING (qid) JOIN embeddings e ON e.vec_id = s.vec_id),
+      ${AnnSql.rerankSelect(TopK)}"""),
+      (s, d) => query(s, d)),
+
+    QE("p29_ann_ivfpq", Some(s"""
+      WITH ${AnnSql.quantUnitCte(QScale)},
+      ${AnnSql.ivfTrainCtes(IvfAnn.NumCells, TrainSampleEvery, TrainIters)},
+      ${AnnSql.ivfCellsCte},
+      ${AnnSql.ivfProbesCte(NumQueries, IvfProbe)},
+      $pqBooksSql,
+      $pqQuerySql,
+      adc AS (
+        SELECT p.qid, c.vec_id, SUM(t.qdist) AS adist
+        FROM probes p
+        JOIN cells cl USING (cell)
+        JOIN codes c ON c.vec_id = cl.vec_id
+        JOIN qtab t ON t.qid = p.qid AND t.m = c.m AND t.cid = c.cid
+        WHERE p.qid <> c.vec_id GROUP BY p.qid, c.vec_id),
+      short AS (
+        SELECT qid, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= $Shortlist),
+      cand AS (
+        SELECT s.qid, q.qe, s.vec_id, e.embedding
+        FROM short s JOIN q USING (qid) JOIN embeddings e ON e.vec_id = s.vec_id),
+      ${AnnSql.rerankSelect(TopK)}"""),
+      (s, d) => ivfPqQuery(s, d)))
+
+  /** embeddings + raw quantization u_i = floor(x_i · 2^20 + 0.5): the
+    * float→double widening is exact and the scale is a power of two, so
+    * the product rounds once, identically, in any IEEE engine.
     */
-  private[queries] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  private def rq(s: SparkSession, d: String): DataFrame =
+    rqOf(Tables.df(s, d, "embeddings"))
 
-  /** (vec_id, m, sub): each vector exploded into its M subvectors. */
-  private[queries] def subvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
+  private def rqOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(QScale.toDouble) + lit(0.5))).as("u"))
+
+  /** (vec_id, m, sub): each quantized vector exploded into its M integer
+    * subvectors.
+    */
+  private[queries] def subvectors(rq: DataFrame): DataFrame =
+    rq.select(col("vec_id"),
       posexplode(array((0 until M).map(m =>
-        slice(col("embedding"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+        slice(col("u"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
 
   /** Deterministic seed codebook: subspace m's centroids are the first K
     * vectors' m-th subvectors.
     */
-  private def seedCodebooks(e: DataFrame): DataFrame =
-    subvectors(e.filter(col("vec_id") < K))
+  private def seedCodebooks(rq: DataFrame): DataFrame =
+    subvectors(rq.filter(col("vec_id") < K))
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sub").as("ce"))
 
   /** Per-(vector, subspace) nearest centroid: broadcast codebook join,
-    * argmin by (distance, cid) — fully deterministic ties.
+    * argmin by (integer distance, cid) — exact arithmetic, fully
+    * deterministic ties.
     */
   private[queries] def assign(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("m"))
       .select(col("vec_id"), col("m"), col("sub"), col("cid"),
-        l2sq(col("sub"), col("ce")).as("dist"))
+        IvfAnn.il2(col("sub"), col("ce")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min_by(struct(col("cid"), col("dist"), col("sub")),
         struct(col("dist"), col("cid"))).as("best"))
@@ -88,34 +166,35 @@ object PqAnn {
     * so the memo changes no result.
     */
   private val bookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, List[Float])]]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Int, List[Long])]]
 
   private def trainedBooks(s: SparkSession, d: String): DataFrame = {
     val rows = bookCache.getOrElseUpdate(d,
-      trainCodebooks(s, Tables.df(s, d, "embeddings")).collect().toSeq
+      trainCodebooks(s, rq(s, d)).collect().toSeq
         .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
-          r.getSeq[Float](r.fieldIndex("ce")).toList)))
+          r.getSeq[Long](r.fieldIndex("ce")).toList)))
     import s.implicits._
     rows.toDF("m", "cid", "ce")
   }
 
-  /** Sampled per-subspace Lloyd fit (k-means proper: L2 assignment, plain
-    * elementwise means in exact decimal).
+  /** Sampled per-subspace Lloyd fit (k-means proper: exact-integer L2
+    * assignment, round-half-up integer means — no floating-point
+    * accumulation, bit-stable under any partitioning).
     */
-  def trainCodebooks(s: SparkSession, e: DataFrame,
+  def trainCodebooks(s: SparkSession, rq: DataFrame,
       iters: Int = TrainIters): DataFrame = {
-    val sample = subvectors(e.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0))
-    var books = seedCodebooks(e)
+    val sample = subvectors(rq.filter(pmod(col("vec_id"), lit(TrainSampleEvery)) === 0))
+    var books = seedCodebooks(rq)
     for (_ <- 1 to iters) {
       val assigned = assign(sample, books)
       val means = assigned
-        .select(col("m"), col("cid"),
-          posexplode(transform(col("sub"), x => x.cast("double"))).as(Seq("pos", "v")))
+        .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
         .groupBy("m", "cid", "pos")
-        .agg(avg(col("v").cast(DecimalType(27, 12))).as("mv"))
+        .agg(floor((sum(col("v")) * 2 + count(lit(1))).cast("double") /
+          (count(lit(1)) * 2).cast("double")).as("mv"))
         .groupBy("m", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv").cast(FloatType)).as("ce"))
+          x => x.getField("mv")).as("ce"))
       val kept = books.join(means, Seq("m", "cid"), "left_anti")
       books = means.select("m", "cid", "ce").unionByName(kept.select("m", "cid", "ce"))
         .localCheckpoint()
@@ -123,71 +202,70 @@ object PqAnn {
     books
   }
 
-  /** p27: every vector as its 8 codes + exact reconstruction error (the sum
-    * of per-subspace quantization errors, folded in subspace order so the
-    * double is bit-stable run to run). `codes` is emitted as the
-    * comma-joined string "c0,c1,...,c7" rather than a raw array column —
-    * the driver's rows-only checker sorts output columns and a numpy array
-    * cell is unhashable/unsortable there (CORRECTNESS_r05 p27 err), while
-    * the string is lossless for fixed M and deterministic.
+  /** p27: every vector as its 8 codes + reconstruction error (the exact
+    * integer sum of per-subspace quantized errors, reported in float-space
+    * units — one division by a power of two, so still exact). `codes` is
+    * emitted as the comma-joined string "c0,c1,...,c7" rather than a raw
+    * array column — lossless for fixed M, deterministic, and sortable by
+    * the driver.
     */
   def encode(s: SparkSession, d: String): DataFrame =
-    encodeWith(s, Tables.df(s, d, "embeddings"), trainedBooks(s, d))
+    encodeWith(s, rq(s, d), trainedBooks(s, d))
 
-  def encode(s: SparkSession, e: DataFrame, trained: Boolean): DataFrame =
-    encodeWith(s, e, if (trained) trainCodebooks(s, e) else seedCodebooks(e))
+  def encode(s: SparkSession, e: DataFrame, trained: Boolean): DataFrame = {
+    val r = rqOf(e)
+    encodeWith(s, r, if (trained) trainCodebooks(s, r) else seedCodebooks(r))
+  }
 
-  private def encodeWith(s: SparkSession, e: DataFrame, books: DataFrame): DataFrame = {
-    assign(subvectors(e), books)
+  private def encodeWith(s: SparkSession, rq: DataFrame, books: DataFrame): DataFrame = {
+    assign(subvectors(rq), books)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("dist")))).as("parts"))
       .select(col("vec_id"),
         concat_ws(",",
           transform(col("parts"), p => p.getField("cid").cast("string"))).as("codes"),
-        aggregate(transform(col("parts"), p => p.getField("dist")),
-          lit(0.0), (acc, v) => acc + v).as("recon_err"))
+        (aggregate(transform(col("parts"), p => p.getField("dist")),
+          lit(0L), (acc, v) => acc + v).cast("double") / lit(ErrScale)).as("recon_err"))
       .orderBy("vec_id")
   }
 
   /** p28: asymmetric-distance (ADC) search. The query side precomputes its
-    * distance to every codebook centroid (M x K rows per query, broadcast);
-    * each corpus vector's approximate distance is then just the sum of M
-    * table lookups through its codes — the corpus embedding column is never
-    * read again. The ADC shortlist is exact-reranked with the codegen
-    * cosine.
+    * integer distance to every codebook centroid (M x K rows per query,
+    * broadcast); each corpus vector's approximate distance is then just the
+    * exact integer sum of M table lookups through its codes — the corpus
+    * embedding column is never read again, and the sum is order-free. The
+    * ADC shortlist is exact-reranked with the codegen cosine.
     */
   def query(s: SparkSession, d: String): DataFrame =
     query(s, d, trained = true, (0L, NumQueries.toLong))
 
   def query(s: SparkSession, d: String, trained: Boolean,
       queryRange: (Long, Long)): DataFrame = {
-    val e = Tables.df(s, d, "embeddings")
-    val books = if (trained) trainedBooks(s, d) else seedCodebooks(e)
-    val codes = assign(subvectors(e), books)
+    val r = rq(s, d)
+    val books = if (trained) trainedBooks(s, d) else seedCodebooks(r)
+    val codes = assign(subvectors(r), books)
       .select(col("vec_id"), col("m"), col("cid"))
-    val queries = e.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    // per-query ADC table: distance from the query's m-th subvector to every
-    // centroid of subspace m  (|queries| x M x K rows — broadcast-sized)
-    val qtab = subvectors(queries.select(col("qid").as("vec_id"), col("qe").as("embedding")))
+    val queries = r.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("u").as("qu"))
+    // per-query ADC table: integer distance from the query's m-th subvector
+    // to every centroid of subspace m (|queries| x M x K rows — broadcast)
+    val qtab = subvectors(queries.select(col("qid").as("vec_id"), col("qu").as("u")))
       .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
       .join(broadcast(books), Seq("m"))
-      .select(col("qid"), col("m"), col("cid"), l2sq(col("qsub"), col("ce")).as("qdist"))
-    // approx distance = ordered fold of the M looked-up entries (sorted by
-    // subspace, so the double sum is deterministic under any shuffle order)
+      .select(col("qid"), col("m"), col("cid"),
+        IvfAnn.il2(col("qsub"), col("ce")).as("qdist"))
+    // approx distance = exact integer sum of the M looked-up entries
     val adc = codes.join(broadcast(qtab), Seq("m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("qdist")))).as("parts"))
-      .select(col("qid"), col("vec_id"),
-        aggregate(transform(col("parts"), p => p.getField("qdist")),
-          lit(0.0), (acc, v) => acc + v).as("adist"))
+      .agg(sum(col("qdist")).as("adist"))
     val wShort = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     val shortlist = adc.withColumn("_rn", row_number().over(wShort))
       .filter(col("_rn") <= Shortlist).select("qid", "vec_id")
     // exact rerank of the shortlist only
+    val e = Tables.df(s, d, "embeddings")
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    shortlist.join(queries, Seq("qid")).join(e, Seq("vec_id"))
+    shortlist.join(queries.select("qid", "qe"), Seq("qid")).join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         graft.functions.CosineSimilarity(s, col("qe"), col("embedding")).as("cos"))
       .withColumn("_rn", row_number().over(wTop))
@@ -197,7 +275,8 @@ object PqAnn {
 
   /** Mean reconstruction error over the TRAINING sample — the objective the
     * Lloyd passes minimize; exposed for the property test (trained <= seed
-    * is guaranteed on the sample by k-means monotonicity).
+    * is guaranteed on the sample by k-means monotonicity, up to the ±0.5
+    * centroid rounding).
     */
   def sampleObjective(s: SparkSession, d: String, trained: Boolean): Double = {
     val e = Tables.df(s, d, "embeddings")
@@ -221,45 +300,45 @@ object PqAnn {
     ivfPqQuery(s, d, (0L, NumQueries.toLong))
 
   def ivfPqQuery(s: SparkSession, d: String, queryRange: (Long, Long)): DataFrame = {
-    val e = Tables.df(s, d, "embeddings")
-    // coarse routing (IVF): one broadcast-centroid scan assigns cells
+    // coarse routing (IVF): one broadcast-centroid scan assigns cells by
+    // exact integer L2 in the unit-quantized space
+    val eu = IvfAnn.uq(s, d)
     val cents = IvfAnn.trainedCentroids(s, d)
-    val scored = IvfAnn.scoreAgainst(s, e, cents)
+    val scored = IvfAnn.distAgainst(eu.select("vec_id", "u"), cents)
     val cells = scored.groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cell"))
     val probes = scored
       .filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
       .withColumn("_rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
       .filter(col("_rn") <= IvfProbe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     // fine scoring (PQ): codes for vectors in the probed cells only
+    val r = rq(s, d)
     val books = trainedBooks(s, d)
-    val codes = assign(subvectors(e), books)
+    val codes = assign(subvectors(r), books)
       .select(col("vec_id"), col("m"), col("cid"))
       .join(cells, Seq("vec_id"))
-    val queries = e.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val qtab = subvectors(queries.select(col("qid").as("vec_id"), col("qe").as("embedding")))
+    val queries = r.filter(col("vec_id") >= queryRange._1 && col("vec_id") < queryRange._2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("u").as("qu"))
+    val qtab = subvectors(queries.select(col("qid").as("vec_id"), col("qu").as("u")))
       .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
       .join(broadcast(books), Seq("m"))
-      .select(col("qid"), col("m"), col("cid"), l2sq(col("qsub"), col("ce")).as("qdist"))
+      .select(col("qid"), col("m"), col("cid"),
+        IvfAnn.il2(col("qsub"), col("ce")).as("qdist"))
     val adc = codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(qtab), Seq("qid", "m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
-      .agg(array_sort(collect_list(struct(col("m"), col("qdist")))).as("parts"))
       // qtab holds every (qid, m, cid) combination, so the join scores all M
-      // subspaces of each candidate; the fold stays subspace-ordered and
-      // bit-stable under any shuffle order
-      .select(col("qid"), col("vec_id"),
-        aggregate(transform(col("parts"), p => p.getField("qdist")),
-          lit(0.0), (acc, v) => acc + v).as("adist"))
+      // subspaces of each candidate; the sum is exact-integer, order-free
+      .agg(sum(col("qdist")).as("adist"))
     val wShort = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     val shortlist = adc.withColumn("_rn", row_number().over(wShort))
       .filter(col("_rn") <= Shortlist).select("qid", "vec_id")
+    val e = Tables.df(s, d, "embeddings")
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    shortlist.join(queries, Seq("qid")).join(e, Seq("vec_id"))
+    shortlist.join(queries.select("qid", "qe"), Seq("qid")).join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         graft.functions.CosineSimilarity(s, col("qe"), col("embedding")).as("cos"))
       .withColumn("_rn", row_number().over(wTop))

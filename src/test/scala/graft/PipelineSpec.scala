@@ -84,12 +84,15 @@ class PipelineSpec extends AnyFunSuite {
   test("IVF ANN: sampled Lloyd training beats the first-N seed quantizer") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    // (a) the spherical-k-means objective (mean nearest-centroid cosine)
-    // must strictly improve — Lloyd iterations climb it by construction
+    // (a) the k-means objective (mean nearest-centroid squared L2 over the
+    // training sample, in the quantized integer space) must strictly
+    // decrease — Lloyd iterations descend it by construction (up to the
+    // ±0.5 centroid rounding, which is orders of magnitude below the
+    // improvement at this data scale)
     val objSeed = graft.queries.IvfAnn.quantizerObjective(spark, sf, trained = false)
     val objTrained = graft.queries.IvfAnn.quantizerObjective(spark, sf, trained = true)
-    assert(objTrained > objSeed,
-      s"training must improve the quantizer objective: $objTrained !> $objSeed")
+    assert(objTrained < objSeed,
+      s"training must lower the quantizer objective: $objTrained !< $objSeed")
     // (b) recall at the entry's NProbe on UNBIASED queries (vec_id 100-119;
     // the default queries 0-4 are themselves seed centroids, so the seed
     // quantizer is accidentally overfit to them): trained must not lose.
