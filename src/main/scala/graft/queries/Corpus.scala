@@ -714,5 +714,119 @@ object Corpus {
             col("covered").cast("long").as("covered"),
             col("total").cast("long").as("total"))
           .orderBy("vocab_size")
+      }),
+
+    // CROSS-DOCUMENT SEGMENT DEDUP (C4-style): split every document into
+    // consecutive 16-token segments, keep only each distinct segment's
+    // FIRST occurrence corpus-wide (ordered by doc_id, seg_idx), and report
+    // per-document segment retention. The C4 pipeline does this at the
+    // line/sentence level; the driver corpus has no line structure, so the
+    // unit is the fixed token segment — the dedup semantics (global exact
+    // first-wins on the segment text) are the same. Segmentation is
+    // expression-only (sequence+slice, no shuffle); the first-occurrence
+    // pick is ONE window hash-partitioned by segment text. At 100 TB the
+    // partition key would be a 128-bit segment hash so the shuffle carries
+    // 16 bytes instead of the text (first-wins then needs one
+    // confirm-join); the plan shape is identical.
+    QE("p58_segment_dedup", Some(s"""
+      WITH tk AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+      segs AS (SELECT doc_id, unnest(generate_series(0, (len(ts) - 1) // $SegTokens)) AS seg_idx, ts
+               FROM tk),
+      seg2 AS (SELECT doc_id, seg_idx,
+                 array_to_string(ts[(seg_idx * $SegTokens + 1):((seg_idx + 1) * $SegTokens)], ' ') AS seg
+               FROM segs),
+      fl AS (SELECT doc_id, seg_idx,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             FROM seg2)
+      SELECT doc_id, COUNT(*) AS n_seg,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_seg,
+             CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dup_seg
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("ts"))
+        val segs = tk
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), floor((size(col("ts")) - 1) / lit(SegTokens)).cast("int")),
+              i => concat_ws(" ", slice(col("ts"), i * SegTokens + 1, lit(SegTokens)))))
+              .as(Seq("seg_idx", "seg")))
+        val rn = row_number().over(
+          Window.partitionBy("seg").orderBy("doc_id", "seg_idx"))
+        segs.withColumn("rn", rn)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_seg"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_seg"),
+            sum(when(col("rn") === 1, 0L).otherwise(1L)).as("dup_seg"))
+          .orderBy("doc_id")
+      }),
+
+    // EXACT-SUBSTRING DUPLICATION COVERAGE (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better"): slide a
+    // 16-token window with stride 1 over every document, mark windows whose
+    // exact text occurs more than once corpus-wide, and measure how much of
+    // each document the duplicated spans COVER — the statistic that decides
+    // whether to cut the span or drop the document. Coverage is computed as
+    // an interval union without materializing per-token rows: duplicated
+    // starts are sorted per document and each contributes
+    // min(W, next_start - start) tokens (the classic sorted-interval-union
+    // fold, here as one lead() window per doc). Global dup marking is one
+    // count-over-window hash-partitioned by window text; everything else is
+    // expression-only or per-doc windows. At 100 TB the window key would be
+    // a 128-bit hash (Lee et al. use a suffix array; the hash-window
+    // formulation is the map-reduce-friendly equivalent) — same plan shape.
+    QE("p59_substring_dup_coverage", Some(s"""
+      WITH tk AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+      w AS (SELECT doc_id, len(ts) AS n, unnest(generate_series(0, len(ts) - $SubW)) AS st, ts
+            FROM tk WHERE len(ts) >= $SubW),
+      wt AS (SELECT doc_id, st, array_to_string(ts[(st + 1):(st + $SubW)], ' ') AS wtext FROM w),
+      fl AS (SELECT doc_id, st, COUNT(*) OVER (PARTITION BY wtext) > 1 AS dup FROM wt),
+      dups AS (SELECT doc_id, st,
+                 lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nx
+               FROM fl WHERE dup),
+      cov AS (SELECT doc_id,
+                SUM(LEAST($SubW, COALESCE(nx - st, $SubW))) AS covered,
+                COUNT(*) AS n_dup
+              FROM dups GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(len(ts) - ${SubW - 1}, 0) AS BIGINT) AS n_windows,
+             CAST(COALESCE(cov.n_dup, 0) AS BIGINT) AS n_dup_windows,
+             CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+             CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(ts) AS dup_frac
+      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id
+      ORDER BY tk.doc_id"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), toks(col("text")).as("ts"))
+          .withColumn("n", size(col("ts")))
+        val wt = tk.filter(col("n") >= SubW)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("n") - SubW)).as("st"), col("ts"))
+          .select(col("doc_id"), col("st"),
+            concat_ws(" ", slice(col("ts"), col("st") + 1, lit(SubW))).as("wtext"))
+        val dup = count(lit(1)).over(Window.partitionBy("wtext")) > 1
+        val dups = wt.withColumn("dup", dup).filter(col("dup"))
+          .withColumn("nx",
+            lead(col("st"), 1).over(Window.partitionBy("doc_id").orderBy("st")))
+        val cov = dups.groupBy("doc_id")
+          .agg(sum(least(lit(SubW), coalesce(col("nx") - col("st"), lit(SubW))))
+            .as("covered"),
+            count(lit(1)).as("n_dup"))
+        tk.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n").cast("long").as("n_tokens"),
+            greatest(col("n") - (SubW - 1), lit(0)).cast("long").as("n_windows"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+            (coalesce(col("covered"), lit(0L)).cast("double") / col("n")).as("dup_frac"))
+          .orderBy("doc_id")
       }))
+
+  /** p58 segment length (tokens) — the C4-style dedup unit. `final` with a
+    * literal so it constant-folds (it is referenced from `entries`, which
+    * initializes before non-constant vals declared after it).
+    */
+  private final val SegTokens = 16
+  /** p59 sliding-window width (tokens) — Lee et al.'s matching length. */
+  private final val SubW = 16
 }
