@@ -20,6 +20,12 @@ final class StatementTimeoutException(msg: String) extends RuntimeException(msg)
   */
 final class QueryCanceledException(msg: String) extends RuntimeException(msg)
 
+/** A server-side error that already knows its PG SQLSTATE (e.g. DEALLOCATE
+  * of an unknown statement name → 26000 invalid_sql_statement_name).
+  */
+final class PgStateException(msg: String, val state: String)
+  extends RuntimeException(msg)
+
 object Operation {
   /** One shared daemon timer arms every statement's timeout; firing just
     * cancels a job group, so a single thread never backs up.

@@ -759,7 +759,74 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     if (!copyInStarted) readyForQuery(currentOut)
   }
 
+  /** `DEALLOCATE [PREPARE] (name|ALL)` — connection pools and drivers issue
+    * these between checkouts. Unquoted names lowercase like any PG
+    * identifier; quoted names match the Parse-message name byte-for-byte.
+    */
+  private val deallocRe =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(ALL|"[^"]+"|[A-Za-z_]\w*)\s*;?\s*""".r
+
+  /** `DISCARD (ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)` — PgBouncer's default
+    * server_reset_query is DISCARD ALL; pools send it on every check-in.
+    */
+  private val discardRe =
+    """(?is)\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)\s*;?\s*""".r
+
+  /** DISCARD ALL/TEMP: drop every temp view, then re-register the
+    * pg_catalog / information_schema infrastructure views (idempotent) —
+    * what survives is exactly PG's picture, where DISCARD clears pg_temp
+    * but never the system catalogs.
+    */
+  private def discardTempState(): Unit = {
+    val cat = session.spark.catalog
+    cat.listTables().collect().filter(_.isTemporary)
+      .foreach(t => cat.dropTempView(t.name))
+    PgCatalog.register(session.spark)
+  }
+
+  /** Session-state statements with real server-side semantics (PG tags,
+    * PG SQLSTATEs); returns true when `stmt` was one of them.
+    */
+  private def runSessionStateStatement(stmt: String): Boolean = stmt match {
+    case deallocRe(what) =>
+      ServerStats.statementsRun.incrementAndGet()
+      // the ALL keyword only when unquoted — `DEALLOCATE "ALL"` targets a
+      // statement literally named ALL, like any quoted PG identifier
+      if (!what.startsWith("\"") && what.equalsIgnoreCase("ALL")) {
+        session.statements.clear()
+        session.portals.clear()
+        commandComplete(currentOut, "DEALLOCATE ALL")
+      } else {
+        val name =
+          if (what.startsWith("\"")) what.substring(1, what.length - 1)
+          else what.toLowerCase
+        if (session.statements.remove(name).isEmpty) {
+          throw new PgStateException(
+            s"""prepared statement "$name" does not exist""", "26000")
+        }
+        // drop portals bound from the deallocated statement too
+        session.portals.filterInPlace((_, p) => p.stmt.name != name)
+        commandComplete(currentOut, "DEALLOCATE")
+      }
+      true
+    case discardRe(what) =>
+      ServerStats.statementsRun.incrementAndGet()
+      val w = what.toUpperCase match { case "TEMPORARY" => "TEMP"; case x => x }
+      w match {
+        case "ALL" =>
+          session.statements.clear()
+          session.portals.clear()
+          discardTempState()
+        case "TEMP" => discardTempState()
+        case _ => () // PLANS/SEQUENCES: no cached plans or sequences exist
+      }
+      commandComplete(currentOut, s"DISCARD $w")
+      true
+    case _ => false
+  }
+
   private def runRegularStatement(stmt: String): Unit = {
+      if (runSessionStateStatement(stmt)) return
       if (PgCatalog.isFeatureAbsentQuery(stmt)) {
         // zero rows for feature-absent catalog relations (see PgCatalog)
         val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
@@ -1190,6 +1257,7 @@ object PgWireServer {
       depth += 1
     }
     e match {
+      case p: PgStateException => p.state // carries its own SQLSTATE
       case _: StatementTimeoutException => "57014" // query_canceled (timeout)
       case _: QueryCanceledException => "57014" // query_canceled (user request)
       case _: ArithmeticException => "22012" // division_by_zero
