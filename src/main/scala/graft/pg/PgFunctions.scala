@@ -2,9 +2,10 @@ package graft.pg
 
 import org.apache.spark.sql.SparkSession
 
-/** The 16 PG system functions clients call during metadata discovery,
-  * registered through the public `spark.udf.register` API (semantics mirror
-  * reference catalog.scala:223-245).
+/** The PG system functions clients call during metadata discovery and GUC
+  * access, registered through the public `spark.udf.register` API (semantics
+  * mirror reference catalog.scala:223-245; the GUC pair goes beyond the
+  * reference, which stubs set_config as an echo).
   */
 object PgFunctions {
 
@@ -31,8 +32,40 @@ object PgFunctions {
       (oids: Seq[Int]) => if (oids != null) oids.map(PgCatalog.typeNameOf).mkString(", ") else "")
     u.register("ANY", (ar: Seq[String]) => if (ar != null && ar.nonEmpty) ar.head else "")
     u.register("regtype", (oid: Int) => PgCatalog.typeNameOf(oid))
-    // modern psql sends these on startup / in \-commands
-    u.register("set_config", (_: String, v: String, _: Boolean) => v)
+    // GUC access functions: both manipulate the live session conf through
+    // PgGuc, so SELECT current_setting(...) / set_config(...) and SHOW / SET
+    // observe the same state (PG semantics). NOT plain UDFs — a UDF closure
+    // would drag the SparkSession onto executors where its state is null;
+    // these resolve driver-side at analysis, folding to the value literal.
+    // Plans re-analyze per execution, so a cached prepared statement still
+    // reads fresh values.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "current_setting", {
+      case Seq(Literal(n, _)) =>
+        val name = String.valueOf(n)
+        Literal(PgGuc.value(spark, name).getOrElse(
+          throw new graft.pg.server.PgStateException(
+            s"""unrecognized configuration parameter "${name.toLowerCase}"""", "42704")))
+      case args => throw new IllegalArgumentException(
+        s"current_setting expects a literal parameter name, got $args")
+    })
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "set_config", {
+      case Seq(Literal(n, _), Literal(v, _), _) =>
+        val name = String.valueOf(n)
+        if (v == null) {
+          PgGuc.reset(spark, name)
+          Literal(PgGuc.value(spark, name).getOrElse(""))
+        } else {
+          val s = String.valueOf(v)
+          PgGuc.set(spark, name, s"'${s.replace("'", "''")}'")
+          Literal(s)
+        }
+      // non-literal args: echo the value expression (no session effect),
+      // the pre-GUC behavior psql's startup probes tolerate
+      case Seq(_, v, _) => v
+      case args => throw new IllegalArgumentException(
+        s"set_config expects (name, value, is_local), got $args")
+    })
     u.register("current_schema", () => PgCatalog.defaultNamespace)
     u.register("pg_backend_pid", () => 0)
     // server observability (reference SQLServerListener counters)

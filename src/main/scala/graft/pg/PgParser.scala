@@ -25,8 +25,40 @@ class PgParserInterface(delegate: ParserInterface) extends ParserInterface {
       """START\s+TRANSACTION|END|ABORT(\s+WORK)?|""" +
       """SAVEPOINT\s+[A-Za-z_]\w*|RELEASE(\s+SAVEPOINT)?\s+[A-Za-z_]\w*)\s*;?\s*""").r
 
+  // PG GUC surface (SHOW / SET ... TO / RESET): intercepted ahead of the
+  // rewrite so both wire protocols and PgDialect.sql get it. Spark's own
+  // SHOW/SET/RESET forms fall through: Spark SHOW kinds are excluded by
+  // keyword, Spark conf keys are dotted (the GUC regexes match only dotless
+  // names), and multi-token forms (SET VAR x = 1, SET TIME ZONE, SHOW TABLES
+  // IN db, bare SET/RESET) never match the single-identifier shapes.
+  private val showRe =
+    ("""(?is)\s*SHOW\s+(ALL|TRANSACTION\s+ISOLATION\s+LEVEL|""" +
+      """SESSION\s+AUTHORIZATION|TIME\s+ZONE|[A-Za-z_][\w.]*)\s*;?\s*""").r
+  private val sparkShowKinds = Set(
+    "tables", "table", "databases", "namespaces", "catalogs", "columns",
+    "create", "functions", "partitions", "tblproperties", "views",
+    "procedures", "current", "schemas", "variables", "locks")
+  private val setGucRe =
+    """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_]\w*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*""".r
+  private val resetGucRe =
+    """(?is)\s*RESET\s+(ALL|[A-Za-z_]\w*)\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case txnRe(_*) => PgBeginCommand()
+    case showRe(what) if !sparkShowKinds.contains(
+        what.replaceAll("\\s+", " ").trim.toLowerCase) =>
+      val token = what.replaceAll("\\s+", " ").trim
+      token.toLowerCase match {
+        case "transaction isolation level" => PgShowCommand("transaction_isolation")
+        case "session authorization" => PgShowCommand("session_authorization")
+        case "time zone" => PgShowCommand("TimeZone")
+        case _ => PgShowCommand(token)
+      }
+    case setGucRe(name, value) if !name.contains(".") =>
+      PgSetCommand(name, value)
+    case resetGucRe(what) =>
+      if (what.equalsIgnoreCase("ALL")) PgResetCommand(None)
+      else PgResetCommand(Some(what))
     case _ => delegate.parsePlan(PgRewrite(sqlText))
   }
 

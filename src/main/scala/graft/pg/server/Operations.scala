@@ -39,17 +39,10 @@ object Operation {
   }
 
   /** PG accepts `statement_timeout` as bare milliseconds or with a unit
-    * suffix (ms/s/min); 0 or unparseable disables.
+    * suffix; 0 or unparseable disables. One parser for arm-time and
+    * SHOW-time so the displayed and the armed value can never drift.
     */
-  private[server] def parseTimeoutMs(v: String): Long = {
-    val t = v.trim.toLowerCase.stripPrefix("'").stripSuffix("'").trim
-    try {
-      if (t.endsWith("ms")) t.dropRight(2).trim.toLong
-      else if (t.endsWith("min")) t.dropRight(3).trim.toLong * 60000L
-      else if (t.endsWith("s")) t.dropRight(1).trim.toLong * 1000L
-      else t.toLong
-    } catch { case _: NumberFormatException => 0L }
-  }
+  private[server] def parseTimeoutMs(v: String): Long = graft.pg.PgGuc.parseMs(v)
 }
 
 final class Operation(val session: PgSession, val statement: String) {

@@ -156,7 +156,10 @@ private[server] object StatActivity {
   def register(spark: org.apache.spark.sql.SparkSession,
       selfPid: Int, selfQuery: String): Unit = {
     val rows: Seq[Row] = SessionRegistry.activity.map { case (pid, busy, start, q) =>
-      val appName = SessionRegistry.get(pid).map(_.appName).getOrElse("")
+      // a live SET application_name wins over the startup value — PG updates
+      // pg_stat_activity.application_name on SET
+      val appName = SessionRegistry.get(pid).map(s =>
+        s.spark.conf.getOption("application_name").getOrElse(s.appName)).getOrElse("")
       val (state, query) =
         if (pid == selfPid) ("active", selfQuery)
         else (if (busy) "active" else "idle", q)

@@ -313,6 +313,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   /** startup user while the cleartext-password exchange is pending */
   private var pendingUser: Option[String] = None
   private var startupAppName: String = ""
+  private var startupUser: String = "spark-user"
   private var pendingSalt: Array[Byte] = _
   private var scramPhase: Int = 0
   private var scram: ScramSha256Server = _
@@ -363,6 +364,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       // would break every future-minor client)
       val pqOptions = params.keys.filter(_.startsWith("_pq_.")).toSeq.sorted
       startupAppName = params.getOrElse("application_name", "")
+      startupUser = params.getOrElse("user", "spark-user")
       if (minor > 0 || pqOptions.nonEmpty) {
         val out = ctx.alloc().buffer()
         negotiateProtocolVersion(out, newestMinor = 0, unsupported = pqOptions)
@@ -524,6 +526,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     session = SessionRegistry.create(base, config.singleSession)
     session.onReap = () => ctx.close()
     session.appName = startupAppName
+    // startup-packet values become the session's GUC defaults (what RESET /
+    // DISCARD ALL restore to), per PG semantics
+    graft.pg.PgGuc.seedStartupDefaults(session.spark, startupUser, startupAppName)
     PgCatalog.register(session.spark)
     val out = ctx.alloc().buffer()
     authenticationOk(out)
@@ -702,7 +707,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       }
       case _ => first match {
         case "SELECT" | "WITH" | "VALUES" | "TABLE" => s"SELECT $rows"
-        case "SET" | "RESET" => "SET"
+        case "SET" => "SET"
+        case "RESET" => "RESET"
         case "INSERT" => s"INSERT 0 $rows"
         case "" => "SELECT 0"
         case other => other
@@ -721,6 +727,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     }
     if (lower.contains("pg_stat_statements")) {
       StatActivity.registerStatements(session.spark)
+    }
+    if (lower.contains("pg_settings")) {
+      graft.pg.PgGuc.registerSettingsView(session.spark)
     }
   }
 
@@ -817,6 +826,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           session.statements.clear()
           session.portals.clear()
           discardTempState()
+          // PG's DISCARD ALL includes RESET ALL: GUC overrides fall back
+          // to the session's startup defaults
+          graft.pg.PgGuc.resetAll(session.spark)
         case "TEMP" => discardTempState()
         case _ => () // PLANS/SEQUENCES: no cached plans or sequences exist
       }
