@@ -52,9 +52,9 @@ class PgConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     var pid: Int = -1
     var secret: Int = -1
 
-    def connect(): Unit = {
+    def connect(appName: String = ""): Unit = {
       val body = cstr("user") ++ cstr("graft") ++ cstr("database") ++
-        cstr("default") :+ 0.toByte
+        cstr("default") ++ cstr("application_name") ++ cstr(appName) :+ 0.toByte
       os.writeInt(8 + body.length); os.writeInt(196608); os.write(body); os.flush()
       val msgs = drain()
       msgs.find(_._1 == 'K').foreach { case (_, p) =>
@@ -120,6 +120,21 @@ class PgConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
       send('E', cstr("") ++ i32(0))
       send('S', Array.empty)
       col0(drain())
+    }
+
+    /** Parse a named statement (no params), Sync */
+    def parseNamed(name: String, sql: String): Seq[(Char, Array[Byte])] = {
+      send('P', cstr(name) ++ cstr(sql) ++ i16(0))
+      send('S', Array.empty)
+      drain()
+    }
+
+    /** Bind the unnamed portal from a named statement, Execute, Sync */
+    def bindExec(stmt: String): Seq[(Char, Array[Byte])] = {
+      send('B', cstr("") ++ cstr(stmt) ++ i16(0) ++ i16(0) ++ i16(0))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.empty)
+      drain()
     }
 
     def close(): Unit = { send('X', Array.empty); sock.close() }
@@ -197,6 +212,74 @@ class PgConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(done.await(180, TimeUnit.SECONDS), s"soak round $round timed out")
       if (firstFailure.get() != null) throw firstFailure.get()
     }
+    pool.shutdown()
+  }
+
+  test("pooled checkouts: GUC state and DISCARD ALL never bleed across concurrent sessions") {
+    // the PgBouncer lifecycle, concurrently: every checkout SETs its own
+    // application_name/statement_timeout and prepares a statement; every
+    // check-in runs DISCARD ALL. Overrides must stay session-local and the
+    // reset must land only on the discarding session.
+    val nSessions = 6
+    val pool = Executors.newFixedThreadPool(nSessions)
+    val firstFailure = new AtomicReference[Throwable]
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(nSessions)
+    (0 until nSessions).foreach { id =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          try {
+            val c = new SoakClient
+            c.connect(appName = s"boot_$id")
+            start.await(60, TimeUnit.SECONDS)
+            (1 to 4).foreach { iter =>
+              // checkout: client-specific GUC overrides
+              c.query(s"SET application_name TO 'pool_${id}_$iter'")
+              c.query(s"SET statement_timeout = ${(id + 1) * 1000}")
+              val app = c.col0(c.query("SHOW application_name"))
+              if (app != Seq(s"pool_${id}_$iter")) {
+                throw new AssertionError(s"session $id read foreign application_name: $app")
+              }
+              val timeout = c.col0(c.query("SHOW statement_timeout"))
+              if (timeout != Seq(s"${id + 1}s")) {
+                throw new AssertionError(s"session $id read foreign statement_timeout: $timeout")
+              }
+              // a driver-cached prepared statement for this checkout
+              c.parseNamed(s"ps_$id", s"SELECT ${id * 10 + iter} AS v")
+              val got = c.col0(c.bindExec(s"ps_$id"))
+              if (got != Seq((id * 10 + iter).toString)) {
+                throw new AssertionError(s"session $id prepared read $got")
+              }
+              // check-in: the pool's reset
+              val reset = c.query("DISCARD ALL")
+              if (reset.exists(_._1 == 'E')) {
+                throw new AssertionError(s"session $id DISCARD ALL failed")
+              }
+              // back to the startup default of THIS session, not blank, not
+              // another session's value
+              val appAfter = c.col0(c.query("SHOW application_name"))
+              if (appAfter != Seq(s"boot_$id")) {
+                throw new AssertionError(
+                  s"session $id application_name after DISCARD: $appAfter, want boot_$id")
+              }
+              if (c.col0(c.query("SHOW statement_timeout")) != Seq("0")) {
+                throw new AssertionError(s"session $id timeout survived DISCARD ALL")
+              }
+              // the prepared statement died with the checkout
+              if (!c.bindExec(s"ps_$id").exists(_._1 == 'E')) {
+                throw new AssertionError(s"session $id statement survived DISCARD ALL")
+              }
+            }
+            c.close()
+          } catch {
+            case t: Throwable => firstFailure.compareAndSet(null, t)
+          } finally done.countDown()
+        }
+      })
+    }
+    start.countDown()
+    assert(done.await(180, TimeUnit.SECONDS), "pooled GUC soak timed out")
+    if (firstFailure.get() != null) throw firstFailure.get()
     pool.shutdown()
   }
 
