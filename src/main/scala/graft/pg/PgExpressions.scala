@@ -25,3 +25,36 @@ case class ParameterPlaceHolder(id: Int) extends LeafExpression with Unevaluable
 case class PgBeginCommand() extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = Seq.empty
 }
+
+/** LISTEN <channel>: register this wire session on the channel. Outside a
+  * wire session (library use) it is a no-op, like PG's own behavior when no
+  * backend exists to deliver to.
+  */
+case class PgListenCommand(channel: String) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    graft.pg.server.PgNotify.pidOf(sparkSession)
+      .foreach(pid => graft.pg.server.PgNotify.listen(pid, channel))
+    Seq.empty
+  }
+}
+
+/** UNLISTEN <channel> / UNLISTEN * (channel = None). */
+case class PgUnlistenCommand(channel: Option[String]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    graft.pg.server.PgNotify.pidOf(sparkSession)
+      .foreach(pid => graft.pg.server.PgNotify.unlisten(pid, channel))
+    Seq.empty
+  }
+}
+
+/** NOTIFY <channel> [, 'payload']: deliver a NotificationResponse to every
+  * session listening on the channel (including the sender, per PG).
+  */
+case class PgNotifyCommand(channel: String, payload: String)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val sender = graft.pg.server.PgNotify.pidOf(sparkSession).getOrElse(0)
+    graft.pg.server.PgNotify.notify(sender, channel, payload)
+    Seq.empty
+  }
+}

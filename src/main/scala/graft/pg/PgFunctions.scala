@@ -67,7 +67,36 @@ object PgFunctions {
         s"set_config expects (name, value, is_local), got $args")
     })
     u.register("current_schema", () => PgCatalog.defaultNamespace)
-    u.register("pg_backend_pid", () => 0)
+    // the wire pid of this session (0 outside the server) — driver-side so
+    // `WHERE pid = pg_backend_pid()` against pg_stat_activity works
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_backend_pid",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(
+        graft.pg.server.PgNotify.pidOf(spark).getOrElse(0)))
+    // SELECT pg_notify('chan','payload') — the function form of NOTIFY
+    // (driver-side: delivery needs the session registry, not executor state)
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_notify", {
+      case Seq(Literal(c, _), Literal(p, _)) =>
+        val sender = graft.pg.server.PgNotify.pidOf(spark).getOrElse(0)
+        graft.pg.server.PgNotify.notify(sender,
+          String.valueOf(c), if (p == null) "" else String.valueOf(p))
+        Literal("")
+      case args => throw new IllegalArgumentException(
+        s"pg_notify expects literal (channel, payload), got $args")
+    })
+    // admin signalling over pg_stat_activity pids (driver-side: touches the
+    // session registry). PG returns boolean: false for an unknown pid.
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_cancel_backend", {
+      case Seq(Literal(p, _)) =>
+        Literal(graft.pg.server.SessionRegistry.adminCancel(String.valueOf(p).toInt))
+      case args => throw new IllegalArgumentException(
+        s"pg_cancel_backend expects a literal pid, got $args")
+    })
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_terminate_backend", {
+      case Seq(Literal(p, _)) =>
+        Literal(graft.pg.server.SessionRegistry.adminTerminate(String.valueOf(p).toInt))
+      case args => throw new IllegalArgumentException(
+        s"pg_terminate_backend expects a literal pid, got $args")
+    })
     // server observability (reference SQLServerListener counters)
     u.register("graft_stat", (name: String) => graft.pg.server.ServerStats.get(name))
   }

@@ -42,6 +42,14 @@ class PgParserInterface(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_]\w*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*""".r
   private val resetGucRe =
     """(?is)\s*RESET\s+(ALL|[A-Za-z_]\w*)\s*;?\s*""".r
+  // LISTEN/NOTIFY: channel folds like an identifier (quoted = byte-exact);
+  // NOTIFY's optional payload is a standard-conforming string literal
+  private val listenRe =
+    """(?is)\s*LISTEN\s+("[^"]+"|[A-Za-z_]\w*)\s*;?\s*""".r
+  private val unlistenRe =
+    """(?is)\s*UNLISTEN\s+(\*|"[^"]+"|[A-Za-z_]\w*)\s*;?\s*""".r
+  private val notifyRe =
+    """(?is)\s*NOTIFY\s+("[^"]+"|[A-Za-z_]\w*)\s*(?:,\s*'((?:[^']|'')*)')?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case txnRe(_*) => PgBeginCommand()
@@ -59,6 +67,14 @@ class PgParserInterface(delegate: ParserInterface) extends ParserInterface {
     case resetGucRe(what) =>
       if (what.equalsIgnoreCase("ALL")) PgResetCommand(None)
       else PgResetCommand(Some(what))
+    case listenRe(ch) =>
+      PgListenCommand(graft.pg.server.PgNotify.foldChannel(ch))
+    case unlistenRe(ch) =>
+      if (ch == "*") PgUnlistenCommand(None)
+      else PgUnlistenCommand(Some(graft.pg.server.PgNotify.foldChannel(ch)))
+    case notifyRe(ch, payload) =>
+      PgNotifyCommand(graft.pg.server.PgNotify.foldChannel(ch),
+        if (payload == null) "" else payload.replace("''", "'"))
     case _ => delegate.parsePlan(PgRewrite(sqlText))
   }
 

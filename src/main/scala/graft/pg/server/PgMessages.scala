@@ -50,6 +50,14 @@ object PgMessages {
   def authenticationSASLFinal(buf: ByteBuf, data: Array[Byte]): Unit =
     msg(buf, 'R') { b => b.writeInt(12); b.writeBytes(data) }
 
+  /** NotificationResponse 'A': async LISTEN/NOTIFY delivery — legal at any
+    * message boundary, clients dispatch it out of band.
+    */
+  def notificationResponse(buf: ByteBuf, senderPid: Int, channel: String,
+      payload: String): Unit = msg(buf, 'A') { b =>
+    b.writeInt(senderPid); cstr(b, channel); cstr(b, payload)
+  }
+
   def parameterStatus(buf: ByteBuf, key: String, value: String): Unit =
     msg(buf, 'S') { b => cstr(b, key); cstr(b, value) }
 
@@ -143,12 +151,18 @@ object PgMessages {
 
   def copyDone(buf: ByteBuf): Unit = msg(buf, 'c')(_ => ())
 
-  /** severity + SQLSTATE + message (reference protocol.scala:250-262). */
-  def errorResponse(buf: ByteBuf, message: String, sqlState: String = "XX000"): Unit =
+  /** severity + SQLSTATE + message, plus the optional 'P' position field
+    * (1-based character offset into the statement) psql uses to print its
+    * caret under syntax errors (reference protocol.scala:250-262 carries
+    * only S/C/M).
+    */
+  def errorResponse(buf: ByteBuf, message: String, sqlState: String = "XX000",
+      position: Option[Int] = None): Unit =
     msg(buf, 'E') { b =>
       b.writeByte('S'); cstr(b, "ERROR")
       b.writeByte('C'); cstr(b, sqlState)
       b.writeByte('M'); cstr(b, if (message == null) "unknown error" else message)
+      position.foreach { p => b.writeByte('P'); cstr(b, p.toString) }
       b.writeByte(0)
     }
 }

@@ -53,6 +53,10 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
     */
   @volatile var currentQuery: String = ""
   @volatile var appName: String = ""
+  /** (senderPid, channel, payload) -> write a NotificationResponse on this
+    * session's connection; installed by the wire handler at startup
+    */
+  @volatile var notifySink: (Int, String, String) => Unit = _
   val backendStart: Long = System.currentTimeMillis()
   def touch(): Unit = lastActivity = System.currentTimeMillis()
 
@@ -70,6 +74,7 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
   def close(): Unit = {
     statements.clear()
     portals.clear()
+    PgNotify.unlistenAll(pid)
     SessionRegistry.unregister(pid)
   }
 }
@@ -100,9 +105,43 @@ object SessionRegistry {
     val s = sessions.get(pid)
     if (s != null && s.secret == secret) s.cancel()
   }
+
+  /** `pg_cancel_backend(pid)`: cancel the target's running statement. The
+    * wire CancelRequest needs the secret; the SQL function is the
+    * superuser/admin path (this server has no role system — every session
+    * is effectively superuser, as is_superuser reports).
+    */
+  def adminCancel(pid: Int): Boolean = {
+    val s = sessions.get(pid)
+    if (s == null) false else { s.cancel(); true }
+  }
+
+  /** `pg_terminate_backend(pid)`: cancel, close the connection, drop the
+    * session.
+    */
+  def adminTerminate(pid: Int): Boolean = {
+    val s = sessions.get(pid)
+    if (s == null) false
+    else {
+      s.cancel()
+      s.onReap() // closes the Netty channel like the idle reaper does
+      s.close()
+      true
+    }
+  }
   def unregister(pid: Int): Unit = sessions.remove(pid)
 
   private[server] def get(pid: Int): Option[PgSession] = Option(sessions.get(pid))
+
+  /** Reverse lookup: the session owning a given SparkSession (identity
+    * match — each wire session holds its own newSession() clone). Lets
+    * parser-level commands that only receive a SparkSession (NOTIFY,
+    * pg_notify) find their wire identity.
+    */
+  private[server] def pidOfSession(spark: SparkSession): Option[Int] = {
+    import scala.jdk.CollectionConverters._
+    sessions.values().asScala.find(_.spark eq spark).map(_.pid)
+  }
 
   /** Close sessions idle past the timeout (reference idle reaping,
     * SparkSQLServiceManager.scala:137-158).

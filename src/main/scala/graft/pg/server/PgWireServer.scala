@@ -508,7 +508,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
           errorResponse(currentOut, Option(e.getMessage).getOrElse(e.toString),
-            PgWireServer.sqlStateOf(e))
+            PgWireServer.sqlStateOf(e), PgWireServer.errorPosition(e))
           if (t == 'Q') readyForQuery(currentOut)
           else if (t != 'S' && t != 'X') inError = true
       }
@@ -529,6 +529,16 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     // startup-packet values become the session's GUC defaults (what RESET /
     // DISCARD ALL restore to), per PG semantics
     graft.pg.PgGuc.seedStartupDefaults(session.spark, startupUser, startupAppName)
+    // LISTEN/NOTIFY delivery: a cross-thread writeAndFlush lands on this
+    // channel's event loop, so the 'A' frame slots between whole messages
+    locally {
+      val ch = ctx.channel()
+      session.notifySink = (senderPid, channel, payload) => {
+        val buf = ch.alloc().buffer()
+        PgMessages.notificationResponse(buf, senderPid, channel, payload)
+        ch.writeAndFlush(buf)
+      }
+    }
     PgCatalog.register(session.spark)
     val out = ctx.alloc().buffer()
     authenticationOk(out)
@@ -826,9 +836,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           session.statements.clear()
           session.portals.clear()
           discardTempState()
-          // PG's DISCARD ALL includes RESET ALL: GUC overrides fall back
-          // to the session's startup defaults
+          // PG's DISCARD ALL includes RESET ALL and UNLISTEN *
           graft.pg.PgGuc.resetAll(session.spark)
+          PgNotify.unlistenAll(session.pid)
         case "TEMP" => discardTempState()
         case _ => () // PLANS/SEQUENCES: no cached plans or sequences exist
       }
@@ -1255,6 +1265,33 @@ object PgWireServer {
     * everything (protocol.scala:250-262). Walk the cause chain: wire-layer
     * wrappers often hide the Spark error one level down.
     */
+  /** The PG ErrorResponse 'P' field for syntax errors: the 1-based char
+    * offset of the failure in the statement text, from Spark's
+    * ParseException origin (line + column over the parsed command). The
+    * offset refers to the text the parser saw — for statements PgRewrite
+    * transformed it can drift from the client's original by the rewrite
+    * delta, which only shifts the caret, never breaks a client.
+    */
+  def errorPosition(e: Throwable): Option[Int] = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 8) {
+      cur match {
+        case p: org.apache.spark.sql.catalyst.parser.ParseException =>
+          return (p.start.line, p.start.startPosition, p.command) match {
+            case (Some(line), Some(col), Some(cmd)) if line >= 1 =>
+              val before = cmd.split("\n", -1).take(line - 1).map(_.length + 1).sum
+              Some(before + col + 1)
+            case _ => None
+          }
+        case _ =>
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    None
+  }
+
   def sqlStateOf(e: Throwable): String = {
     var cur = e
     var depth = 0

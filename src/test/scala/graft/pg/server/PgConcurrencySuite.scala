@@ -303,6 +303,34 @@ class PgConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     live.close()
   }
 
+  test("pg_cancel_backend and pg_terminate_backend signal across sessions") {
+    val worker = new SoakClient; worker.connect()
+    val admin = new SoakClient; admin.connect()
+    // worker starts a long query; admin cancels it BY PID through SQL (the
+    // pg_stat_activity -> pg_cancel_backend admin loop, no secret needed)
+    worker.send('Q', "SELECT max(id * 3 + 1) FROM range(100000000000)"
+      .getBytes(UTF_8) :+ 0.toByte)
+    Thread.sleep(1000)
+    assert(admin.col0(admin.query(
+      s"SELECT pg_cancel_backend(${worker.pid}) AS ok")) === Seq("t"))
+    val msgs = worker.drain()
+    assert(msgs.exists(_._1 == 'E'), "admin-canceled query surfaces an error")
+    assert(worker.col0(worker.query("SELECT 11")) === Seq("11"),
+      "canceled session stays usable")
+    // unknown pid reports false, like PG
+    assert(admin.col0(admin.query(
+      "SELECT pg_cancel_backend(999999) AS ok")) === Seq("f"))
+    // terminate: the victim's connection is closed server-side
+    val victim = new SoakClient; victim.connect()
+    assert(admin.col0(admin.query(
+      s"SELECT pg_terminate_backend(${victim.pid}) AS ok")) === Seq("t"))
+    val dead =
+      try { victim.query("SELECT 12"); false }
+      catch { case _: java.io.IOException => true }
+    assert(dead, "terminated session's connection must be closed")
+    worker.close(); admin.close()
+  }
+
   test("cancel interrupts one session's query without disturbing another mid-flight") {
     val worker = new SoakClient; worker.connect()
     val bystander = new SoakClient; bystander.connect()

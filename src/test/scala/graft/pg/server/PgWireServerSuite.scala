@@ -401,21 +401,55 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("syntax errors carry the 'P' position field psql needs for its caret") {
+    val c = new RawClient
+    c.startup()
+    val sql = "SELECT broken syntax here FROM FROM lineitem"
+    c.send('Q', c.cstr(sql))
+    val msgs = c.drainUntilReady()
+    val err = msgs.find(_._1 == 'E').getOrElse(fail("no ErrorResponse"))._2
+    // 'C' must be the parse SQLSTATE, 'P' a 1-based offset in the statement
+    val fields = fieldsOf(err)
+    assert(fields.get('C') === Some("42601"), s"fields: $fields")
+    val pos = fields.getOrElse('P', fail(s"no position field in $fields")).toInt
+    assert(pos >= 1 && pos <= sql.length, s"position $pos out of range")
+    // a runtime (non-parse) error carries no position field
+    c.send('Q', c.cstr("SELECT 1/0"))
+    val msgs2 = c.drainUntilReady()
+    val err2 = msgs2.find(_._1 == 'E').getOrElse(fail("no ErrorResponse"))._2
+    assert(!fieldsOf(err2).contains('P'))
+    c.close()
+  }
+
+  private def fieldsOf(err: Array[Byte]): Map[Char, String] = {
+    val b = java.nio.ByteBuffer.wrap(err)
+    var fields = Map.empty[Char, String]
+    var t = b.get()
+    while (t != 0) {
+      val sb = new StringBuilder
+      var ch = b.get()
+      while (ch != 0) { sb.append(ch.toChar); ch = b.get() }
+      fields += (t.toChar -> sb.toString)
+      t = if (b.hasRemaining) b.get() else 0
+    }
+    fields
+  }
+
   test("fastpath FunctionCall 'F' executes and unknown types get a protocol error") {
     import graft.pg.PgCatalog
     def i32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
     def i16(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
     def oidOf(name: String): Int = PgCatalog.fastpathFunctions.find(_._2 == name).get._1
     val c = new RawClient
-    c.startup()
+    val (pid, _) = c.startupKeyData()
 
-    // no-arg text call: pg_backend_pid() -> int4 text "0"
+    // no-arg text call: pg_backend_pid() -> the session's wire pid, text
     c.send('F', i32(oidOf("pg_backend_pid")) ++ i16(0) ++ i16(0) ++ i16(0))
     val r1 = c.drainUntilReady()
     val v1 = r1.find(_._1 == 'V').getOrElse(fail(s"no FunctionCallResponse: ${r1.map(_._1)}"))._2
     val b1 = java.nio.ByteBuffer.wrap(v1)
     val n1 = b1.getInt; val s1 = new Array[Byte](n1); b1.get(s1)
-    assert(new String(s1, UTF_8) === "0")
+    assert(new String(s1, UTF_8) === pid.toString)
 
     // one text arg, BINARY result: length('hello') -> int4 binary 5
     val arg = "hello".getBytes(UTF_8)
