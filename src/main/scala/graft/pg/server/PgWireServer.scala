@@ -803,6 +803,70 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     PgCatalog.register(session.spark)
   }
 
+  // ---- SQL-level cursors (DECLARE/FETCH/MOVE/CLOSE) ----
+  // psql's FETCH_COUNT mode wraps every query in exactly this flow
+  // (BEGIN; DECLARE _psql_cursor NO SCROLL CURSOR FOR <q>; FETCH FORWARD n
+  // FROM _psql_cursor; ...; CLOSE _psql_cursor; COMMIT), and ODBC drivers
+  // page large results the same way. Cursors are wire portals under a SQL
+  // name: the same incremental iterator the extended protocol uses, so a
+  // cursor never driver-materializes its result either.
+  private val declareCursorRe =
+    ("""(?is)\s*DECLARE\s+("[^"]+"|[A-Za-z_]\w*)\s+(BINARY\s+)?(?:INSENSITIVE\s+)?""" +
+      """(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+(?:WITH\s+HOLD\s+|WITHOUT\s+HOLD\s+)?""" +
+      """FOR\s+(.+?)\s*;?\s*""").r
+  private val fetchRe =
+    ("""(?is)\s*(FETCH|MOVE)\s+(?:(FORWARD|BACKWARD|PRIOR)\s+)?(?:(ALL|NEXT|\d+)\s+)?""" +
+      """(?:FROM\s+|IN\s+)?("[^"]+"|[A-Za-z_]\w*)\s*;?\s*""").r
+  private val closeCursorRe =
+    """(?is)\s*CLOSE\s+(ALL|"[^"]+"|[A-Za-z_]\w*)\s*;?\s*""".r
+
+  private def cursorName(token: String): String = PgNotify.foldChannel(token)
+
+  private def declareCursor(name: String, binary: Boolean, query: String): Unit = {
+    if (session.portals.contains(name)) {
+      throw new PgStateException(s"""cursor "$name" already exists""", "42P03")
+    }
+    refreshDynamicViews(query)
+    val plan = parser.parsePlan(query)
+    val schema = Internals.analyzedSchema(session.spark, plan)
+    val formats = schema.fields.map(f =>
+      binary && PgTypes.binaryCapable(f.dataType) && f.dataType != StringType).toSeq
+    val portal = new Portal(name, Prepared(name, query, plan, Seq.empty, schema),
+      plan, formats)
+    portal.schema = schema
+    session.portals(name) = portal
+    commandComplete(currentOut, "DECLARE CURSOR")
+  }
+
+  /** FETCH streams up to `count` rows (-1 = ALL) with a RowDescription, as
+    * the simple protocol requires; MOVE advances the same iterator silently.
+    * Rows pull through the incremental iterator partition by partition.
+    */
+  private def fetchFromCursor(name: String, count: Long, emit: Boolean): Unit = {
+    val portal = session.portals.getOrElse(name,
+      throw new PgStateException(s"""cursor "$name" does not exist""", "34000"))
+    withOperation(s"FETCH $name") {
+      if (!portal.started) {
+        portal.rows = resultIterator(Internals.ofRows(session.spark, portal.bound))
+      }
+      if (emit) rowDescription(currentOut, portal.schema, portal.formats)
+      val writer = RowCodec.rowWriter(portal.schema, portal.formats, sessionZone)
+      val scratch = new Scratch
+      var n = 0L
+      while (portal.rows.hasNext && (count < 0 || n < count)) {
+        val row = portal.rows.next()
+        if (emit) {
+          writeDataRow(currentOut, portal.schema.length, writer, row, scratch)
+          maybeFlush()
+        }
+        n += 1
+        portal.rowCount += 1
+      }
+      if (emit) ServerStats.rowsStreamed.addAndGet(n)
+      commandComplete(currentOut, s"${if (emit) "FETCH" else "MOVE"} $n")
+    }
+  }
+
   /** Session-state statements with real server-side semantics (PG tags,
     * PG SQLSTATEs); returns true when `stmt` was one of them.
     */
@@ -843,6 +907,36 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         case _ => () // PLANS/SEQUENCES: no cached plans or sequences exist
       }
       commandComplete(currentOut, s"DISCARD $w")
+      true
+    case declareCursorRe(nameTok, binary, query) =>
+      ServerStats.statementsRun.incrementAndGet()
+      declareCursor(cursorName(nameTok), binary != null, query)
+      true
+    case fetchRe(verb, direction, countTok, nameTok) =>
+      ServerStats.statementsRun.incrementAndGet()
+      if (direction != null && !direction.equalsIgnoreCase("FORWARD")) {
+        // cursors here are NO SCROLL (a distributed result has no cheap
+        // backward walk); PG raises the same state for backward fetches
+        throw new PgStateException("cursor can only scan forward", "55000")
+      }
+      val count =
+        if (countTok == null || countTok.equalsIgnoreCase("NEXT")) 1L
+        else if (countTok.equalsIgnoreCase("ALL")) -1L
+        else countTok.toLong
+      fetchFromCursor(cursorName(nameTok), count,
+        emit = verb.equalsIgnoreCase("FETCH"))
+      true
+    case closeCursorRe(nameTok) =>
+      ServerStats.statementsRun.incrementAndGet()
+      if (!nameTok.startsWith("\"") && nameTok.equalsIgnoreCase("ALL")) {
+        session.portals.clear() // PG's CLOSE ALL closes cursors and portals alike
+      } else {
+        val name = cursorName(nameTok)
+        if (session.portals.remove(name).isEmpty) {
+          throw new PgStateException(s"""cursor "$name" does not exist""", "34000")
+        }
+      }
+      commandComplete(currentOut, "CLOSE CURSOR")
       true
     case _ => false
   }
