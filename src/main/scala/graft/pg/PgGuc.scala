@@ -245,6 +245,36 @@ object PgGuc {
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
   }
 
+  /** One startup-packet run-time parameter (PG accepts any GUC in the
+    * startup message, plus `options` with `-c name=value` pairs — pgjdbc's
+    * `options` connection property rides exactly this). The value becomes
+    * the session DEFAULT (what RESET restores), and live-backed GUCs apply
+    * immediately.
+    */
+  def seedStartupParam(spark: SparkSession, name: String, value: String): Unit = {
+    val lower = name.toLowerCase
+    if (lower == "options") {
+      // -c name=value / --name=value, whitespace-separated
+      val tokens = value.trim.split("\\s+").toSeq
+      var i = 0
+      while (i < tokens.length) {
+        val t = tokens(i)
+        if (t == "-c" && i + 1 < tokens.length && tokens(i + 1).contains('=')) {
+          val Array(n, v) = tokens(i + 1).split("=", 2)
+          seedStartupParam(spark, n, v)
+          i += 2
+        } else if (t.startsWith("--") && t.contains('=')) {
+          val Array(n, v) = t.substring(2).split("=", 2)
+          seedStartupParam(spark, n, v)
+          i += 1
+        } else i += 1
+      }
+    } else {
+      spark.conf.set(DefaultPrefix + lower, value)
+      byLower.get(lower).flatMap(_.confKey).foreach(k => spark.conf.set(k, value))
+    }
+  }
+
   /** (name, setting, description) for SHOW ALL: the registry plus any
     * session-SET custom parameters, name-sorted.
     */

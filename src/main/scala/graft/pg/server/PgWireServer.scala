@@ -314,6 +314,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   private var pendingUser: Option[String] = None
   private var startupAppName: String = ""
   private var startupUser: String = "spark-user"
+  private var startupGucParams: Map[String, String] = Map.empty
   private var pendingSalt: Array[Byte] = _
   private var scramPhase: Int = 0
   private var scram: ScramSha256Server = _
@@ -365,6 +366,11 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       val pqOptions = params.keys.filter(_.startsWith("_pq_.")).toSeq.sorted
       startupAppName = params.getOrElse("application_name", "")
       startupUser = params.getOrElse("user", "spark-user")
+      startupGucParams = params.filter { case (k, _) =>
+        val lower = k.toLowerCase
+        !Set("user", "database", "application_name", "replication")(lower) &&
+          !k.startsWith("_pq_.")
+      }
       if (minor > 0 || pqOptions.nonEmpty) {
         val out = ctx.alloc().buffer()
         negotiateProtocolVersion(out, newestMinor = 0, unsupported = pqOptions)
@@ -529,6 +535,11 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     // startup-packet values become the session's GUC defaults (what RESET /
     // DISCARD ALL restore to), per PG semantics
     graft.pg.PgGuc.seedStartupDefaults(session.spark, startupUser, startupAppName)
+    // any other startup parameter is a run-time GUC default, incl. the
+    // `options` string pgjdbc's options= connection property sends
+    startupGucParams.foreach { case (k, v) =>
+      graft.pg.PgGuc.seedStartupParam(session.spark, k, v)
+    }
     // LISTEN/NOTIFY delivery: a cross-thread writeAndFlush lands on this
     // channel's event loop, so the 'A' frame slots between whole messages
     locally {

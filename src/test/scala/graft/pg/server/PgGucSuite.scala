@@ -32,7 +32,8 @@ class PgGucSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (server != null) server.stop()
 
-  private class Client(appName: String = "guc_suite") {
+  private class Client(appName: String = "guc_suite",
+      extraParams: Seq[(String, String)] = Seq.empty) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(sock.getInputStream)
     private val os = new DataOutputStream(sock.getOutputStream)
@@ -44,7 +45,8 @@ class PgGucSuite extends AnyFunSuite with BeforeAndAfterAll {
     def connect(): Unit = {
       val body = cstr("user") ++ cstr("guc_user") ++
         cstr("database") ++ cstr("default") ++
-        cstr("application_name") ++ cstr(appName) :+ 0.toByte
+        cstr("application_name") ++ cstr(appName) ++
+        extraParams.flatMap { case (k, v) => cstr(k) ++ cstr(v) }.toArray :+ 0.toByte
       os.writeInt(8 + body.length)
       os.writeInt(196608)
       os.write(body)
@@ -284,6 +286,28 @@ class PgGucSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(fromSpark === "America/New_York")
       c.simple(s"SET TimeZone = '$before'")
     }
+  }
+
+  test("startup-packet GUCs and the options string become session defaults") {
+    // pgjdbc's options= connection property ships "-c name=value" pairs in
+    // the startup packet; any direct run-time parameter works the same way
+    val c = new Client(appName = "opts_app", extraParams = Seq(
+      "search_path" -> "myschema, public",
+      "options" -> "-c statement_timeout=5s --extra_float_digits=2"))
+    c.connect()
+    try {
+      assert(c.rows(c.simple("SHOW search_path")) === Seq(Seq("myschema, public")))
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("5s")))
+      assert(c.rows(c.simple("SHOW extra_float_digits")) === Seq(Seq("2")))
+      // startup values are session DEFAULTS: a SET overrides, RESET
+      // restores the startup value (not the server stock default)
+      c.simple("SET statement_timeout = 30000")
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("30s")))
+      c.simple("RESET statement_timeout")
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("5s")))
+      c.simple("DISCARD ALL")
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("5s")))
+    } finally c.close()
   }
 
   test("pg_settings exposes live values with source tracking") {
