@@ -409,4 +409,18 @@ class QueriesSmokeSuite extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
       s"o_custkey = 5 must prune to a single bucket:\n$plan")
   }
+
+  test("segment-dedup plans: every window hash-partitions, nothing single-partition") {
+    // p58/p59 put a window over EXPLODED per-segment rows — the one shape
+    // that dies at 100 TB if the window loses its PARTITION BY (all token
+    // windows through one task). Pin: the plans carry windows but never a
+    // SinglePartition exchange.
+    for (n <- Seq("p58_segment_dedup", "p59_substring_dup_coverage")) {
+      val plan = SparkEntry.queries(n)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"$n must plan a window:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$n must never funnel rows through one partition:\n$plan")
+    }
+  }
 }
