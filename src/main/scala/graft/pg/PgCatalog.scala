@@ -141,6 +141,11 @@ object PgCatalog {
     emptyView(spark, "pg_collation", "oid INT, collname STRING")
     // access methods: \dt on PG>=12 LEFT JOINs this (rows survive, am null)
     emptyView(spark, "pg_am", "oid INT, amname STRING")
+    // lock monitor: admin tools (DBeaver, pgAdmin) probe it when browsing
+    // sessions; there is no lock manager, so zero rows is the truth
+    emptyView(spark, "pg_locks",
+      "locktype STRING, database INT, relation INT, pid INT, mode STRING, " +
+        "granted BOOLEAN, virtualtransaction STRING, virtualxid STRING")
     // seeded (not empty) since round 5: the fastpath registry is the source
     // of truth, so FunctionCall clients can resolve OIDs by name and \df
     // shows real rows. prokind replaced proisagg/proiswindow in PG 11; \df

@@ -322,6 +322,9 @@ class PgGucSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(d === Seq(Seq("0", "default")))
       // Spark-native SHOW statements still route to Spark, not the GUC layer
       assert(c.simple("SHOW TABLES").forall(_._1 != 'E'))
+      // the lock-monitor probe admin tools issue: well-formed and empty
+      assert(c.rows(c.simple(
+        "SELECT count(*) FROM pg_locks WHERE granted")) === Seq(Seq("0")))
     }
   }
 }
