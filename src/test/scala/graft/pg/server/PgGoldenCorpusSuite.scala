@@ -287,6 +287,34 @@ class PgGoldenCorpusSuite extends AnyFunSuite with BeforeAndAfterAll {
     }.mkString("\n")
   }
 
+  /** Tripwire: the catalog views PgCatalog.register creates appear in every
+    * SHOW TABLES result in the golden corpus, so adding one silently stales
+    * show_tables.out (it happened three rounds running: information_schema,
+    * pg_stat_*, pg_locks). Pin the exact view list here, next to the goldens:
+    * a new view now fails THIS test with an instruction to regenerate, not a
+    * bare corpus diff.
+    */
+  test("catalog view list is pinned to the goldens") {
+    val pinned = Seq(
+      "information_schema_columns", "information_schema_schemata",
+      "information_schema_tables", "information_schema_views",
+      "pg_am", "pg_attrdef", "pg_attribute", "pg_class", "pg_collation",
+      "pg_constraint", "pg_database", "pg_depend", "pg_description",
+      "pg_index", "pg_inherits", "pg_locks", "pg_namespace", "pg_policy",
+      "pg_proc", "pg_roles", "pg_type", "pg_user")
+    val s = TestSpark.spark.newSession()
+    graft.pg.PgCatalog.register(s)
+    val live = s.catalog.listTables().collect().toSeq
+      .filter(t => t.isTemporary &&
+        (t.name.startsWith("pg_") || t.name.startsWith("information_schema_")))
+      .map(_.name).sorted
+    assert(live == pinned,
+      s"PgCatalog.register's view list changed (added: ${live.diff(pinned)}, " +
+        s"removed: ${pinned.diff(live)}). Regenerate the golden corpus with " +
+        "GOLDEN_REGEN=1 (SHOW TABLES output includes these views), eyeball " +
+        "the diff, THEN update this pin.")
+  }
+
   corpus.foreach { name =>
     test(s"golden: $name.sql") {
       assume(corpusDir.exists, "reference corpus not present")
