@@ -52,7 +52,13 @@ object PgFunctions {
     org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "set_config", {
       case Seq(Literal(n, _), Literal(v, _), _) =>
         val name = String.valueOf(n)
-        if (v == null) {
+        // PG applies set_config only at execution; Parse/Describe/EXPLAIN
+        // also analyze (where this resolves), so fold schema-correctly
+        // there WITHOUT mutating — the Execute re-analysis applies it
+        if (org.apache.spark.sql.graft.Internals.isAnalysisOnly) {
+          Literal(if (v == null) PgGuc.value(spark, name).getOrElse("")
+            else String.valueOf(v))
+        } else if (v == null) {
           PgGuc.reset(spark, name)
           Literal(PgGuc.value(spark, name).getOrElse(""))
         } else {
@@ -76,9 +82,13 @@ object PgFunctions {
     // (driver-side: delivery needs the session registry, not executor state)
     org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_notify", {
       case Seq(Literal(c, _), Literal(p, _)) =>
-        val sender = graft.pg.server.PgNotify.pidOf(spark).getOrElse(0)
-        graft.pg.server.PgNotify.notify(sender,
-          String.valueOf(c), if (p == null) "" else String.valueOf(p))
+        // delivery only at execution (see set_config above): preparing or
+        // explaining a pg_notify must not notify
+        if (!org.apache.spark.sql.graft.Internals.isAnalysisOnly) {
+          val sender = graft.pg.server.PgNotify.pidOf(spark).getOrElse(0)
+          graft.pg.server.PgNotify.notify(sender,
+            String.valueOf(c), if (p == null) "" else String.valueOf(p))
+        }
         Literal("")
       case args => throw new IllegalArgumentException(
         s"pg_notify expects literal (channel, payload), got $args")
@@ -87,13 +97,15 @@ object PgFunctions {
     // session registry). PG returns boolean: false for an unknown pid.
     org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_cancel_backend", {
       case Seq(Literal(p, _)) =>
-        Literal(graft.pg.server.SessionRegistry.adminCancel(String.valueOf(p).toInt))
+        Literal(!org.apache.spark.sql.graft.Internals.isAnalysisOnly &&
+          graft.pg.server.SessionRegistry.adminCancel(String.valueOf(p).toInt))
       case args => throw new IllegalArgumentException(
         s"pg_cancel_backend expects a literal pid, got $args")
     })
     org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_terminate_backend", {
       case Seq(Literal(p, _)) =>
-        Literal(graft.pg.server.SessionRegistry.adminTerminate(String.valueOf(p).toInt))
+        Literal(!org.apache.spark.sql.graft.Internals.isAnalysisOnly &&
+          graft.pg.server.SessionRegistry.adminTerminate(String.valueOf(p).toInt))
       case args => throw new IllegalArgumentException(
         s"pg_terminate_backend expects a literal pid, got $args")
     })

@@ -292,7 +292,11 @@ object PgGuc {
     */
   def registerSettingsView(spark: SparkSession): Unit = {
     val rows: Seq[Row] = registry.map { g =>
-      Row(g.lower, value(spark, g.canonical).getOrElse(""),
+      val v = value(spark, g.canonical).getOrElse("")
+      // PG stores the bare numeric value in `setting` with the unit in
+      // `unit` (monitoring tools compute setting::int * unit); the display
+      // form ('5s') is SHOW-only
+      Row(g.lower, if (g.unitMs) parseMs(v).toString else v,
         if (g.unitMs) "ms" else null,
         g.category, g.description, "user",
         if (overridden(spark, g)) "session" else "default")

@@ -237,14 +237,28 @@ object PgRewrite {
       val col = colName.getOrElse("generate_series")
       val body =
         if (literalArgs) {
+          // range()'s bound is exclusive: +1 for an ascending series, -1 for
+          // a descending one (a negative literal step). Wrong-direction
+          // bounds come out empty from range() itself, matching PG.
           val range =
-            if (args.size >= 3) s"range(${args(0)}, (${args(1)})+1, ${args(2)})"
-            else s"range(${args(0)}, (${args(1)})+1)"
+            if (args.size >= 3) {
+              val endAdj = if (args(2).trim.startsWith("-")) "-1" else "+1"
+              s"range(${args(0)}, (${args(1)})$endAdj, ${args(2)})"
+            } else s"range(${args(0)}, (${args(1)})+1)"
           s"SELECT id AS $col FROM $range"
         } else {
+          // sequence(a, b) with a > b produces a DESCENDING array (and a
+          // 3-arg sequence throws on a wrong-direction step) where PG
+          // returns zero rows — guard the direction so empty ranges stay
+          // empty. CASE evaluates the sequence only when the guard holds.
           val seq =
-            if (args.size >= 3) s"sequence(${args(0)}, ${args(1)}, ${args(2)})"
-            else s"sequence(${args(0)}, ${args(1)})"
+            if (args.size >= 3)
+              s"CASE WHEN ((${args(2)}) > 0 AND (${args(0)}) <= (${args(1)})) " +
+                s"OR ((${args(2)}) < 0 AND (${args(0)}) >= (${args(1)})) " +
+                s"THEN sequence(${args(0)}, ${args(1)}, ${args(2)}) ELSE array() END"
+            else
+              s"CASE WHEN (${args(0)}) <= (${args(1)}) " +
+                s"THEN sequence(${args(0)}, ${args(1)}) ELSE array() END"
           s"SELECT explode($seq) AS $col"
         }
       out.append(s"($body)")

@@ -68,9 +68,12 @@ final class Operation(val session: PgSession, val statement: String) {
     // under the default FIFO scheduler the property is inert
     sc.setLocalProperty("spark.scheduler.pool", s"graft-pg-${session.pid}")
     // PG statement_timeout: SET through the session conf, armed per
-    // statement, fires as a job-group cancel + SQLSTATE 57014
-    val timeoutMs =
-      Operation.parseTimeoutMs(session.spark.conf.get("statement_timeout", "0"))
+    // statement, fires as a job-group cancel + SQLSTATE 57014. Resolved
+    // through the same GUC layer SHOW uses (override -> startup default ->
+    // builtin), so a timeout seeded via the startup packet or pgjdbc's
+    // options=-c arms exactly as displayed.
+    val timeoutMs = Operation.parseTimeoutMs(
+      graft.pg.PgGuc.value(session.spark, "statement_timeout").getOrElse("0"))
     val timer = if (timeoutMs > 0) {
       Some(Operation.timeoutScheduler.schedule(new Runnable {
         override def run(): Unit = { timedOut.set(true); cancel() }

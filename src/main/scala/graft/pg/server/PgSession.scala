@@ -133,14 +133,36 @@ object SessionRegistry {
 
   private[server] def get(pid: Int): Option[PgSession] = Option(sessions.get(pid))
 
-  /** Reverse lookup: the session owning a given SparkSession (identity
-    * match — each wire session holds its own newSession() clone). Lets
-    * parser-level commands that only receive a SparkSession (NOTIFY,
-    * pg_notify) find their wire identity.
+  /** The pid of the session whose wire message this thread is currently
+    * processing (set by the server around every typed-message dispatch).
+    * Required for singleSession mode, where every connection shares the
+    * base SparkSession and an identity scan cannot tell connections apart.
+    */
+  private val currentPid = new ThreadLocal[Integer]
+
+  private[server] def withCurrentPid[T](pid: Int)(body: => T): T = {
+    val prev = currentPid.get()
+    currentPid.set(pid)
+    try body finally currentPid.set(prev)
+  }
+
+  /** Reverse lookup: the session owning a given SparkSession. The executing
+    * connection's pinned pid wins when its session holds this exact
+    * SparkSession (always true in singleSession mode, where the identity
+    * scan below would pick an arbitrary connection); the identity scan is
+    * the fallback for calls outside a wire dispatch (each multi-mode wire
+    * session holds its own newSession() clone). Lets parser-level commands
+    * that only receive a SparkSession (NOTIFY, pg_notify) find their wire
+    * identity.
     */
   private[server] def pidOfSession(spark: SparkSession): Option[Int] = {
     import scala.jdk.CollectionConverters._
-    sessions.values().asScala.find(_.spark eq spark).map(_.pid)
+    val pinned = currentPid.get()
+    if (pinned != null && get(pinned.intValue()).exists(_.spark eq spark)) {
+      Some(pinned.intValue())
+    } else {
+      sessions.values().asScala.find(_.spark eq spark).map(_.pid)
+    }
   }
 
   /** Close sessions idle past the timeout (reference idle reaping,

@@ -509,7 +509,14 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       // streaming handlers may flush full chunks and continue on a fresh
       // buffer (maybeFlush swaps currentOut); error handling and the final
       // write always target the live buffer
-      try handleTyped(t, ByteBuffer.wrap(payload), currentOut)
+      // pin the executing session's pid for the duration of the message:
+      // in singleSession mode every connection shares the base SparkSession,
+      // so a SparkSession→pid identity scan is ambiguous — pg_backend_pid /
+      // LISTEN / NOTIFY must attribute to THIS connection, not an arbitrary
+      // one (the handler runs off the I/O loop, one thread per message)
+      try SessionRegistry.withCurrentPid(session.pid) {
+        handleTyped(t, ByteBuffer.wrap(payload), currentOut)
+      }
       catch {
         case NonFatal(e) =>
           ServerStats.statementsFailed.incrementAndGet()
@@ -964,7 +971,14 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       }
       val plan = parser.parsePlan(stmt)
       ServerStats.statementsRun.incrementAndGet()
-      withOperation(stmt.take(80)) { runTrackingTimeZone {
+      // Spark's EXPLAIN never executes the explained query, so statement
+      // side effects resolving during its inner analysis (set_config,
+      // pg_notify) must stay inert — PG fires them only under EXPLAIN
+      // ANALYZE, which Spark has no equivalent of
+      val isExplain = plan.getClass.getSimpleName == "ExplainCommand"
+      def guarded[T](body: => T): T =
+        if (isExplain) Internals.analysisOnly(body) else body
+      withOperation(stmt.take(80)) { guarded { runTrackingTimeZone {
         // commands (incl. SetCommand) execute EAGERLY inside ofRows, so the
         // time-zone tracking must bracket the Dataset construction too
         val df = Internals.ofRows(session.spark, plan)
@@ -984,7 +998,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           df.collect() // run the command
           commandComplete(currentOut, commandTag(stmt, plan, 0))
         }
-      }}
+      }}}
   }
 
   /** 'P': parse + eager analysis so Describe can answer (reference

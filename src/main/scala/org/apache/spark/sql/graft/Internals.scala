@@ -51,9 +51,26 @@ object Internals {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution.analyzed
 
+  /** Marks this thread as running analysis with no execution to follow
+    * (extended-protocol Parse/Describe, EXPLAIN). Driver-side expression
+    * functions with session side effects (set_config, pg_notify) consult
+    * this: PG applies such effects only at execution, but they resolve —
+    * and would otherwise fire — during analysis.
+    */
+  private val analysisOnlyFlag = new ThreadLocal[java.lang.Boolean]
+
+  def analysisOnly[T](body: => T): T = {
+    val prev = analysisOnlyFlag.get()
+    analysisOnlyFlag.set(java.lang.Boolean.TRUE)
+    try body finally analysisOnlyFlag.set(prev)
+  }
+
+  def isAnalysisOnly: Boolean =
+    java.lang.Boolean.TRUE == analysisOnlyFlag.get()
+
   /** Schema of the analyzed plan without executing (Describe-before-Bind). */
   def analyzedSchema(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.types.StructType =
-    classic(spark).sessionState.executePlan(plan).analyzed.schema
+    analysisOnly { classic(spark).sessionState.executePlan(plan).analyzed.schema }
 
   /** Make this session the thread's active one so SQLConf.get (used by the
     * parser and rules) sees its per-session settings — required when serving

@@ -41,6 +41,23 @@ class PgDialectSuite extends AnyFunSuite {
       .map(_.getLong(0)) === Seq(0L, 4L, 8L))
   }
 
+  test("generate_series descending / empty ranges behave like PG") {
+    // descending literal step is inclusive of the lower bound
+    assert(rows("SELECT * FROM generate_series(5, 1, -2)").map(_.getLong(0)) ===
+      Seq(5L, 3L, 1L))
+    // empty ranges: zero rows, both literal and expression bounds
+    assert(rows("SELECT * FROM generate_series(1, 0)").isEmpty)
+    assert(rows("SELECT * FROM generate_series(1, 5, -1)").isEmpty)
+    assert(rows("SELECT * FROM generate_series(cast(1 AS int), (SELECT 0))").isEmpty)
+    // wrong-direction expression step: PG returns zero rows (Spark's raw
+    // sequence() would throw)
+    assert(rows(
+      "SELECT * FROM generate_series(cast(1 AS int), (SELECT 5), (SELECT -1))").isEmpty)
+    // expression bounds in the right direction still generate
+    assert(rows("SELECT * FROM generate_series(cast(1 AS int), (SELECT 3)) AS s(i)")
+      .map(_.getInt(0)) === Seq(1, 2, 3))
+  }
+
   test("substring from/for") {
     assert(rows("SELECT substring('spark sql' from 7 for 3) AS s") === Seq(Row("sql")))
     assert(rows("SELECT substring('spark sql' from 7) AS s") === Seq(Row("sql")))

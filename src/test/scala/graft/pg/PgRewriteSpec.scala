@@ -129,9 +129,21 @@ class PgRewriteSpec extends AnyFunSuite {
 
   test("generate_series with non-literal bounds falls back to explode(sequence)") {
     assert(PgRewrite("SELECT * FROM generate_series(1, array_upper(current_schemas(false), 1)) AS s(r)") ===
-      "SELECT * FROM (SELECT explode(sequence(1, array_upper(current_schemas(false), 1))) AS r) AS s")
+      "SELECT * FROM (SELECT explode(CASE WHEN (1) <= (array_upper(current_schemas(false), 1)) " +
+        "THEN sequence(1, array_upper(current_schemas(false), 1)) ELSE array() END) AS r) AS s")
     // literal bounds keep the distributed range() form
     assert(PgRewrite("SELECT * FROM generate_series(1, 5)") ===
       "SELECT * FROM (SELECT id AS generate_series FROM range(1, (5)+1))")
+  }
+
+  test("generate_series descending and empty ranges match PG") {
+    // literal negative step: range()'s exclusive bound flips to -1
+    assert(PgRewrite("SELECT * FROM generate_series(5, 1, -2)") ===
+      "SELECT * FROM (SELECT id AS generate_series FROM range(5, (1)-1, -2))")
+    // non-literal 3-arg: direction guard, so wrong-direction steps yield
+    // zero rows (PG) instead of a Spark sequence() error
+    assert(PgRewrite("SELECT * FROM generate_series(a, b, c) AS s(i)").contains(
+      "CASE WHEN ((c) > 0 AND (a) <= (b)) OR ((c) < 0 AND (a) >= (b)) " +
+        "THEN sequence(a, b, c) ELSE array() END"))
   }
 }

@@ -310,12 +310,60 @@ class PgGucSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("a startup-packet statement_timeout actually arms the timer") {
+    // regression: the timer used to read only the dotless SET-override key,
+    // so a timeout seeded via the startup packet (or pgjdbc options=-c, or
+    // restored by RESET to a startup default) was displayed by SHOW but
+    // never fired. Arm-time now resolves through the same PgGuc layer.
+    val c = new Client(appName = "arm_app",
+      extraParams = Seq("statement_timeout" -> "1200"))
+    c.connect()
+    try {
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("1200ms")))
+      val t0 = System.currentTimeMillis()
+      val msgs = c.simple("SELECT max(id * 2 + 1) FROM range(200000000000)")
+      assert(c.errorCode(msgs) === Some("57014"),
+        s"startup-seeded timeout must cancel (elapsed ${System.currentTimeMillis() - t0}ms)")
+      // the session is healthy afterwards
+      assert(c.rows(c.simple("SET statement_timeout = 0; SELECT 3 AS v"))
+        .contains(Seq("3")))
+    } finally c.close()
+  }
+
+  test("set_config applies at Execute, not at Parse/Describe or EXPLAIN") {
+    withClient() { c =>
+      c.simple("SET statement_timeout = 1000")
+      // extended-protocol Parse + Describe analyze the statement (where
+      // set_config resolves) but must not mutate — PG applies set_config
+      // only when the statement executes
+      c.parse("S_setcfg", "SELECT set_config('statement_timeout', '9000', false) AS v")
+      c.describeStatement("S_setcfg")
+      c.sync()
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("1s")))
+      // EXPLAIN never executes the query in Spark: no mutation either
+      c.simple("EXPLAIN SELECT set_config('statement_timeout', '9000', false)")
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("1s")))
+      // executing the prepared statement applies it and echoes the value
+      c.bind("", "S_setcfg")
+      c.execute("")
+      val r = c.sync()
+      assert(c.rows(r) === Seq(Seq("9000")))
+      assert(c.rows(c.simple("SHOW statement_timeout")) === Seq(Seq("9s")))
+      c.simple("RESET statement_timeout")
+    }
+  }
+
   test("pg_settings exposes live values with source tracking") {
     withClient() { c =>
       c.simple("SET statement_timeout = 30000")
       val r = c.rows(c.simple(
         "SELECT setting, unit, source FROM pg_settings WHERE name = 'statement_timeout'"))
-      assert(r === Seq(Seq("30s", "ms", "session")))
+      // PG stores the bare ms count in `setting` (tools compute
+      // setting::int * unit); '30s' is the SHOW-only display form
+      assert(r === Seq(Seq("30000", "ms", "session")))
+      assert(c.rows(c.simple(
+        "SELECT setting::int div 1000 AS s FROM pg_settings WHERE name = 'statement_timeout'"))
+        === Seq(Seq("30")))
       c.simple("RESET statement_timeout")
       val d = c.rows(c.simple(
         "SELECT setting, source FROM pg_settings WHERE name = 'statement_timeout'"))

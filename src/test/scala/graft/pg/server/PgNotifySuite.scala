@@ -29,8 +29,8 @@ class PgNotifySuite extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (server != null) server.stop()
 
-  private class Client {
-    private val sock = new Socket("127.0.0.1", port)
+  private class Client(connectPort: Int = port) {
+    private val sock = new Socket("127.0.0.1", connectPort)
     sock.setSoTimeout(30000)
     private val in = new DataInputStream(sock.getInputStream)
     private val os = new DataOutputStream(sock.getOutputStream)
@@ -119,6 +119,39 @@ class PgNotifySuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally { a.close(); b.close() }
   }
 
+  test("singleSession mode attributes pids per CONNECTION, not per SparkSession") {
+    // regression: every singleSession connection shares the base
+    // SparkSession, and the SparkSession→pid identity scan used to pick an
+    // arbitrary connection — LISTEN could register (and pg_backend_pid
+    // report) another connection's pid. The dispatch thread now pins the
+    // executing connection's pid.
+    val single = new PgWireServer(TestSpark.spark, port = 0,
+      config = PgServerConfig(singleSession = true))
+    single.start()
+    val a = new Client(single.boundPort); a.connect()
+    val b = new Client(single.boundPort); b.connect()
+    try {
+      def backendPid(c: Client): Int = {
+        val d = c.simple("SELECT pg_backend_pid() AS pid").find(_._1 == 'D').get._2
+        val buf = ByteBuffer.wrap(d)
+        buf.getShort // column count
+        val len = buf.getInt
+        val bytes = new Array[Byte](len); buf.get(bytes)
+        new String(bytes, UTF_8).toInt
+      }
+      assert(backendPid(a) === a.pid)
+      assert(backendPid(b) === b.pid)
+      // LISTEN registers the LISTENING connection; NOTIFY attributes the
+      // SENDING one — a must get the frame with b's pid as sender
+      assert(a.tags(a.simple("LISTEN singlechan")) === Seq("LISTEN"))
+      assert(b.tags(b.simple("NOTIFY singlechan, 'hi'")) === Seq("NOTIFY"))
+      val (senderPid, channel, payload) = decodeNotification(a.readOne())
+      assert(senderPid === b.pid)
+      assert(channel === "singlechan")
+      assert(payload === "hi")
+    } finally { a.close(); b.close(); single.stop() }
+  }
+
   test("a session receives its own notifications; payload defaults empty") {
     val c = new Client; c.connect()
     try {
@@ -185,6 +218,27 @@ class PgNotifySuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(senderPid === b.pid)
       assert(channel === "fnchan")
       assert(payload === "via function")
+    } finally { a.close(); b.close() }
+  }
+
+  test("EXPLAIN of pg_notify() does not deliver (execution-time side effect)") {
+    val a = new Client; a.connect()
+    val b = new Client; b.connect()
+    try {
+      a.simple("LISTEN explchan")
+      // EXPLAIN analyzes (where pg_notify resolves) but never executes:
+      // PG delivers nothing here
+      assert(b.simple("EXPLAIN SELECT pg_notify('explchan', 'phantom')")
+        .forall(_._1 != 'A'))
+      // a real execution afterwards delivers exactly one frame with the
+      // real payload — nothing queued from the EXPLAIN
+      b.simple("SELECT pg_notify('explchan', 'real') AS r")
+      val (senderPid, channel, payload) = decodeNotification(a.readOne())
+      assert(senderPid === b.pid)
+      assert(channel === "explchan")
+      assert(payload === "real")
+      // nothing else pending
+      assert(a.simple("SELECT 5").exists(_._1 == 'D'))
     } finally { a.close(); b.close() }
   }
 
