@@ -1016,9 +1016,6 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val plan =
       if (sql.trim.isEmpty) org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()
       else parser.parsePlan(sql)
-    val schema =
-      if (sql.trim.isEmpty) new StructType()
-      else Internals.analyzedSchema(session.spark, plan)
     val paramIds = plan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case ParameterPlaceHolder(id) => id
@@ -1028,6 +1025,22 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
             .value.toString.toInt
       })
     }.flatten.distinct.sorted
+    val schema =
+      if (sql.trim.isEmpty) new StructType()
+      else try Internals.analyzedSchema(session.spark, plan)
+      catch {
+        case NonFatal(e) if paramIds.nonEmpty =>
+          // a placeholder in an eagerly-evaluated position — pgjdbc's batch
+          // INSERT ... VALUES ($1, $2) hits Spark's inline-table evaluation
+          // at analysis. PG prepares these fine; analyze with NULL stand-ins
+          // purely for the Describe schema (Bind substitutes real values and
+          // re-analyzes from the ORIGINAL placeholder plan)
+          val nulls: Map[Int, Any] = paramIds.map(id => id ->
+            org.apache.spark.sql.catalyst.expressions.Literal(null,
+              org.apache.spark.sql.types.NullType)).toMap
+          try Internals.analyzedSchema(session.spark, PgDialect.bind(plan, nulls))
+          catch { case NonFatal(_) => throw e }
+      }
     session.statements(name) = Prepared(name, sql, plan, paramIds, schema, declaredOids)
     parseComplete(out)
   }

@@ -497,6 +497,63 @@ class PgJdbcFlowSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("executeBatch: pipelined Bind/Execute rounds under one Sync") {
+    // pgjdbc's addBatch/executeBatch sends Parse once, then one Bind+Execute
+    // per batch row, and a SINGLE Sync at the end — the whole batch rides in
+    // one network write (PgJdbcSuite's batch-insert path in the reference).
+    // Every round must answer BindComplete + CommandComplete, with exactly
+    // one ReadyForQuery at the end, and an error in round k must skip the
+    // remaining rounds until Sync (pgjdbc surfaces BatchUpdateException).
+    withClient { c =>
+      c.send('Q', c.cstr("DROP TABLE IF EXISTS jdbc_batch_t"))
+      c.drainUntilReady()
+      val created = c.oneShot(
+        "CREATE TABLE jdbc_batch_t (id INT, name STRING) USING parquet")
+      assert(!created.exists(_._1 == 'E'),
+        new String(created.find(_._1 == 'E').map(_._2).getOrElse(Array.empty), UTF_8))
+      try {
+        c.parse("S_ins", "INSERT INTO jdbc_batch_t VALUES ($1, $2)", Seq(23, 1043))
+        c.describeStatement("S_ins")
+        val batch = Seq("1" -> "alpha", "2" -> "beta", "3" -> "gamma", "4" -> "delta")
+        batch.foreach { case (id, name) =>
+          c.bind("", "S_ins", Seq(id, name))
+          c.execute("", 1) // pgjdbc passes its fetchSize; commands ignore it
+        }
+        val r = c.sync()
+        assert(!r.exists(_._1 == 'E'),
+          s"batch must succeed: ${new String(r.find(_._1 == 'E').map(_._2).getOrElse(Array.empty), UTF_8)}")
+        // 1 ParseComplete, ParameterDescription + NoData for the Describe,
+        // then per round BindComplete + CommandComplete, one ReadyForQuery
+        assert(c.types(r) === "1tn" + "2C" * batch.size + "Z")
+        assert(c.paramOids(r) === Seq(23, 1043))
+        val tags = c.commandTags(r)
+        assert(tags.size === batch.size)
+        assert(tags.forall(_.startsWith("INSERT 0")), tags.toString)
+        // the rows actually landed, in executable order
+        val check = c.oneShot("SELECT id, name FROM jdbc_batch_t ORDER BY id")
+        assert(c.rows(check) ===
+          Seq(Seq("1", "alpha"), Seq("2", "beta"), Seq("3", "gamma"), Seq("4", "delta")))
+        // error mid-batch: pipelined frames after the failure are skipped
+        // until Sync — exactly one ErrorResponse, no partial execution after
+        c.bind("", "S_ins", Seq("5", "epsilon"))
+        c.execute("", 1)
+        c.bind("", "S_ins", Seq("not_an_int", "zeta"))
+        c.execute("", 1)
+        c.bind("", "S_ins", Seq("7", "eta"))
+        c.execute("", 1)
+        val e = c.sync()
+        assert(e.count(_._1 == 'E') === 1, c.types(e))
+        // round 5 completed before the failure; round 7 was skipped
+        val after = c.oneShot("SELECT count(*) AS n FROM jdbc_batch_t WHERE id >= 5")
+        assert(c.rows(after) === Seq(Seq("1")))
+        c.closeStatement("S_ins"); c.sync()
+      } finally {
+        c.send('Q', c.cstr("DROP TABLE IF EXISTS jdbc_batch_t"))
+        c.drainUntilReady()
+      }
+    }
+  }
+
   test("TypeInfoCache type-lookup query ($1-parameterized, subscripted schemas)") {
     withClient { c =>
       val sql =
