@@ -244,6 +244,21 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
       val payload = new Array[Byte](len - 4)
       in.readBytes(payload)
       out.add(Typed(tpe, payload))
+      // inbound backpressure: frames decoded here (I/O loop) queue for the
+      // off-loop handler; a client outpacing execution — COPY FROM STDIN
+      // streaming gigabytes while a 50k-row batch flushes, or a deep
+      // pipelined batch — would otherwise buffer unboundedly in the
+      // executor queue. Past the high-water mark, stop reading the socket
+      // (TCP pushes back to the client); the handler re-opens it once the
+      // backlog drains below the low-water mark.
+      val attr = ctx.channel().attr(PgFrameDecoder.PendingInBytes)
+      if (attr.get() == null) { // decode is single-threaded per channel
+        attr.set(new java.util.concurrent.atomic.AtomicLong)
+      }
+      val pending = attr.get()
+      if (pending.addAndGet(5L + payload.length) > PgFrameDecoder.InboundHighWater) {
+        ctx.channel().config().setAutoRead(false)
+      }
     }
   }
 }
@@ -253,6 +268,33 @@ private object PgFrameDecoder {
     * pre-auth allocation while leaving room for very large statements
     */
   val MaxFrameBytes: Int = 64 << 20
+
+  /** bytes decoded but not yet processed by the off-loop handler */
+  val PendingInBytes: io.netty.util.AttributeKey[java.util.concurrent.atomic.AtomicLong] =
+    io.netty.util.AttributeKey.valueOf("graft-pending-in-bytes")
+  /** stop reading past this backlog; resume below the low mark. High enough
+    * that normal pipelined batches never trip it, low enough that a
+    * gigabyte-scale COPY holds ~one flush batch of frames in memory.
+    */
+  val InboundHighWater: Long = 32L << 20
+  val InboundLowWater: Long = 8L << 20
+
+  /** Handler-side release: subtract the processed frame, reopen the socket
+    * once the backlog drains (scheduled on the channel's own loop so it
+    * serializes with decode's setAutoRead(false)).
+    */
+  def release(ch: io.netty.channel.Channel, frameBytes: Long): Unit = {
+    val pending = ch.attr(PendingInBytes).get()
+    if (pending != null &&
+        pending.addAndGet(-frameBytes) <= InboundLowWater &&
+        !ch.config().isAutoRead) {
+      ch.eventLoop().execute(() => {
+        if (!ch.config().isAutoRead && pending.get() <= InboundLowWater) {
+          ch.config().setAutoRead(true)
+        }
+      })
+    }
+  }
 }
 
 /** Splits SQL scripts on top-level semicolons (quote-, ident- and
@@ -486,6 +528,14 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       }
 
     case Typed(tpe, payload) =>
+      // every early return below must release the frame's inbound budget —
+      // bracket the whole branch (see PgFrameDecoder's backpressure notes)
+      try dispatchTyped(ctx, tpe, payload)
+      finally PgFrameDecoder.release(ctx.channel(), 5L + payload.length)
+  }
+
+  private def dispatchTyped(ctx: ChannelHandlerContext, tpe: Byte,
+      payload: Array[Byte]): Unit = {
       if (session == null) { // typed frame before Startup: protocol violation
         val err = ctx.alloc().buffer()
         errorResponse(err, "protocol violation: message before startup", "08P01")
