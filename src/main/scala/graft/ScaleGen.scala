@@ -17,6 +17,19 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional table subset (comma-separated) for targeted probes — the
+    // sf10 dedup check needs 100x documents, not 100x lineitem
+    val onlyTables = args.lift(3).map(_.split(',').map(_.trim).toSet)
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
+    // "salt": per-copy token salt on documents.text. Plain copies are EXACT
+    // duplicates, so every doc gains `copies` replicas and pair-emitting
+    // dedup (MinHash/SimHash buckets) produces O(copies²) output — measuring
+    // output explosion, not pipeline throughput. Salting every token with
+    // the copy index keeps each copy's INTERNAL shingle/segment structure
+    // isomorphic (within-copy dups survive) while killing all cross-copy
+    // similarity: dup density per copy matches the base corpus and volume
+    // scales linearly — the honest setup for a throughput-linearity probe.
+    val saltText = args.lift(4).contains("salt")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,20 +49,26 @@ object ScaleGen {
     def scaled(name: String, keyShifts: Map[String, Long]): Unit = {
       val base = Tables.df(spark, src, name)
       val un = (0 until copies).map { i =>
-        keyShifts.foldLeft(base) { case (df, (c, spacing)) =>
+        val shifted = keyShifts.foldLeft(base) { case (df, (c, spacing)) =>
           df.withColumn(c, col(c) + lit(i * spacing))
         }
+        if (saltText && name == "documents") {
+          shifted.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit("_"), lit(i)))))
+        } else shifted
       }.reduce(_ unionAll _)
       un.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
 
-    Seq("region", "nation", "customer", "supplier", "part").foreach(copyOf)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(wanted).foreach(copyOf)
     val orderSpacing = 1000000000L
-    scaled("orders", Map("o_orderkey" -> orderSpacing))
-    scaled("lineitem", Map("l_orderkey" -> orderSpacing))
-    scaled("events", Map("event_id" -> 100000000L))
-    scaled("documents", Map("doc_id" -> 10000000L))
-    scaled("embeddings", Map("vec_id" -> 10000000L))
+    if (wanted("orders")) scaled("orders", Map("o_orderkey" -> orderSpacing))
+    if (wanted("lineitem")) scaled("lineitem", Map("l_orderkey" -> orderSpacing))
+    if (wanted("events")) scaled("events", Map("event_id" -> 100000000L))
+    if (wanted("documents")) scaled("documents", Map("doc_id" -> 10000000L))
+    if (wanted("embeddings")) scaled("embeddings", Map("vec_id" -> 10000000L))
     // scalastyle:off println
     println(s"wrote ${copies}x of $src to $out")
     // scalastyle:on println
