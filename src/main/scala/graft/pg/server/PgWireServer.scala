@@ -784,6 +784,10 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         case _ => "BEGIN"
       }
       case _ => first match {
+        case "WITH" if plan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement]) =>
+          // a CTE-led INSERT tags INSERT in PG, not SELECT
+          s"INSERT 0 $rows"
         case "SELECT" | "WITH" | "VALUES" | "TABLE" => s"SELECT $rows"
         case "SET" => "SET"
         case "RESET" => "RESET"
@@ -1046,7 +1050,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           commandComplete(currentOut, commandTag(stmt, plan, n))
         } else {
           df.collect() // run the command
-          commandComplete(currentOut, commandTag(stmt, plan, 0))
+          // INSERT's tag carries the real written-row count in PG
+          commandComplete(currentOut,
+            commandTag(stmt, plan, Internals.writtenRows(df).getOrElse(0L)))
         }
       }}}
   }
@@ -1185,10 +1191,14 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       return
     }
     if (portal.schema.isEmpty) {
-      withOperation(portal.stmt.sql.take(80)) {
-        runTrackingTimeZone(Internals.ofRows(session.spark, portal.bound).collect())
+      val written = withOperation(portal.stmt.sql.take(80)) {
+        runTrackingTimeZone {
+          val df = Internals.ofRows(session.spark, portal.bound)
+          df.collect()
+          Internals.writtenRows(df).getOrElse(0L)
+        }
       }
-      commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, 0))
+      commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, written))
       return
     }
     val writer = RowCodec.rowWriter(portal.schema, portal.formats, sessionZone)

@@ -78,4 +78,23 @@ object Internals {
     */
   def setActiveSession(spark: SparkSession): Unit =
     CSparkSession.setActiveSession(classic(spark))
+
+  /** Rows written by an already-executed command Dataset (INSERT/CTAS),
+    * from the write node's "number of output rows" metric — PG's INSERT tag
+    * carries the real count and pgjdbc's executeBatch reads update counts
+    * from it. None when the plan has no write node (non-write commands).
+    */
+  def writtenRows(df: DataFrame): Option[Long] = {
+    val qe = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution
+    val phys = qe.executedPlan match {
+      case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+      case p => p
+    }
+    phys.collectFirst {
+      case d: org.apache.spark.sql.execution.command.DataWritingCommandExec =>
+        d.metrics.get("numOutputRows").map(_.value)
+      case w: org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec =>
+        w.metrics.get("numOutputRows").map(_.value)
+    }.flatten
+  }
 }
