@@ -1013,7 +1013,49 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     case _ => false
   }
 
+  /** PG's `EXPLAIN ANALYZE` (and the `EXPLAIN (ANALYZE ...)` option form):
+    * EXECUTE the statement, then report the plan that actually ran with its
+    * measured metrics — Spark's own EXPLAIN never executes, so this is the
+    * one way to see post-AQE plans and real row counts through psql. The
+    * result rows are discarded exactly as PG does (queries run through the
+    * noop sink, fully distributed — no driver materialization); statement
+    * side effects fire, matching PG's EXPLAIN ANALYZE semantics.
+    */
+  private val explainAnalyzeRe =
+    """(?is)\s*EXPLAIN\s+(?:\(\s*ANALYZE[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
+
+  private def runExplainAnalyze(inner: String): Unit = {
+    refreshDynamicViews(inner)
+    val plan = parser.parsePlan(inner)
+    ServerStats.statementsRun.incrementAndGet()
+    val lines = withOperation(inner.take(80)) { runTrackingTimeZone {
+      val df = Internals.ofRows(session.spark, plan)
+      val t0 = System.nanoTime()
+      if (df.schema.nonEmpty) {
+        Internals.executeAndDiscard(df) // this plan instance, on-executor discard
+      } else {
+        df.collect() // commands execute eagerly; nothing to discard
+      }
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      Internals.executedPlanWithMetrics(df) :+ f"Execution Time: $wallMs%.3f ms"
+    }}
+    val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "QUERY PLAN", StringType)))
+    rowDescription(currentOut, schema, Seq(false))
+    val writer = RowCodec.rowWriter(schema, Seq(false), sessionZone)
+    val scratch = new Scratch
+    val rows = lines.map(l =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(l)))
+    rows.foreach(r => writeDataRow(currentOut, 1, writer, r, scratch))
+    commandComplete(currentOut, "EXPLAIN")
+  }
+
   private def runRegularStatement(stmt: String): Unit = {
+      stmt match {
+        case explainAnalyzeRe(inner) => runExplainAnalyze(inner); return
+        case _ =>
+      }
       if (runSessionStateStatement(stmt)) return
       if (PgCatalog.isFeatureAbsentQuery(stmt)) {
         // zero rows for feature-absent catalog relations (see PgCatalog)

@@ -79,6 +79,43 @@ object Internals {
   def setActiveSession(spark: SparkSession): Unit =
     CSparkSession.setActiveSession(classic(spark))
 
+  /** Execute a query Dataset's OWN physical plan, discarding rows on the
+    * executors (no driver materialization). A sink-based run (noop write)
+    * would execute a separate write QueryExecution and leave this plan's
+    * metrics at zero — EXPLAIN ANALYZE must measure the instance it prints.
+    */
+  def executeAndDiscard(df: DataFrame): Unit = {
+    val qe = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution
+    qe.executedPlan.execute().foreach(_ => ())
+  }
+
+  /** The executed physical plan rendered one node per line with its
+    * post-execution metric values — the body of PG-style `EXPLAIN ANALYZE`
+    * output. Descends into the ADAPTIVE plan's final form and into query
+    * stages, so what prints is what actually ran (AQE re-plans included).
+    */
+  def executedPlanWithMetrics(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val qe = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution
+    val out = Seq.newBuilder[String]
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val metrics = p.metrics.toSeq.sortBy(_._1).collect {
+        case (k, m) if m.value != 0 => s"$k=${m.value}"
+      }
+      val prefix = if (depth == 0) "" else "  " * (depth - 1) + "-> "
+      out += (prefix + p.nodeName +
+        (if (metrics.nonEmpty) metrics.mkString(" (", ", ", ")") else ""))
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: QueryStageExec => walk(q.plan, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(qe.executedPlan, 0)
+    out.result()
+  }
+
   /** Rows written by an already-executed command Dataset (INSERT/CTAS),
     * from the write node's "number of output rows" metric — PG's INSERT tag
     * carries the real count and pgjdbc's executeBatch reads update counts

@@ -50,6 +50,26 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SELECT * FROM generate_series(1, 3)") === "1\n2\n3")
   }
 
+  test("psql: EXPLAIN ANALYZE executes and reports the ran plan with metrics") {
+    val out = psql("EXPLAIN ANALYZE SELECT l_returnflag, count(*) AS n " +
+      "FROM parquet.`/root/testdata/sf0.001/lineitem.parquet` " +
+      "GROUP BY l_returnflag")
+    // the post-AQE executed plan with real metric values, PG-style column
+    assert(out.contains("HashAggregate"), out)
+    assert(out.contains("numOutputRows="), out)
+    assert(out.contains("Execution Time:"), out)
+    // it EXECUTED (PG semantics): a GUC mutation through EXPLAIN ANALYZE
+    // lands, unlike plain EXPLAIN (analysis-only)
+    psql("EXPLAIN ANALYZE SELECT set_config('graft.ea_probe', 'ran', false); " +
+      "SELECT current_setting('graft.ea_probe')") match {
+      case s => assert(s.linesIterator.toSeq.last === "ran", s)
+    }
+    // plain Spark EXPLAIN still routes to Spark untouched
+    assert(psql("EXPLAIN SELECT 1").contains("== Physical Plan =="))
+    // the option form works too
+    assert(psql("EXPLAIN (ANALYZE, VERBOSE) SELECT 5").contains("Execution Time:"))
+  }
+
   test("psql: real parquet scan with aggregation") {
     val out = psql(
       "SELECT l_returnflag, count(*) AS n FROM parquet.`/root/testdata/sf0.001/lineitem.parquet` GROUP BY l_returnflag ORDER BY l_returnflag")
