@@ -792,6 +792,23 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         case "SET" => "SET"
         case "RESET" => "RESET"
         case "INSERT" => s"INSERT 0 $rows"
+        case "UPDATE" => s"UPDATE $rows"
+        case "DELETE" => s"DELETE $rows"
+        case "MERGE" => s"MERGE $rows"
+        // (deviation: PG tags CTAS "SELECT n"; Spark's CTAS command exposes
+        // no written-row metric, so CTAS keeps the truthful "CREATE TABLE"
+        // rather than a fabricated "SELECT 0")
+        // PG DDL tags carry the object type ("CREATE TABLE", "DROP VIEW");
+        // modifier words before the object are skipped
+        case "CREATE" | "DROP" | "ALTER" =>
+          val skip = Set("OR", "REPLACE", "IF", "NOT", "EXISTS", "GLOBAL",
+            "LOCAL", "TEMP", "TEMPORARY", "EXTERNAL", "UNIQUE", "MATERIALIZED")
+          sql.trim.split("\\s+").iterator.map(_.toUpperCase).drop(1)
+            .find(w => !skip(w)) match {
+            case Some(obj) if obj.forall(c => c.isLetter) => s"$first $obj"
+            case _ => first
+          }
+        case "TRUNCATE" => "TRUNCATE TABLE"
         case "" => "SELECT 0"
         case other => other
       }

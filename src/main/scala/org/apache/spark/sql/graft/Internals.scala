@@ -132,6 +132,11 @@ object Internals {
         d.metrics.get("numOutputRows").map(_.value)
       case w: org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec =>
         w.metrics.get("numOutputRows").map(_.value)
+      // CTAS is a LeafRunnableCommand whose write-stats metrics live on the
+      // command itself (it threads them into its nested insert execution)
+      case e: org.apache.spark.sql.execution.command.ExecutedCommandExec
+          if e.metrics.contains("numOutputRows") =>
+        e.metrics.get("numOutputRows").map(_.value)
     }.flatten
   }
 }

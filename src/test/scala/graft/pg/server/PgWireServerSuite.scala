@@ -50,6 +50,43 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("SELECT * FROM generate_series(1, 3)") === "1\n2\n3")
   }
 
+  test("psql: PG-style command tags for DDL, CTAS and writes") {
+    // psql prints the server's CommandComplete tag for row-less statements —
+    // PG's tags carry the object type ("CREATE TABLE", not "CREATE")
+    def tagOf(sql: String): String = {
+      val out = new StringBuilder
+      val rc = scala.sys.process.Process(Seq("psql",
+        s"host=127.0.0.1 port=$port dbname=default user=graft", "-At", "-c", sql))
+        .!(scala.sys.process.ProcessLogger(
+          l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+      assert(rc === 0, s"psql failed for [$sql]: $out")
+      out.toString.trim.linesIterator.toSeq.last
+    }
+    tagOf("DROP DATABASE IF EXISTS tagdb CASCADE")
+    // the in-memory catalog resets per JVM but spark-warehouse persists: a
+    // stale physical dir from a killed run fails CREATE TABLE (same
+    // pre-clean the golden corpus does)
+    val whDir = java.nio.file.Paths.get(new java.net.URI(
+      TestSpark.spark.conf.get("spark.sql.warehouse.dir")).getPath).resolve("tagdb.db")
+    if (java.nio.file.Files.exists(whDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(whDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    assert(tagOf("CREATE DATABASE tagdb") === "CREATE DATABASE")
+    assert(tagOf("CREATE TABLE tagdb.tag_t (a INT, b STRING) USING parquet") === "CREATE TABLE")
+    assert(tagOf("INSERT INTO tagdb.tag_t VALUES (1, 'x'), (2, 'y')") === "INSERT 0 2")
+    // deviation noted in commandTag: PG tags CTAS "SELECT n", but Spark's
+    // CTAS command exposes no written-row metric — truthful CREATE TABLE
+    assert(tagOf("CREATE TABLE tagdb.tag_ctas USING parquet AS SELECT * FROM tagdb.tag_t") === "CREATE TABLE")
+    assert(tagOf("ALTER TABLE tagdb.tag_t ADD COLUMNS (c DOUBLE)") === "ALTER TABLE")
+    assert(tagOf("CREATE OR REPLACE TEMPORARY VIEW tag_v AS SELECT 1 AS one") === "CREATE VIEW")
+    assert(tagOf("TRUNCATE TABLE tagdb.tag_ctas") === "TRUNCATE TABLE")
+    assert(tagOf("DROP TABLE IF EXISTS tagdb.tag_ctas") === "DROP TABLE")
+    assert(tagOf("DROP TABLE tagdb.tag_t") === "DROP TABLE")
+    assert(tagOf("DROP DATABASE tagdb") === "DROP DATABASE")
+  }
+
   test("psql: EXPLAIN ANALYZE executes and reports the ran plan with metrics") {
     val out = psql("EXPLAIN ANALYZE SELECT l_returnflag, count(*) AS n " +
       "FROM parquet.`/root/testdata/sf0.001/lineitem.parquet` " +
