@@ -20,7 +20,13 @@ final case class Prepared(
     plan: LogicalPlan,
     paramIds: Seq[Int],
     schema: StructType,
-    paramOids: Seq[Int] = Seq.empty)
+    paramOids: Seq[Int] = Seq.empty,
+    /** PG EXPLAIN ANALYZE prepared over the extended protocol (DBeaver's
+      * explain button, pgjdbc executeQuery): `plan` is the INNER statement,
+      * executed at Execute time with its plan+metrics streamed as the
+      * one-column QUERY PLAN result.
+      */
+    explainAnalyze: Boolean = false)
 
 /** A bound portal ('B'): statement + bound plan + result formats + the
   * cursor position across Execute calls (reference PortalState

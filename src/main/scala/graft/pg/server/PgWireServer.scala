@@ -1041,12 +1041,16 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   private val explainAnalyzeRe =
     """(?is)\s*EXPLAIN\s+(?:\(\s*ANALYZE[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
 
-  private def runExplainAnalyze(inner: String): Unit = {
-    refreshDynamicViews(inner)
-    val plan = parser.parsePlan(inner)
-    ServerStats.statementsRun.incrementAndGet()
-    val lines = withOperation(inner.take(80)) { runTrackingTimeZone {
-      val df = Internals.ofRows(session.spark, plan)
+  private val explainAnalyzeSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("QUERY PLAN", StringType)))
+
+  /** Execute `bound` and render the ran plan + metrics as QUERY PLAN lines
+    * (shared by the simple-query and extended-protocol EXPLAIN ANALYZE
+    * paths; callers wrap in withOperation).
+    */
+  private def explainAnalyzeLines(bound: LogicalPlan): Seq[String] =
+    runTrackingTimeZone {
+      val df = Internals.ofRows(session.spark, bound)
       val t0 = System.nanoTime()
       if (df.schema.nonEmpty) {
         Internals.executeAndDiscard(df) // this plan instance, on-executor discard
@@ -1055,16 +1059,22 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       }
       val wallMs = (System.nanoTime() - t0) / 1e6
       Internals.executedPlanWithMetrics(df) :+ f"Execution Time: $wallMs%.3f ms"
-    }}
-    val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
-      "QUERY PLAN", StringType)))
-    rowDescription(currentOut, schema, Seq(false))
-    val writer = RowCodec.rowWriter(schema, Seq(false), sessionZone)
+    }
+
+  private def explainAnalyzeRows(lines: Seq[String]): Iterator[InternalRow] =
+    lines.iterator.map(l => org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(l)))
+
+  private def runExplainAnalyze(inner: String): Unit = {
+    refreshDynamicViews(inner)
+    val plan = parser.parsePlan(inner)
+    ServerStats.statementsRun.incrementAndGet()
+    val lines = withOperation(inner.take(80)) { explainAnalyzeLines(plan) }
+    rowDescription(currentOut, explainAnalyzeSchema, Seq(false))
+    val writer = RowCodec.rowWriter(explainAnalyzeSchema, Seq(false), sessionZone)
     val scratch = new Scratch
-    val rows = lines.map(l =>
-      org.apache.spark.sql.catalyst.InternalRow(
-        org.apache.spark.unsafe.types.UTF8String.fromString(l)))
-    rows.foreach(r => writeDataRow(currentOut, 1, writer, r, scratch))
+    explainAnalyzeRows(lines).foreach(r =>
+      writeDataRow(currentOut, 1, writer, r, scratch))
     commandComplete(currentOut, "EXPLAIN")
   }
 
@@ -1128,9 +1138,16 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     PgDialect.registerParamFunction(session.spark)
     // the empty statement is legal in the extended protocol (pgjdbc's
     // isValid() runs it): Parse succeeds, Execute answers EmptyQueryResponse
+    // EXPLAIN ANALYZE prepares over the extended protocol too (DBeaver's
+    // explain action, pgjdbc executeQuery): prepare the INNER statement,
+    // Describe answers the one-column QUERY PLAN schema, Execute runs it
+    val (effectiveSql, isExplainAnalyze) = sql match {
+      case explainAnalyzeRe(inner) => (inner, true)
+      case _ => (sql, false)
+    }
     val plan =
       if (sql.trim.isEmpty) org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()
-      else parser.parsePlan(sql)
+      else parser.parsePlan(effectiveSql)
     val paramIds = plan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case ParameterPlaceHolder(id) => id
@@ -1140,7 +1157,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
             .value.toString.toInt
       })
     }.flatten.distinct.sorted
-    val schema =
+    val innerSchema =
       if (sql.trim.isEmpty) new StructType()
       else try Internals.analyzedSchema(session.spark, plan)
       catch {
@@ -1156,7 +1173,10 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           try Internals.analyzedSchema(session.spark, PgDialect.bind(plan, nulls))
           catch { case NonFatal(_) => throw e }
       }
-    session.statements(name) = Prepared(name, sql, plan, paramIds, schema, declaredOids)
+    // EA validated the inner statement above; its RESULT is the plan text
+    val schema = if (isExplainAnalyze) explainAnalyzeSchema else innerSchema
+    session.statements(name) = Prepared(name, sql, plan, paramIds, schema,
+      declaredOids, explainAnalyze = isExplainAnalyze)
     parseComplete(out)
   }
 
@@ -1198,6 +1218,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     }.toMap[Int, Any]
     val bound = PgDialect.bind(stmt.plan, litParams)
     val schema = if (stmt.sql.trim.isEmpty) new StructType()
+      else if (stmt.explainAnalyze) explainAnalyzeSchema // result = plan text
       else Internals.analyzedSchema(session.spark, bound)
     val formats = schema.fields.zipWithIndex.map { case (f, i) =>
       val want = if (resFormats.isEmpty) 0
@@ -1266,7 +1287,12 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     var suspended = false
     withOperation(portal.stmt.sql.take(80)) {
       if (!portal.started) {
-        portal.rows = resultIterator(Internals.ofRows(session.spark, portal.bound))
+        portal.rows =
+          if (portal.stmt.explainAnalyze) {
+            explainAnalyzeRows(explainAnalyzeLines(portal.bound))
+          } else {
+            resultIterator(Internals.ofRows(session.spark, portal.bound))
+          }
       }
       while (portal.rows.hasNext && !suspended) {
         writeDataRow(currentOut, portal.schema.length, writer, portal.rows.next(), scratch)

@@ -556,6 +556,29 @@ class PgJdbcFlowSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("EXPLAIN ANALYZE over the extended protocol (DBeaver's explain action)") {
+    withClient { c =>
+      // GUI clients prepare EXPLAIN ANALYZE like any statement: Describe
+      // must answer the one-column QUERY PLAN schema before Execute, and
+      // Execute runs the inner statement ($1 binds included) and streams
+      // the ran plan with metrics
+      c.parse("S_ea", "EXPLAIN ANALYZE SELECT max(id * $1) FROM range(0, 1000, 1, 4)", Seq(23))
+      c.describeStatement("S_ea")
+      c.bind("", "S_ea", Seq("3"))
+      c.execute("", 0)
+      val r = c.sync()
+      assert(!r.exists(_._1 == 'E'),
+        s"EA must prepare+run: ${new String(r.find(_._1 == 'E').map(_._2).getOrElse(Array.empty), UTF_8)}")
+      assert(c.fields(r).map(_._1) === Seq("QUERY PLAN"))
+      val lines = c.rows(r).map(_.head)
+      assert(lines.exists(_.contains("HashAggregate")), lines.toString)
+      assert(lines.exists(_.contains("numOutputRows=")), lines.toString)
+      assert(lines.last.startsWith("Execution Time:"), lines.toString)
+      assert(c.commandTags(r) === Seq("EXPLAIN"))
+      c.closeStatement("S_ea"); c.sync()
+    }
+  }
+
   test("TypeInfoCache type-lookup query ($1-parameterized, subscripted schemas)") {
     withClient { c =>
       val sql =
