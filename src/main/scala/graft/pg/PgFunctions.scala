@@ -73,6 +73,26 @@ object PgFunctions {
         s"set_config expects (name, value, is_local), got $args")
     })
     u.register("current_schema", () => PgCatalog.defaultNamespace)
+    // `SELECT version()` must parse as PostgreSQL for version-sniffing
+    // clients (SQLAlchemy, psycopg's server checks) — Spark's own version()
+    // returns a bare Spark build string they reject. Driver-side: reads the
+    // announced server_version from the session.
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "version",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(
+        s"PostgreSQL ${PgGuc.value(spark, "server_version").getOrElse("9.6.0")} " +
+          s"graft on Apache Spark ${org.apache.spark.SPARK_VERSION}"))
+    // pg_sleep(seconds): a plain UDF so the sleep runs at EXECUTION on an
+    // executor (clients use it to exercise statement_timeout and cancel)
+    u.register("pg_sleep", (s: Double) => {
+      Thread.sleep(math.max(0L, (s * 1000).toLong)); ""
+    })
+    // failover/monitoring probes (no recovery mode here: always primary)
+    u.register("pg_is_in_recovery", () => false)
+    org.apache.spark.sql.graft.Internals.registerExprFunction(spark,
+      "pg_postmaster_start_time",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new java.sql.Timestamp(graft.pg.server.ServerStats.startedAt),
+        org.apache.spark.sql.types.TimestampType))
     // the wire pid of this session (0 outside the server) — driver-side so
     // `WHERE pid = pg_backend_pid()` against pg_stat_activity works
     org.apache.spark.sql.graft.Internals.registerExprFunction(spark, "pg_backend_pid",

@@ -107,6 +107,25 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("EXPLAIN (ANALYZE, VERBOSE) SELECT 5").contains("Execution Time:"))
   }
 
+  test("psql: version-sniffing and monitoring probes answer PG-style") {
+    // SQLAlchemy/psycopg parse "PostgreSQL x.y" out of version()
+    assert(psql("SELECT version()").startsWith("PostgreSQL 9.6.0 graft"))
+    assert(psql("SELECT pg_is_in_recovery()") === "f")
+    // a timestamp in the past, not an error — failover monitors poll this
+    assert(psql("SELECT pg_postmaster_start_time() <= current_timestamp()") === "t")
+    // pg_sleep sleeps at execution: 0 returns immediately with empty text
+    assert(psql("SELECT pg_sleep(0)") === "")
+  }
+
+  test("psql: statement_timeout cancels a pg_sleep mid-nap") {
+    val out = new StringBuilder
+    Process(Seq("psql",
+      s"host=127.0.0.1 port=$port dbname=default user=graft", "-At",
+      "-c", "SET statement_timeout=500", "-c", "SELECT pg_sleep(30)"))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    assert(out.toString.contains("statement timeout"), out.toString)
+  }
+
   test("psql: real parquet scan with aggregation") {
     val out = psql(
       "SELECT l_returnflag, count(*) AS n FROM parquet.`/root/testdata/sf0.001/lineitem.parquet` GROUP BY l_returnflag ORDER BY l_returnflag")
