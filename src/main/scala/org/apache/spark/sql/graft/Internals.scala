@@ -100,8 +100,20 @@ object Internals {
     val qe = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution
     val out = Seq.newBuilder[String]
     def walk(p: SparkPlan, depth: Int): Unit = {
+      // timing/size metrics read as "1.2s" / "45.3MiB" instead of raw
+      // ms/ns/byte counts (SQLMetric stores the type tag, not the unit)
+      def human(tpe: String, v: Long): String = tpe match {
+        case "timing" => f"${v / 1e3}%.3fs"
+        case "nsTiming" => f"${v / 1e9}%.3fs"
+        case "size" =>
+          if (v >= (1L << 30)) f"${v / (1024.0 * 1024 * 1024)}%.1fGiB"
+          else if (v >= (1L << 20)) f"${v / (1024.0 * 1024)}%.1fMiB"
+          else if (v >= (1L << 10)) f"${v / 1024.0}%.1fKiB"
+          else s"${v}B"
+        case _ => v.toString
+      }
       val metrics = p.metrics.toSeq.sortBy(_._1).collect {
-        case (k, m) if m.value != 0 => s"$k=${m.value}"
+        case (k, m) if m.value != 0 => s"$k=${human(m.metricType, m.value)}"
       }
       val prefix = if (depth == 0) "" else "  " * (depth - 1) + "-> "
       out += (prefix + p.nodeName +
