@@ -551,9 +551,8 @@ object TpchShapes {
     // scan-filter-aggregate — every predicate must reach the parquet
     // reader as PushedFilters and the whole query is one codegen'd pass,
     // no shuffle beyond the final partial-agg merge. Products of exact
-    // 2-decimal values summed as decimal -> bit-exact oracle. (Q2/Q11/Q17
-    // variants needing partsupp are out of scope: the driver data ships
-    // no partsupp table.)
+    // 2-decimal values summed as decimal -> bit-exact oracle. (Q2/Q11 run
+    // below over a derived spec-shaped partsupp — q244/q245.)
     QE("q223_tpch_q6", Some(s"""
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
                       CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
@@ -569,5 +568,74 @@ object TpchShapes {
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
           .agg(sum(col("l_extendedprice").cast(Q.dec) *
-            col("l_discount").cast(Q.dec)).cast(DoubleType).as("revenue"))))
+            col("l_discount").cast(Q.dec)).cast(DoubleType).as("revenue")))) ++
+    partsuppEntries
+
+  /** The driver data ships no partsupp table, which blocked TPC-H Q2/Q11.
+    * Both now run over a spec-SHAPED partsupp derived deterministically
+    * from part × supplier inside the query itself — the IDENTICAL CTE text
+    * evaluates in Spark and DuckDB, so the queries stay fully
+    * value-checked. Four suppliers per part (the TPC-H multiplicity);
+    * supplycost is integer CENTS so every downstream SUM is exact
+    * integer arithmetic (no double partition-order sensitivity). At scale
+    * the derivation is a narrow projective fan-out of `part` (4× rows, no
+    * shuffle) and the min-cost subquery reuses the same broadcastable
+    * dims as the outer block.
+    */
+  private def PartsuppCte: String = """
+      WITH partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey * 13 + js.i * 29) % sc.s_cnt + 1 AS INT) AS ps_suppkey,
+               CAST((p_partkey * 7 + js.i * 11) % 9999 + 1 AS BIGINT) AS ps_availqty,
+               CAST((p_partkey * 31 + js.i * 17) % 100000 + 1 AS BIGINT) AS ps_supplycost
+        FROM part
+        CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL
+                    SELECT 2 UNION ALL SELECT 3) js
+        CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc
+      )"""
+
+  // Q2: minimum-cost supplier — region-filtered 5-way join with the
+  // correlated min-cost scalar subquery, top 100. 1:1 with the official
+  // text modulo the driver schema's column subset (no p_mfgr/s_address/
+  // s_phone/s_comment) and its value domains (p_size <= 5 stands in for
+  // size+type — the sf0.001 smoke data has no part matching both,
+  // r_name = 'EUROPE' as-is).
+  private def Q2Sql: String = s"""$PartsuppCte
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+      FROM part, supplier, partsupp, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size <= 5
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2, supplier s2, nation n2, region r2
+          WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  // Q11: important stock identification — nation-filtered value per part
+  // vs a global-fraction HAVING (the classic aggregate-vs-aggregate
+  // scalar subquery). 1:1 with the official text (nation renamed to
+  // NATION_8 — the one driver nation with suppliers at every SF incl.
+  // the sf0.001 smoke data; fraction as specified 0.0001).
+  private def Q11Sql: String = s"""$PartsuppCte
+      SELECT ps_partkey, CAST(SUM(ps_supplycost * ps_availqty) AS BIGINT) AS value
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_8'
+      GROUP BY ps_partkey
+      HAVING SUM(ps_supplycost * ps_availqty) > (
+        SELECT SUM(ps_supplycost * ps_availqty) * 0.0001
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_8')
+      ORDER BY value DESC, ps_partkey"""
+
+  private def partsuppEntries: Seq[QE] = Seq(
+    QE("q244_tpch_q2", Some(Q2Sql),
+      (s, d) => { Tables.views(s, d); s.sql(Q2Sql) }),
+    QE("q245_tpch_q11", Some(Q11Sql),
+      (s, d) => { Tables.views(s, d); s.sql(Q11Sql) }))
 }
