@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// inherit sbt's real stdout in forked runs: the driver parses Bench/Verify
+// result lines as strict JSON, and sbt's default logger re-logs the child's
+// stdout with an "[info] " prefix that breaks that parse (round-8 bench
+// artifact recorded "parsed": null for exactly this reason)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,15 +7,17 @@ import org.apache.spark.sql.SparkSession
   * prune all columns and under-measure projection-type queries.
   *
   * Self-defense (round-4 lesson: BENCH_r04.json was rc:124 with nothing
-  * parseable; round-5 lesson: the full 148-entry result line is ~4 KB, so
-  * the driver artifact's 2 KB stdout tail held a HEAD-TRUNCATED line and
-  * recorded "parsed": null): on completion OR kill the full result line is
-  * printed, followed by a compact summary line (totals, entry count, and
-  * ONLY the 8 slowest entries — ~400-600 bytes) printed LAST so a 2 KB
-  * tail window always contains it whole — a tail-parser finds a complete
-  * JSON line in every outcome. The full per-query record is additionally
-  * written to bench_full.json in the working directory so it survives
-  * independent of stdout capture.
+  * parseable; round-5 lesson: the full result line is ~4-10 KB, so the
+  * driver artifact's 2 KB stdout tail held a HEAD-TRUNCATED line; round-8
+  * lesson: sbt's logger prefixes System.out with "[info] ", which breaks a
+  * strict JSON line parse): on completion OR kill, a compact summary line
+  * (totals, entry count, the 8 slowest entries — ~400-600 bytes) is written
+  * FIRST and LAST around the full result line, all three via the raw
+  * process stdout (FileDescriptor.out, unprefixed under sbt), so a parser
+  * scanning a bounded head or tail window finds a complete JSON line in
+  * every outcome. The full per-query record is additionally written to
+  * bench_full.json in the working directory so it survives independent of
+  * stdout capture.
   */
 object Bench {
   /** Streaming entries pay a fixed state-store/checkpoint setup cost per
@@ -87,6 +89,14 @@ object Bench {
     }
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Round-8 artifact post-mortem: the result lines reached the driver's
+    // stdout tail COMPLETE but prefixed with sbt's "[info] " (sbt wraps the
+    // in-process System.out in its logger), so a strict per-line JSON parse
+    // failed on every line → "parsed": null. Write result lines to the REAL
+    // process stdout instead — FileDescriptor.out bypasses the logger — so
+    // they arrive unprefixed whether bench runs under sbt or a bare JVM.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
     def emit(partial: Boolean): Unit = if (emitted.compareAndSet(false, true)) {
       val (qs, total, n) = best.synchronized {
         (best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
@@ -95,10 +105,11 @@ object Bench {
       }
       val full =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","partial":$partial}"""
-      println(full)
-      // compact trailer: same totals plus only the 8 slowest entries —
-      // guaranteed to fit complete inside a size-bounded stdout tail (see
-      // scaladoc), and the slow tail is what per-entry triage needs first
+      // compact line: same totals plus only the 8 slowest entries — small
+      // enough (~400-600 bytes) to fit complete inside a size-bounded stdout
+      // head OR tail window. Emitted FIRST and LAST, bracketing the full
+      // line, so a parser scanning from either end finds a complete JSON
+      // line before the ~10 KB full record can truncate across the window.
       val worst = best.synchronized {
         best.toSeq.sortBy(-_._2).take(8)
           // Locale.ROOT: a comma-decimal default locale would render 1,23
@@ -107,8 +118,12 @@ object Bench {
             "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
           }.mkString("{", ",", "}")
       }
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$worst,"n_queries":$n,"sf":"$sfDir","partial":$partial,"full_record":"bench_full.json"}""")
-      System.out.flush()
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$worst,"n_queries":$n,"sf":"$sfDir","partial":$partial,"full_record":"bench_full.json"}"""
+      rawOut.println(compact)
+      rawOut.println(full)
+      rawOut.println(compact)
+      rawOut.flush()
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
       catch { case _: Throwable => } // read-only cwd must not kill the emit
     }

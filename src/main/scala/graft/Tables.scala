@@ -103,6 +103,21 @@ object Tables {
     dirs.synchronized {
       if (dirs.add(sfDir)) {
         all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+        // Schema-qualified aliases: a query whose CTE must SHADOW a base
+        // table name (TPC-H Q12/Q22 derive the spec columns the driver data
+        // lacks in a CTE named after the table) needs a way to reference the
+        // underlying data from inside that CTE — DuckDB rejects the bare
+        // name as a circular CTE reference and resolves `main.<table>`
+        // instead (its default schema). Registering the same qualifier here
+        // lets the IDENTICAL query text bind in both engines. Catalog views
+        // cannot reference temp views, so these go straight to the parquet
+        // path (events' ts-format normalization is temp-view-only — no
+        // main.* consumer may rely on events.ts).
+        spark.sql("CREATE DATABASE IF NOT EXISTS main")
+        all.foreach { n =>
+          spark.sql(s"CREATE OR REPLACE VIEW main.$n AS " +
+            s"SELECT * FROM parquet.`$sfDir/$n.parquet`")
+        }
       }
     }
   }

@@ -448,9 +448,22 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           finishStartup(ctx)
       }
 
-    case Typed(tpe, payload) if pendingUser.isDefined && scramPhase > 0 =>
-      // SASL sub-flow: phase 1 = SASLInitialResponse (mechanism cstring +
-      // int32-length data), phase 2 = raw client-final bytes
+    case Typed(tpe, payload) =>
+      // every path below — including the auth-phase consumers — must release
+      // the frame's inbound budget; an unreleased auth frame would inflate
+      // the per-channel pending counter forever, and an oversized 'p' frame
+      // could trip the high-water mark pre-auth with no reopen ever coming
+      try {
+        if (pendingUser.isDefined && scramPhase > 0) handleSaslFrame(ctx, tpe, payload)
+        else if (pendingUser.isDefined) handlePasswordFrame(ctx, tpe, payload)
+        else dispatchTyped(ctx, tpe, payload)
+      } finally PgFrameDecoder.release(ctx.channel(), 5L + payload.length)
+  }
+
+  /** SASL sub-flow: phase 1 = SASLInitialResponse (mechanism cstring +
+    * int32-length data), phase 2 = raw client-final bytes */
+  private def handleSaslFrame(ctx: ChannelHandlerContext, tpe: Byte,
+      payload: Array[Byte]): Unit = {
       def fail(message: String): Unit = {
         val err = ctx.alloc().buffer()
         errorResponse(err,
@@ -491,8 +504,11 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           case None => fail("proof mismatch")
         }
       }
+  }
 
-    case Typed(tpe, payload) if pendingUser.isDefined =>
+  /** cleartext / MD5 PasswordMessage consumer (reference protocol.scala:703-760) */
+  private def handlePasswordFrame(ctx: ChannelHandlerContext, tpe: Byte,
+      payload: Array[Byte]): Unit = {
       if (tpe.toChar != 'p') {
         val err = ctx.alloc().buffer()
         errorResponse(err, "expected PasswordMessage", "08P01")
@@ -526,12 +542,6 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           ctx.close()
         }
       }
-
-    case Typed(tpe, payload) =>
-      // every early return below must release the frame's inbound budget —
-      // bracket the whole branch (see PgFrameDecoder's backpressure notes)
-      try dispatchTyped(ctx, tpe, payload)
-      finally PgFrameDecoder.release(ctx.channel(), 5L + payload.length)
   }
 
   private def dispatchTyped(ctx: ChannelHandlerContext, tpe: Byte,
@@ -770,6 +780,18 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
 
   private def splitStatements(sql: String): Seq[String] =
     PgStatementSplitter.split(sql)
+
+  /** The row count for a no-result command's tag: INSERT uses the write
+    * node's output rows; UPDATE/DELETE/MERGE use operation-specific metrics
+    * only (copy-on-write numOutputRows would overcount vs PG's matched-row
+    * semantics — absent metrics tag 0, "rows unknown").
+    */
+  private def tagRows(sql: String, df: org.apache.spark.sql.DataFrame): Long = {
+    val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+    if (Set("UPDATE", "DELETE", "MERGE")(first)) {
+      Internals.affectedRows(df).getOrElse(0L)
+    } else Internals.writtenRows(df).getOrElse(0L)
+  }
 
   private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
     val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
@@ -1039,7 +1061,16 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     * side effects fire, matching PG's EXPLAIN ANALYZE semantics.
     */
   private val explainAnalyzeRe =
-    """(?is)\s*EXPLAIN\s+(?:\(\s*ANALYZE[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
+    // `(ANALYZE FALSE|OFF|0)` is PG for "analyze disabled" — the lookahead
+    // keeps those on the plain-EXPLAIN path so the statement is NOT executed
+    """(?is)\s*EXPLAIN\s+(?:\(\s*ANALYZE(?!\s+(?:FALSE|OFF|0)\b)[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
+
+  /** PG's paren option form with ANALYZE absent or disabled: strip the
+    * option list so Spark's parser sees plain EXPLAIN — no execution, as PG.
+    * Checked AFTER explainAnalyzeRe, so the analyze-on form never lands here.
+    */
+  private val explainOptionsRe =
+    """(?is)\s*EXPLAIN\s+\([^)]*\)\s+(.+)""".r
 
   private val explainAnalyzeSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("QUERY PLAN", StringType)))
@@ -1081,6 +1112,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
   private def runRegularStatement(stmt: String): Unit = {
       stmt match {
         case explainAnalyzeRe(inner) => runExplainAnalyze(inner); return
+        case explainOptionsRe(inner) => runRegularStatement("EXPLAIN " + inner); return
         case _ =>
       }
       if (runSessionStateStatement(stmt)) return
@@ -1121,7 +1153,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
           df.collect() // run the command
           // INSERT's tag carries the real written-row count in PG
           commandComplete(currentOut,
-            commandTag(stmt, plan, Internals.writtenRows(df).getOrElse(0L)))
+            commandTag(stmt, plan, tagRows(stmt, df)))
         }
       }}}
   }
@@ -1143,6 +1175,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     // Describe answers the one-column QUERY PLAN schema, Execute runs it
     val (effectiveSql, isExplainAnalyze) = sql match {
       case explainAnalyzeRe(inner) => (inner, true)
+      case explainOptionsRe(inner) => ("EXPLAIN " + inner, false)
       case _ => (sql, false)
     }
     val plan =
@@ -1275,7 +1308,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         runTrackingTimeZone {
           val df = Internals.ofRows(session.spark, portal.bound)
           df.collect()
-          Internals.writtenRows(df).getOrElse(0L)
+          tagRows(portal.stmt.sql, df)
         }
       }
       commandComplete(currentOut, commandTag(portal.stmt.sql, portal.bound, written))

@@ -633,9 +633,86 @@ object TpchShapes {
           AND n_name = 'NATION_8')
       ORDER BY value DESC, ps_partkey"""
 
+  // Q12: shipping modes and order priority — the lineitem/orders join with
+  // the dual conditional-count aggregate. The driver schema ships no
+  // l_shipmode/l_commitdate/l_receiptdate, so a CTE SHADOWING `lineitem`
+  // derives them deterministically from the columns it does ship (shipmode
+  // hashed over the 7 spec modes; commit/receipt as day offsets of
+  // l_shipdate mirroring the spec's generation rule commit=order+[30,90],
+  // receipt=ship+[1,30]). Inside the CTE the base table is `main.lineitem`
+  // — the one spelling BOTH engines resolve under a same-named CTE (DuckDB
+  // rejects the bare name as circular; Tables.views registers the matching
+  // Spark-side qualified views). 1:1 with the official text otherwise,
+  // modulo the date window (1996 — the driver's lineitem has no 1994 rows)
+  // and exactness casts. At scale: the derivation is a narrow projective
+  // pass (no extra shuffle); the join shuffles on orderkey with the
+  // IN/date filters applied scan-side first.
+  private def Q12Sql: String = """
+      WITH lineitem AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               CASE CAST((l_orderkey * 13 + l_linenumber * 7) % 7 AS INT)
+                 WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+                 WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+                 ELSE 'FOB' END AS l_shipmode,
+               l_shipdate + (CAST((l_orderkey * 19 + l_linenumber * 5) % 61 AS INT) - 30) * INTERVAL 1 DAY AS l_commitdate,
+               l_shipdate + (CAST((l_orderkey * 23 + l_linenumber * 3) % 30 AS INT) + 1) * INTERVAL 1 DAY AS l_receiptdate
+        FROM main.lineitem
+      )
+      SELECT l_shipmode,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipmode IN ('MAIL', 'SHIP')
+        AND l_commitdate < l_receiptdate
+        AND l_shipdate < l_commitdate
+        AND l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_shipmode
+      ORDER BY l_shipmode"""
+
+  // Q22: global sales opportunity — the anti-join over country codes with
+  // the scalar-average HAVING-style filter. c_phone is derived in a CTE
+  // shadowing `customer` (country code = c_nationkey + 10, the spec's own
+  // phone rule, landing in the official query's code list); c_acctbal is
+  // re-derived as integer CENTS so AVG is sum/count of exactly-represented
+  // integers — bit-identical double division in both engines — and SUM is
+  // exact integer arithmetic. Official-text deviations: the NOT EXISTS
+  // subquery gains an o_orderdate >= 2000 predicate ("no recent orders" —
+  // EVERY driver customer has orders, so the spec's no-orders set is empty
+  // at all SFs), plus the cents domain and the HUGEINT-avoiding sum cast.
+  private def Q22Sql: String = """
+      WITH customer AS (
+        SELECT c_custkey,
+               CAST(c_nationkey + 10 AS VARCHAR(8)) || '-555-' || CAST(c_custkey % 10000 AS VARCHAR(8)) AS c_phone,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal
+        FROM main.customer
+      )
+      SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(c_acctbal) AS BIGINT) AS totacctbal
+      FROM (
+        SELECT SUBSTRING(c_phone FROM 1 FOR 2) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE SUBSTRING(c_phone FROM 1 FOR 2) IN ('13','31','23','29','30','18','17')
+          AND c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer
+            WHERE c_acctbal > 0.00
+              AND SUBSTRING(c_phone FROM 1 FOR 2) IN ('13','31','23','29','30','18','17'))
+          AND NOT EXISTS (
+            SELECT * FROM orders
+            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      ) AS custsale
+      GROUP BY cntrycode
+      ORDER BY cntrycode"""
+
   private def partsuppEntries: Seq[QE] = Seq(
     QE("q244_tpch_q2", Some(Q2Sql),
       (s, d) => { Tables.views(s, d); s.sql(Q2Sql) }),
     QE("q245_tpch_q11", Some(Q11Sql),
-      (s, d) => { Tables.views(s, d); s.sql(Q11Sql) }))
+      (s, d) => { Tables.views(s, d); s.sql(Q11Sql) }),
+    QE("q246_tpch_q12", Some(Q12Sql),
+      (s, d) => { Tables.views(s, d); s.sql(Q12Sql) }),
+    QE("q247_tpch_q22", Some(Q22Sql),
+      (s, d) => { Tables.views(s, d); s.sql(Q22Sql) }))
 }

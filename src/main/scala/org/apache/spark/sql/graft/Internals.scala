@@ -151,4 +151,26 @@ object Internals {
         e.metrics.get("numOutputRows").map(_.value)
     }.flatten
   }
+
+  /** Affected rows for row-level operations (UPDATE/DELETE/MERGE), from the
+    * operation-specific metrics where the executed plan exposes them. A
+    * copy-on-write plan's numOutputRows counts rows WRITTEN — including
+    * untouched rows rewritten in affected files — so it must NOT stand in
+    * for PG's matched-row tag count; callers fall back to 0 ("rows unknown")
+    * when no operation-specific metric exists.
+    */
+  def affectedRows(df: DataFrame): Option[Long] = {
+    val qe = df.asInstanceOf[CDataset[org.apache.spark.sql.Row]].queryExecution
+    val phys = qe.executedPlan match {
+      case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+      case p => p
+    }
+    val names = Seq("numUpdatedRows", "numDeletedRows", "numInsertedRows",
+      "numAffectedRows")
+    val found = phys.collect {
+      case p if names.exists(p.metrics.contains) =>
+        names.flatMap(p.metrics.get).map(_.value).sum
+    }
+    found.headOption
+  }
 }
