@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Sources.entries ++
       graft.queries.TpchShapes.entries ++
       graft.queries.DsShapes.entries ++
+      graft.queries.DsOfficial.entries ++
       graft.queries.Modern.entries ++
       graft.queries.Temporal.entries
 
