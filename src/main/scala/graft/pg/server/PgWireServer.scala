@@ -1220,7 +1220,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val portalName = readCStr(in)
     val stmtName = readCStr(in)
     val stmt = session.statements.getOrElse(stmtName,
-      throw new IllegalArgumentException(s"unknown prepared statement: '$stmtName'"))
+      throw new PgStateException(
+        s"""prepared statement "$stmtName" does not exist""", "26000"))
     val nFmt = in.getShort.toInt
     val paramFormats = Seq.fill(nFmt)(in.getShort.toInt)
     val nParams = in.getShort.toInt
@@ -1272,7 +1273,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     kind match {
       case 'S' =>
         val stmt = session.statements.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown prepared statement: '$name'"))
+          throw new PgStateException(
+            s"""prepared statement "$name" does not exist""", "26000"))
         parameterDescription(out,
           if (stmt.paramOids.nonEmpty)
             stmt.paramOids.map(o => if (o == PgTypes.UNSPECIFIED) PgTypes.VARCHAR else o)
@@ -1281,7 +1283,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         else rowDescription(out, stmt.schema, Seq.fill(stmt.schema.length)(false))
       case 'P' =>
         val portal = session.portals.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown portal: '$name'"))
+          throw new PgStateException(
+            s"""portal "$name" does not exist""", "34000"))
         if (portal.schema.isEmpty) noData(out)
         else rowDescription(out, portal.schema, portal.formats)
       case other => throw new IllegalArgumentException(s"bad describe kind: $other")
@@ -1295,7 +1298,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val name = readCStr(in)
     val maxRows = in.getInt
     val portal = session.portals.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown portal: '$name'"))
+      throw new PgStateException(
+            s"""portal "$name" does not exist""", "34000"))
     if (!portal.started) ServerStats.statementsRun.incrementAndGet()
     if (portal.stmt.sql.trim.isEmpty) {
       // PG §55.2.3: executing the empty statement yields EmptyQueryResponse
