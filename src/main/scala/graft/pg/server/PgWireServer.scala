@@ -189,6 +189,7 @@ object PgMd5 {
 /** One decoded client message: startup variants or a typed V3 frame. */
 private sealed trait PgClientMsg
 private case object SslRequest extends PgClientMsg
+private case object GssEncRequest extends PgClientMsg
 private final case class CancelReq(pid: Int, secret: Int) extends PgClientMsg
 private final case class Startup(params: Map[String, String],
     minor: Int = 0) extends PgClientMsg
@@ -209,6 +210,14 @@ private class PgFrameDecoder extends ByteToMessageDecoder {
       if (len == 8 && code == 80877103) { // SSLRequest
         in.skipBytes(8)
         out.add(SslRequest)
+      } else if (len == 8 && code == 80877104) { // GSSENCRequest
+        // libpq with gssencmode=prefer (its default whenever a Kerberos
+        // credential cache exists) probes GSS transport encryption BEFORE
+        // anything else; PG servers without GSS answer 'N' and the client
+        // falls back to SSL/clear — closing the connection here would lock
+        // out every such client (see docs/adr/0001-gssapi-descope.md)
+        in.skipBytes(8)
+        out.add(GssEncRequest)
       } else if (len == 16 && code == 80877102) { // CancelRequest
         if (in.readableBytes() < 16) return
         in.skipBytes(8)
@@ -394,6 +403,13 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         b.writeByte('N') // no SSL; client retries in clear (reference protocol.scala:1190-1196)
         ctx.writeAndFlush(b)
     }
+
+    case GssEncRequest =>
+      // no GSSAPI: answer 'N' exactly like a GSS-less PG build; the client
+      // retries with SSLRequest or a clear startup packet
+      val b = ctx.alloc().buffer(1)
+      b.writeByte('N')
+      ctx.writeAndFlush(b)
 
     case CancelReq(pid, secret) =>
       SessionRegistry.cancel(pid, secret)

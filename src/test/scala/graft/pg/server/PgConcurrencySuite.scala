@@ -140,9 +140,11 @@ class PgConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     def close(): Unit = { send('X', Array.empty); sock.close() }
   }
 
-  test("8 concurrent sessions: isolation and recovery under a mixed soak") {
-    val nSessions = 8
-    val rounds = 3
+  test("32 concurrent sessions: isolation and recovery under a mixed soak") {
+    // one connection per server CPU at the production default — the scale
+    // a pooled deployment actually holds open
+    val nSessions = 32
+    val rounds = 2
     val pool = Executors.newFixedThreadPool(nSessions)
     val firstFailure = new AtomicReference[Throwable]
     (1 to rounds).foreach { round =>

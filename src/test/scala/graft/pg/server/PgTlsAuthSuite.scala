@@ -78,6 +78,33 @@ class PgTlsAuthSuite extends AnyFunSuite with BeforeAndAfterAll {
     (rc, out.toString.trim)
   }
 
+  test("GSSENCRequest answers 'N' and the connection proceeds in clear") {
+    // libpq sends this probe FIRST whenever the client machine has a
+    // Kerberos ticket (gssencmode=prefer default); a GSS-less PG answers
+    // 'N' and the client falls back (docs/adr/0001-gssapi-descope.md)
+    val sock = new java.net.Socket("127.0.0.1", authServer.boundPort)
+    sock.setSoTimeout(15000)
+    try {
+      val os = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      os.writeInt(8)
+      os.writeInt(80877104) // GSSENCRequest
+      os.flush()
+      assert(in.readByte().toChar === 'N', "GSS-less server must answer 'N'")
+      // client falls back to a clear startup packet on the SAME socket
+      val body = Seq("user", "graft", "database", "default")
+        .flatMap(_.getBytes(java.nio.charset.StandardCharsets.UTF_8) :+ 0.toByte)
+        .toArray :+ 0.toByte
+      os.writeInt(8 + body.length)
+      os.writeInt(196608)
+      os.write(body)
+      os.flush()
+      // cleartext-auth server: first reply must be AuthenticationCleartextPassword
+      val tpe = in.readByte().toChar
+      assert(tpe === 'R', s"startup must proceed to the auth exchange, got '$tpe'")
+    } finally sock.close()
+  }
+
   test("psql with sslmode=require connects and queries over TLS") {
     val (rc, out) = psql(tlsServer.boundPort, "require", "SELECT 41 + 1")
     assert(rc === 0, s"TLS connection failed: $out")
