@@ -56,6 +56,18 @@ object ScaleGen {
           shifted.withColumn("text",
             concat_ws(" ", transform(split(col("text"), " "),
               t => concat(t, lit("_"), lit(i)))))
+        } else if (saltText && name == "embeddings" && i > 0) {
+          // per-copy coordinate ROTATION (a permutation = exact isometry):
+          // every pairwise dot/norm WITHIN a copy is bit-identical to the
+          // base corpus (near-dup structure preserved exactly), while
+          // cross-copy cosine drops to that of decorrelated vectors —
+          // without this, copies are EXACT vector duplicates and every
+          // pair-emitting ANN/near-dup probe goes quadratic by
+          // construction (the round-8 p03 lesson, measured at 545s vs
+          // 0.5s salted)
+          shifted.withColumn("embedding", expr(
+            s"transform(sequence(0, size(embedding) - 1), " +
+              s"j -> element_at(embedding, ((j + $i) % size(embedding)) + 1))"))
         } else shifted
       }.reduce(_ unionAll _)
       un.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -4,11 +4,12 @@ import graft.{QE, Tables}
 
 import org.apache.spark.sql.SparkSession
 
-/** Official-text TPC-DS battery: 19 verbatim TPC-DS query texts (Q1, Q3,
-  * Q6, Q7, Q19, Q27, Q33, Q36, Q42, Q52, Q55, Q56, Q60, Q68, Q73, Q79,
-  * Q89, Q96, Q98) running over a spec-SHAPED star schema derived
-  * deterministically from the driver tables inside a shared CTE prefix.
-  * The reference's own benchmark harness runs the full official battery
+/** Official-text TPC-DS battery: 27 verbatim TPC-DS query texts (Q1, Q3,
+  * Q6, Q7, Q19, Q27, Q33, Q34, Q36, Q42, Q43, Q46, Q48, Q52, Q53, Q55,
+  * Q56, Q60, Q68, Q73, Q79, Q88, Q89, Q93, Q96, Q97, Q98) running over a
+  * spec-SHAPED star schema derived deterministically from the driver
+  * tables inside a shared CTE prefix. The reference's own benchmark
+  * harness runs the full official battery
   * (examples/tpcds/.../TPCDSQueryBenchmark.scala:216-322); this module runs
   * the canonical texts themselves, value-checked against DuckDB evaluating
   * the IDENTICAL text.
@@ -18,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   * registers the Spark-side `main` database):
   *  - store_sales / catalog_sales / web_sales / store_returns: lineitem
   *    JOIN orders, channel split by row hash (store=1/2, catalog=1/4,
-  *    web=1/4), returns = l_returnflag 'R'. All money columns are integer
+  *    web=1/4), returns = l_returnflag 'R' (+ a hashed sr_reason_sk into
+  *    the nation-derived `reason` dim). All money columns are integer
   *    CENTS (BIGINT) so SUM is exact integer arithmetic and AVG is one
   *    IEEE division of exactly-represented operands — bit-identical across
   *    engines and partition orders.
@@ -28,27 +30,36 @@ import org.apache.spark.sql.SparkSession
   *    parts), store <- supplier, customer/address/demographics <- customer,
   *    date_dim <- DISTINCT l_shipdate (d_date_sk IS the date — portable,
   *    no cross-engine datediff), time_dim <- DISTINCT row-hash minutes.
-  *  - d_dow is a synthesized deterministic attribute ((dom+moy+year) % 7):
-  *    Spark and DuckDB disagree on every EXTRACT day-of-week spelling
-  *    (DOW: Sun=1..7 vs Sun=0..6), so the real weekday cannot be derived
-  *    portably; filters on it only need cross-engine consistency.
+  *  - ss_addr_sk is hash-DECOUPLED from ss_customer_sk (modulo the customer
+  *    count), otherwise Q46/Q68's bought_city <> current-city predicate is
+  *    false by construction.
+  *  - d_dow / d_day_name are synthesized deterministic attributes
+  *    ((dom+moy+year) % 7): Spark and DuckDB disagree on every EXTRACT
+  *    day-of-week spelling (DOW: Sun=1..7 vs Sun=0..6), so the real weekday
+  *    cannot be derived portably; filters on them only need cross-engine
+  *    consistency.
   *
   * Documented text deviations (the battery is otherwise 1:1): exactness
   * casts (CAST(SUM(..) AS BIGINT) for DuckDB's HUGEINT, GROUPING/RANK
-  * dtype casts, NULLS FIRST where rollup NULL ordering differs), explicit
-  * ORDER BY tie-breaker columns (LIMIT under non-unique sort keys is
-  * engine-dependent), year/month constants mapped into the data's
-  * 1995-2001 domain, Q6's 1.2 price multiplier -> 1.0001 (the driver's
-  * p_retailprice spread is under 2 percent at sf0.001 — the spec constant
-  * selects the empty set at every SF), Q98's `+ 30 days` -> a date
-  * literal, and aliases on bare aggregate outputs so both engines name
-  * result columns identically.
+  * dtype casts, CAST AS DOUBLE in ratio divisions — a bare `1.0` literal
+  * is DECIMAL to Spark and DOUBLE to DuckDB, NULLS FIRST where rollup NULL
+  * ordering differs), explicit ORDER BY tie-breaker columns (LIMIT under
+  * non-unique sort keys is engine-dependent), year/month constants mapped
+  * into the data's 1995-2001 domain (month_seq base 108 = Jan 1999),
+  * selectivity constants mapped into the derived value domains (Q6's 1.2
+  * price multiplier -> 1.0001 over a <2% price spread; Q34's basket band
+  * 15-20 -> 2-5 over 1-7-line orders; Q48's price/profit bands rescaled
+  * to the cents domain; Q93's 'reason 28' -> 'reason 8' over 25 reasons),
+  * Q98's `+ 30 days` -> a date literal, and aliases on bare aggregate
+  * outputs so both engines name result columns identically.
   *
   * Scale posture: the fact derivation is one orderkey-equi-join (shuffle
   * on the join key, no skew — orderkey is the fact's own key) plus a
   * projective fan-out; every dimension is tiny and broadcast by AQE, so
   * each query is a classic star: one shuffle per agg, map-side partials
-  * first (DsOfficialPlanSuite pins broadcasts + partial aggs).
+  * first (DsOfficialPlanSuite pins broadcasts + partial aggs). Q97's
+  * fact-fact FULL OUTER JOIN shuffles both pre-aggregated sides on the
+  * same composite key — the one intentionally non-broadcast join.
   */
 object DsOfficial {
 
@@ -60,6 +71,10 @@ object DsOfficial {
          CAST(EXTRACT(DAY FROM d_date) AS INT) AS d_dom,
          CAST(EXTRACT(QUARTER FROM d_date) AS INT) AS d_qoy,
          CAST((EXTRACT(DAY FROM d_date) + EXTRACT(MONTH FROM d_date) + EXTRACT(YEAR FROM d_date)) % 7 AS INT) AS d_dow,
+         CASE CAST((EXTRACT(DAY FROM d_date) + EXTRACT(MONTH FROM d_date) + EXTRACT(YEAR FROM d_date)) % 7 AS INT)
+           WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+           WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+           ELSE 'Saturday' END AS d_day_name,
          CAST((EXTRACT(YEAR FROM d_date) - 1990) * 12 + EXTRACT(MONTH FROM d_date) - 1 AS INT) AS d_month_seq
   FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date FROM main.lineitem) dd
 ),
@@ -219,9 +234,15 @@ store_returns AS (
   SELECT sold_date_sk AS sr_returned_date_sk, item_sk AS sr_item_sk,
          customer_sk AS sr_customer_sk, store_sk AS sr_store_sk,
          ticket_number AS sr_ticket_number,
+         CAST(ticket_number % 25 AS BIGINT) AS sr_reason_sk,
          quantity AS sr_return_quantity,
          ext_cents AS sr_return_amt
   FROM base_sales WHERE returnflag = 'R'
+),
+reason AS (
+  SELECT n_nationkey AS r_reason_sk,
+         'reason ' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS r_reason_desc
+  FROM main.nation
 )"""
 
   private def entry(name: String, bodySql: String): QE = {
@@ -595,6 +616,241 @@ WHERE ss_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio"""
 
+  private val Q34: String =
+    """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND (household_demographics.hd_buy_potential = '>10000'
+          OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+               THEN household_demographics.hd_dep_count * 1.0 / household_demographics.hd_vehicle_count
+               ELSE NULL END) > 1.2
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_county IN ('Williamson County', 'Franklin Parish',
+                               'Bronx County', 'Orange County')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 5
+ORDER BY c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC, ss_ticket_number"""
+
+  private val Q43: String =
+    """
+SELECT s_store_name, s_store_id,
+       CAST(SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS sun_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS mon_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS tue_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS wed_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS thu_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS fri_sales,
+       CAST(SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5 AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales,
+         wed_sales, thu_sales, fri_sales, sat_sales
+LIMIT 100"""
+
+  private val Q46: String =
+    """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             CAST(SUM(ss_coupon_amt) AS BIGINT) AS amt,
+             CAST(SUM(ss_net_profit) AS BIGINT) AS profit
+      FROM store_sales, date_dim, store, household_demographics, customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND (household_demographics.hd_dep_count = 4
+          OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_dow IN (6, 0)
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_city IN ('Midway', 'Fairview', 'Oakland', 'Springfield', 'Georgetown')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100"""
+
+  private val Q48: String =
+    """
+SELECT CAST(SUM(ss_quantity) AS BIGINT) AS total_quantity
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 50000 AND 500000)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 100000 AND 1000000)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 30000 AND 300000))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TN', 'SD', 'AL')
+        AND ss_net_profit BETWEEN 0 AND 2000000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('GA', 'MI', 'NJ')
+        AND ss_net_profit BETWEEN 15000 AND 3000000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'VA')
+        AND ss_net_profit BETWEEN 50000 AND 2500000))"""
+
+  private val Q53: String =
+    """
+SELECT * FROM
+  (SELECT i_manufact_id,
+          CAST(SUM(ss_sales_price) AS BIGINT) AS sum_sales,
+          AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+   FROM item, store_sales, date_dim, store
+   WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (108, 108 + 1, 108 + 2, 108 + 3, 108 + 4, 108 + 5,
+                         108 + 6, 108 + 7, 108 + 8, 108 + 9, 108 + 10, 108 + 11)
+     AND ((i_category IN ('Books', 'Children', 'Electronics')
+           AND i_class IN ('computers', 'stereo', 'football'))
+       OR (i_category IN ('Women', 'Music', 'Men')
+           AND i_class IN ('shirts', 'dresses', 'computers')))
+   GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+        THEN ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+        ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100"""
+
+  private val Q88: String =
+    """
+SELECT *
+FROM
+ (SELECT COUNT(*) AS h8_30_to_9
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s1,
+ (SELECT COUNT(*) AS h9_to_9_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s2,
+ (SELECT COUNT(*) AS h9_30_to_10
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s3,
+ (SELECT COUNT(*) AS h10_to_10_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s4,
+ (SELECT COUNT(*) AS h10_30_to_11
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s5,
+ (SELECT COUNT(*) AS h11_to_11_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s6,
+ (SELECT COUNT(*) AS h11_30_to_12
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s7,
+ (SELECT COUNT(*) AS h12_to_12_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s8"""
+
+  private val Q93: String =
+    """
+SELECT ss_customer_sk, CAST(SUM(act_sales) AS BIGINT) AS sumsales
+FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+             CASE WHEN sr_return_quantity IS NOT NULL
+               THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+               ELSE (ss_quantity * ss_sales_price) END AS act_sales
+      FROM store_sales LEFT OUTER JOIN store_returns
+        ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number),
+        reason
+      WHERE sr_reason_sk = r_reason_sk AND r_reason_desc = 'reason 8') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100"""
+
+  private val Q97: String =
+    """,
+ssci AS (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+  SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+  GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+  ON (ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk)
+LIMIT 100"""
+
   def entries: Seq[QE] = Seq(
     entry("q248_ds_q1", Q1),
     entry("q249_ds_q3", Q3),
@@ -614,5 +870,13 @@ ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio"""
     entry("q263_ds_q79", Q79),
     entry("q264_ds_q89", Q89),
     entry("q265_ds_q96", Q96),
-    entry("q266_ds_q98", Q98))
+    entry("q266_ds_q98", Q98),
+    entry("q267_ds_q34", Q34),
+    entry("q268_ds_q43", Q43),
+    entry("q269_ds_q46", Q46),
+    entry("q270_ds_q48", Q48),
+    entry("q271_ds_q53", Q53),
+    entry("q272_ds_q88", Q88),
+    entry("q273_ds_q93", Q93),
+    entry("q274_ds_q97", Q97))
 }

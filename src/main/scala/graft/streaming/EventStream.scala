@@ -793,7 +793,15 @@ object EventStream {
     listDir(dir).find(_.getFileName.toString.endsWith(".parquet")).get
 
   private def rmTree(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(rmTree)
+    // NOFOLLOW is load-bearing: staged stream dirs contain a SYMLINK to the
+    // source events.parquet, and when that source is a directory (any
+    // Spark-written dataset, e.g. ScaleGen output — the driver testdata is
+    // a single file) a follow-links recursion would delete the LINKED
+    // DATA's contents, not just the link. This destroyed /tmp/graft_sf1's
+    // events table mid-bench in round 9.
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      listDir(p).foreach(rmTree)
+    }
     Files.deleteIfExists(p)
   }
 
