@@ -108,6 +108,18 @@ object Pipeline {
     * ~TargetBucket² regardless of corpus size
     */
   private val TargetBucket = 128L
+
+  /** Opt-in cap on docs per (band,key) bucket in p05's candidate self-join,
+    * DEFAULT OFF: p05's contract (and oracle) is ALL pairs >= 0.9, and on a
+    * dup-clique-dense corpus most true pairs live in exactly the oversized
+    * buckets a cap drops — measured round 9 at 10x documents: 11,054,890
+    * verified pairs uncapped vs 41,212 at cap=100. The quadratic cost there
+    * is OUTPUT mass, not engine overhead (~19 µs/verified pair, flat). A
+    * deployment that only needs dedup connectivity (cluster-then-purge, not
+    * the full pair list) can set the property and keep a spanning subset.
+    */
+  private val BandBucketCap =
+    java.lang.Long.getLong("graft.p05.bandBucketCap", Long.MaxValue).longValue()
   private val EmbDim = 64
   private val lshPlanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
@@ -188,19 +200,34 @@ object Pipeline {
     val e = t(s, d, "embeddings")
     // plane count keeps buckets ~TargetBucket-sized; sized from catalog
     // stats / a memoized metadata count, not a per-query scan
-    val planes = lshPlanesFor(corpusRows(e, s"$d/embeddings"))
+    embeddingNearDupPairsAt(s, e,
+      lshPlanesFor(corpusRows(e, s"$d/embeddings")), threshold)
+  }
+
+  /** [[embeddingNearDupPairs]] at an explicit plane count (exposed so the
+    * corpus-scaled EXTRA-planes path — which no gate SF reaches — has its
+    * own recall test, PipelineSpec "margin-probe recall").
+    */
+  private[graft] def embeddingNearDupPairsAt(
+      s: SparkSession, e: DataFrame, planes: Int, threshold: Double): DataFrame = {
     val buckets = (0 until LshTables).map { tb =>
       e.select(col("vec_id"), col("embedding"), lit(tb).as("tbl"),
-        lshBucket(s, col("embedding"), tb, planes).as("bucket"))
+        lshBucket(s, col("embedding"), tb, planes).as("bucket"),
+        graft.functions.LshBucket.marginBit(s, col("embedding"), tb, planes).as("mbit"))
     }.reduce(_ unionAll _).persist()
-    // Hamming-1 multiprobe on one side compensates the recall that corpus-
-    // scaled EXTRA planes cost; at the baseline plane count the 8-table
-    // union already meets the recall target (PipelineSpec), so probing
-    // would only multiply candidate volume (planes+1)x for nothing
+    // Corpus-scaled EXTRA planes cost recall; probing compensates on one
+    // side. MARGIN-DIRECTED single probe (Lv et al., Multi-Probe LSH):
+    // flip only the lowest-|dot| plane — the boundary a just-missed
+    // neighbor most likely sits across — which recovers most of the full
+    // Hamming-1 recall at 2x candidate volume instead of (planes+1)x.
+    // Round-9 sf1 measurement: all-Hamming-1 probing put p15 at 100.7s
+    // (candidates x9); at the baseline plane count the 8-table union
+    // already meets the recall target (PipelineSpec), so no probe at all.
     val probes =
       if (planes == MinLshPlanes) buckets
       else buckets.select(col("vec_id"), col("embedding"), col("tbl"),
-        explode(lshProbes(col("bucket"), planes)).as("bucket"))
+        explode(array(col("bucket"),
+          col("bucket").bitwiseXOR(expr("shiftleft(1, mbit)")))).as("bucket"))
     val cand = probes.as("x").join(buckets.as("y"),
       col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -435,8 +462,17 @@ object Pipeline {
           })
           .toDF("doc_id", "gs", "mh")
           .persist()
-        val bands = sigs.select(col("doc_id"), size(col("gs")).as("n"),
+        val allBands = sigs.select(col("doc_id"), size(col("gs")).as("n"),
           explode(MinHashing.ngramBandKeys(col("mh"))).as("key"))
+        // Optional degenerate-bucket cap (see BandBucketCap — default off,
+        // the full-pair contract wins): a (band,key) bucket of B docs
+        // feeds B²/2 candidate pairs into the self-join
+        val bands =
+          if (BandBucketCap == Long.MaxValue) allBands
+          else allBands.join(
+            allBands.groupBy("key").agg(count(lit(1)).as("_bsz"))
+              .filter(col("_bsz") > BandBucketCap).select("key"),
+            Seq("key"), "left_anti")
         // Band-count prefilter replaces a plain distinct: a true j>=0.9 pair
         // matches ~24*0.9^8 ~ 10 of the 24 bands (P(<2 matches) ~1e-6),
         // while background ~0.5-similarity pairs match >=2 bands with

@@ -135,6 +135,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"candidate recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("margin-probe recall: the corpus-scaled extra-planes path finds every dedup pair") {
+    // no gate SF reaches the extra-planes branch (sf0.01 sits at the
+    // 6-plane minimum), so pin it here at a FORCED 8 planes — the count a
+    // 10x corpus gets — on the test corpus: margin-directed single-probe
+    // candidates must still contain every exact pair at the dedup
+    // threshold. Theory at cos>=0.9, 8 planes x 8 tables: no-probe recall
+    // ~0.94, full-Hamming-1 ~0.9999, margin-probe sits in between at a
+    // ninth of the full probe's candidate volume.
+    val e = Tables.df(spark, sf, "embeddings")
+    val thresh = 0.9
+    val brute = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.CosineSimilarity(spark, col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= thresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.Pipeline
+      .embeddingNearDupPairsAt(spark, e, planes = 8, thresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "margin-probe output must be exact-verified")
+    assert(lsh == brute,
+      s"margin-probe missed dedup pairs: found ${lsh.size} of ${brute.size}")
+  }
+
   test("LSH plane count scales with corpus size, clamped") {
     import graft.queries.Pipeline.lshPlanesFor
     assert(lshPlanesFor(500) === 6, "small corpora keep the minimum")
