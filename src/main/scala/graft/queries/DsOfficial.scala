@@ -4,12 +4,12 @@ import graft.{QE, Tables}
 
 import org.apache.spark.sql.SparkSession
 
-/** Official-text TPC-DS battery: 27 verbatim TPC-DS query texts (Q1, Q3,
-  * Q6, Q7, Q19, Q27, Q33, Q34, Q36, Q42, Q43, Q46, Q48, Q52, Q53, Q55,
-  * Q56, Q60, Q68, Q73, Q79, Q88, Q89, Q93, Q96, Q97, Q98) running over a
-  * spec-SHAPED star schema derived deterministically from the driver
-  * tables inside a shared CTE prefix. The reference's own benchmark
-  * harness runs the full official battery
+/** Official-text TPC-DS battery: 35 verbatim TPC-DS query texts (Q1, Q3,
+  * Q6, Q7, Q13, Q15, Q18, Q19, Q25, Q27, Q33, Q34, Q36, Q42, Q43, Q45,
+  * Q46, Q48, Q52, Q53, Q55, Q56, Q60, Q61, Q65, Q68, Q69, Q73, Q79, Q88,
+  * Q89, Q93, Q96, Q97, Q98) running over a spec-SHAPED star schema derived
+  * deterministically from the driver tables inside a shared CTE prefix.
+  * The reference's own benchmark harness runs the full official battery
   * (examples/tpcds/.../TPCDSQueryBenchmark.scala:216-322); this module runs
   * the canonical texts themselves, value-checked against DuckDB evaluating
   * the IDENTICAL text.
@@ -27,7 +27,10 @@ import org.apache.spark.sql.SparkSession
   *  - item <- part (brand/brand_id parsed from p_brand; category/class/
   *    manufact/manager ids are modular hashes of p_partkey sized so every
   *    official filter constant selects a non-empty set at sf0.001's 200
-  *    parts), store <- supplier, customer/address/demographics <- customer,
+  *    parts), store <- supplier, customer/address/demographics <- customer
+  *    (incl. birth month/year, purchase estimate, credit rating, dep
+  *    count), promotion <- part (channels mostly 'N' so Q61's
+  *    promoted-share is a real fraction — measured 14.1% at sf0.001),
   *    date_dim <- DISTINCT l_shipdate (d_date_sk IS the date — portable,
   *    no cross-engine datediff), time_dim <- DISTINCT row-hash minutes.
   *  - ss_addr_sk is hash-DECOUPLED from ss_customer_sk (modulo the customer
@@ -41,25 +44,29 @@ import org.apache.spark.sql.SparkSession
   *
   * Documented text deviations (the battery is otherwise 1:1): exactness
   * casts (CAST(SUM(..) AS BIGINT) for DuckDB's HUGEINT, GROUPING/RANK
-  * dtype casts, CAST AS DOUBLE in ratio divisions — a bare `1.0` literal
-  * is DECIMAL to Spark and DOUBLE to DuckDB, NULLS FIRST where rollup NULL
-  * ordering differs), explicit ORDER BY tie-breaker columns (LIMIT under
-  * non-unique sort keys is engine-dependent), year/month constants mapped
-  * into the data's 1995-2001 domain (month_seq base 108 = Jan 1999),
-  * selectivity constants mapped into the derived value domains (Q6's 1.2
-  * price multiplier -> 1.0001 over a <2% price spread; Q34's basket band
-  * 15-20 -> 2-5 over 1-7-line orders; Q48's price/profit bands rescaled
-  * to the cents domain; Q93's 'reason 28' -> 'reason 8' over 25 reasons),
-  * Q98's `+ 30 days` -> a date literal, and aliases on bare aggregate
-  * outputs so both engines name result columns identically.
+  * dtype casts, CAST AS DOUBLE in ratio divisions and Q18's per-column
+  * averages — a bare `1.0`/DECIMAL literal is DECIMAL to Spark and DOUBLE
+  * to DuckDB, NULLS FIRST where rollup NULL ordering differs), explicit
+  * ORDER BY tie-breaker columns (LIMIT under non-unique sort keys is
+  * engine-dependent), year/month constants mapped into the data's
+  * 1995-2001 domain (month_seq base 108 = Jan 1999), selectivity
+  * constants mapped into the derived value domains (Q6's 1.2 price
+  * multiplier -> 1.0001 over a <2% price spread; Q34's basket band 15-20
+  * -> 2-5 over 1-7-line orders; Q13/Q48's price/profit bands rescaled to
+  * the cents domain; Q93's 'reason 28' -> 'reason 8' over 25 reasons;
+  * Q15/Q45 zips from the derived 10000-10089 range; Q25/Q61 date windows
+  * widened to the full year — the official month slice is empty at the
+  * smoke SF), Q98's `+ 30 days` -> a date literal, and aliases on bare
+  * aggregate outputs so both engines name result columns identically.
   *
   * Scale posture: the fact derivation is one orderkey-equi-join (shuffle
   * on the join key, no skew — orderkey is the fact's own key) plus a
   * projective fan-out; every dimension is tiny and broadcast by AQE, so
   * each query is a classic star: one shuffle per agg, map-side partials
-  * first (DsOfficialPlanSuite pins broadcasts + partial aggs). Q97's
-  * fact-fact FULL OUTER JOIN shuffles both pre-aggregated sides on the
-  * same composite key — the one intentionally non-broadcast join.
+  * first (DsOfficialPlanSuite pins broadcasts + partial aggs). The
+  * intentionally non-broadcast shapes: Q97's fact-fact FULL OUTER JOIN on
+  * pre-aggregated composite keys and Q25's three-fact chain
+  * (ss ⋈ sr ⋈ cs), each shuffling only aggregated or filtered sides.
   */
 object DsOfficial {
 
@@ -95,6 +102,7 @@ item AS (
          'mfg#' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR(8)) AS i_manufact,
          CAST(p_partkey % 10 AS INT) AS i_manager_id,
          CAST(ROUND(p_retailprice * 100) AS BIGINT) AS i_current_price,
+         CAST(FLOOR(ROUND(p_retailprice * 100) * 0.6) AS BIGINT) AS i_wholesale_cost,
          CASE CAST(p_partkey % 9 AS INT) WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
            WHEN 2 THEN 'burnished' WHEN 3 THEN 'peach' WHEN 4 THEN 'khaki'
            WHEN 5 THEN 'orchid' WHEN 6 THEN 'salmon' WHEN 7 THEN 'sienna'
@@ -108,6 +116,8 @@ customer AS (
          c_custkey AS c_current_cdemo_sk,
          c_custkey AS c_current_hdemo_sk,
          c_name AS c_first_name,
+         CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+         CAST(1930 + c_custkey % 60 AS INT) AS c_birth_year,
          'LAST_' || CAST(CAST(c_custkey % 97 AS INT) AS VARCHAR(8)) AS c_last_name,
          CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
            WHEN 2 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
@@ -147,7 +157,11 @@ customer_demographics AS (
            WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
          CASE CAST(c_custkey % 7 AS INT) WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
            WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree'
-           WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status
+           WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status,
+         CAST(c_custkey % 10 AS INT) AS cd_dep_count,
+         CAST((c_custkey % 20 + 1) * 500 AS INT) AS cd_purchase_estimate,
+         CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+           WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating
   FROM main.customer
 ),
 store AS (
@@ -177,9 +191,10 @@ time_dim AS (
 ),
 promotion AS (
   SELECT p_partkey AS p_promo_sk,
-         CASE CAST(p_partkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+         CASE CAST(p_partkey % 13 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
          CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
-         CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'N' ELSE 'Y' END AS p_channel_dmail
+         CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE CAST(p_partkey % 7 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM main.part
 ),
 base_sales AS (
@@ -221,13 +236,20 @@ store_sales AS (
 catalog_sales AS (
   SELECT sold_date_sk AS cs_sold_date_sk, item_sk AS cs_item_sk,
          customer_sk AS cs_bill_customer_sk, addr_sk AS cs_bill_addr_sk,
-         ext_cents AS cs_ext_sales_price
+         customer_sk AS cs_bill_cdemo_sk,
+         ext_cents AS cs_ext_sales_price,
+         quantity AS cs_quantity,
+         CAST(FLOOR(ext_cents * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS cs_sales_price,
+         CAST(FLOOR((ext_cents + coupon_cents) * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS cs_list_price,
+         coupon_cents AS cs_coupon_amt,
+         ext_cents - coupon_cents - CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_net_profit
   FROM base_sales WHERE channel = 2
 ),
 web_sales AS (
   SELECT sold_date_sk AS ws_sold_date_sk, item_sk AS ws_item_sk,
          customer_sk AS ws_bill_customer_sk, addr_sk AS ws_bill_addr_sk,
-         ext_cents AS ws_ext_sales_price
+         ext_cents AS ws_ext_sales_price,
+         CAST(FLOOR(ext_cents * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS ws_sales_price
   FROM base_sales WHERE channel = 3
 ),
 store_returns AS (
@@ -236,7 +258,8 @@ store_returns AS (
          ticket_number AS sr_ticket_number,
          CAST(ticket_number % 25 AS BIGINT) AS sr_reason_sk,
          quantity AS sr_return_quantity,
-         ext_cents AS sr_return_amt
+         ext_cents AS sr_return_amt,
+         CAST(FLOOR(ext_cents * 0.3) AS BIGINT) AS sr_net_loss
   FROM base_sales WHERE returnflag = 'R'
 ),
 reason AS (
@@ -851,6 +874,177 @@ FROM ssci FULL OUTER JOIN csci
   ON (ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk)
 LIMIT 100"""
 
+  private val Q13: String =
+    """
+SELECT AVG(ss_quantity) AS avg_qty, AVG(ss_ext_sales_price) AS avg_esp,
+       AVG(ss_ext_wholesale_cost) AS avg_ewc,
+       CAST(SUM(ss_ext_wholesale_cost) AS BIGINT) AS sum_ewc
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 50000 AND 500000 AND hd_dep_count = 3)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 100000 AND 1000000 AND hd_dep_count = 1)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 30000 AND 300000 AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TN', 'SD', 'AL') AND ss_net_profit BETWEEN 10000 AND 2000000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('GA', 'MI', 'NJ') AND ss_net_profit BETWEEN 15000 AND 3000000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'VA') AND ss_net_profit BETWEEN 50000 AND 2500000))"""
+
+  private val Q15: String =
+    """
+SELECT ca_zip, CAST(SUM(cs_sales_price) AS BIGINT) AS sum_sales
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (SUBSTR(ca_zip, 1, 5) IN ('10005', '10017', '10029', '10033', '10041',
+                                '10051', '10062', '10077', '10084', '10088')
+    OR ca_state IN ('TN', 'GA', 'TX')
+    OR cs_sales_price > 50000)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100"""
+
+  private val Q18: String =
+    """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       AVG(CAST(cs_quantity AS DOUBLE)) AS agg1,
+       AVG(CAST(cs_list_price AS DOUBLE)) AS agg2,
+       AVG(CAST(cs_coupon_amt AS DOUBLE)) AS agg3,
+       AVG(CAST(cs_sales_price AS DOUBLE)) AS agg4,
+       AVG(CAST(cs_net_profit AS DOUBLE)) AS agg5,
+       AVG(CAST(c_birth_year AS DOUBLE)) AS agg6,
+       AVG(CAST(cd1.cd_dep_count AS DOUBLE)) AS agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+  AND d_year = 1998
+  AND ca_state IN ('TN', 'SD', 'AL', 'GA', 'MI', 'NJ', 'TX')
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST,
+         i_item_id NULLS FIRST
+LIMIT 100"""
+
+  private val Q25: String =
+    """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_net_profit) AS BIGINT) AS store_sales_profit,
+       CAST(SUM(sr_net_loss) AS BIGINT) AS store_returns_loss,
+       CAST(SUM(cs_net_profit) AS BIGINT) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year = 2001
+  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year = 2001
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""
+
+  private val Q45: String =
+    """
+SELECT ca_zip, ca_city, CAST(SUM(ws_sales_price) AS BIGINT) AS sum_sales
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (SUBSTR(ca_zip, 1, 5) IN ('10005', '10017', '10029', '10033', '10041',
+                                '10051', '10062', '10077', '10084', '10088')
+    OR i_item_id IN (SELECT i_item_id FROM item
+                     WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100"""
+
+  private val Q61: String =
+    """
+SELECT promotions, total,
+       CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100 AS promo_pct
+FROM (SELECT CAST(SUM(ss_ext_sales_price) AS BIGINT) AS promotions
+      FROM store_sales, store, promotion, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5 AND d_year = 1998) promotional_sales,
+     (SELECT CAST(SUM(ss_ext_sales_price) AS BIGINT) AS total
+      FROM store_sales, store, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk AND ca_gmt_offset = -5
+        AND i_category = 'Jewelry' AND s_gmt_offset = -5
+        AND d_year = 1998) all_sales
+ORDER BY promotions, total
+LIMIT 100"""
+
+  private val Q65: String =
+    """
+SELECT s_store_name, i_item_desc, CAST(sc.revenue AS BIGINT) AS revenue,
+       i_current_price, i_wholesale_cost, i_brand
+FROM store, item,
+     (SELECT ss_store_sk, AVG(revenue) AS ave
+      FROM (SELECT ss_store_sk, ss_item_sk, SUM(ss_sales_price) AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk, SUM(ss_sales_price) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk AND sc.revenue <= 0.1 * sb.ave
+  AND s_store_sk = sc.ss_store_sk AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc, revenue, i_brand
+LIMIT 100"""
+
+  private val Q69: String =
+    """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2, cd_credit_rating, COUNT(*) AS cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('GA', 'MI', 'NJ')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2)
+  AND (NOT EXISTS (SELECT * FROM web_sales, date_dim
+                   WHERE c.c_customer_sk = ws_bill_customer_sk
+                     AND ws_sold_date_sk = d_date_sk
+                     AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2)
+    AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                    WHERE c.c_customer_sk = cs_bill_customer_sk
+                      AND cs_sold_date_sk = d_date_sk
+                      AND d_year = 2001 AND d_moy BETWEEN 4 AND 4 + 2))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100"""
+
   def entries: Seq[QE] = Seq(
     entry("q248_ds_q1", Q1),
     entry("q249_ds_q3", Q3),
@@ -878,5 +1072,13 @@ LIMIT 100"""
     entry("q271_ds_q53", Q53),
     entry("q272_ds_q88", Q88),
     entry("q273_ds_q93", Q93),
-    entry("q274_ds_q97", Q97))
+    entry("q274_ds_q97", Q97),
+    entry("q275_ds_q13", Q13),
+    entry("q276_ds_q15", Q15),
+    entry("q277_ds_q18", Q18),
+    entry("q278_ds_q25", Q25),
+    entry("q279_ds_q45", Q45),
+    entry("q280_ds_q61", Q61),
+    entry("q281_ds_q65", Q65),
+    entry("q282_ds_q69", Q69))
 }
