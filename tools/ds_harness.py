@@ -1,12 +1,11 @@
 #!/usr/bin/env python3
 """Authoring harness for the official-text TPC-DS battery: assembles the
 derived star-schema CTE prefix + official query bodies, runs them in DuckDB
-at all three SFs, prints row counts (rows>0 required everywhere)."""
+at all three SFs, prints row counts (rows>0 required everywhere).
 
-Run: python3 tools/ds_harness.py [names...] — validates every battery text
-in DuckDB at all three SFs (rows>0 required everywhere) BEFORE any Scala
-exists; DsOfficial.scala is generated from PREFIX/Q (see round-9 sessions
-for the generator snippet). Keep this file in sync with DsOfficial.scala.
+Run: python3 tools/ds_harness.py [names...] — validate every battery text
+in DuckDB BEFORE any Scala exists; src/main/scala/graft/queries/
+DsOfficial.scala is generated from PREFIX/Q. Keep the two in sync."""
 import duckdb, sys
 
 PREFIX = """WITH date_dim AS (
