@@ -65,9 +65,15 @@ object ScaleGen {
           // pair-emitting ANN/near-dup probe goes quadratic by
           // construction (the round-8 p03 lesson, measured at 545s vs
           // 0.5s salted)
+          // composed with a per-copy deterministic SIGN FLIP (a diagonal ±1
+          // matrix applied uniformly within the copy — sign_j² = 1 keeps
+          // every within-copy dot bit-identical): rotation alone has only
+          // `dim` distinct values, so at copies > EmbDim(=64) copy i and
+          // copy i+64 would be exact vector duplicates again
           shifted.withColumn("embedding", expr(
             s"transform(sequence(0, size(embedding) - 1), " +
-              s"j -> element_at(embedding, ((j + $i) % size(embedding)) + 1))"))
+              s"j -> element_at(embedding, ((j + $i) % size(embedding)) + 1)" +
+              s" * cast(1 - 2 * pmod(hash(j, $i), 2) as float))"))
         } else shifted
       }.reduce(_ unionAll _)
       un.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")

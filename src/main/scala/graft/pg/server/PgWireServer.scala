@@ -799,14 +799,23 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
 
   /** The row count for a no-result command's tag: INSERT uses the write
     * node's output rows; UPDATE/DELETE/MERGE use operation-specific metrics
-    * only (copy-on-write numOutputRows would overcount vs PG's matched-row
-    * semantics — absent metrics tag 0, "rows unknown").
+    * (numUpdatedRows/...) where the plan exposes them. When absent, UPDATE
+    * falls back to the write node's row count — an overcount for
+    * copy-on-write formats (untouched rows in rewritten files are included)
+    * but safer than "UPDATE 0", which is an affirmative "no row matched"
+    * claim in PG that misleads optimistic-locking clients. DELETE/MERGE
+    * cannot use that fallback (a copy-on-write DELETE writes the rows it
+    * KEPT), so absent metrics they tag 0, "rows unknown".
     */
   private def tagRows(sql: String, df: org.apache.spark.sql.DataFrame): Long = {
     val first = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
-    if (Set("UPDATE", "DELETE", "MERGE")(first)) {
-      Internals.affectedRows(df).getOrElse(0L)
-    } else Internals.writtenRows(df).getOrElse(0L)
+    first match {
+      case "UPDATE" =>
+        Internals.affectedRows(df)
+          .orElse(Internals.writtenRows(df)).getOrElse(0L)
+      case "DELETE" | "MERGE" => Internals.affectedRows(df).getOrElse(0L)
+      case _ => Internals.writtenRows(df).getOrElse(0L)
+    }
   }
 
   private def commandTag(sql: String, plan: LogicalPlan, rows: Long): String = {
@@ -1077,9 +1086,11 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     * side effects fire, matching PG's EXPLAIN ANALYZE semantics.
     */
   private val explainAnalyzeRe =
-    // `(ANALYZE FALSE|OFF|0)` is PG for "analyze disabled" — the lookahead
-    // keeps those on the plain-EXPLAIN path so the statement is NOT executed
-    """(?is)\s*EXPLAIN\s+(?:\(\s*ANALYZE(?!\s+(?:FALSE|OFF|0)\b)[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
+    // PG accepts options in any order — the paren branch scans the WHOLE
+    // option list (lookahead from the open paren) for an enabled ANALYZE
+    // token; `ANALYZE FALSE|OFF|0` is PG for "analyze disabled", so those
+    // stay on the plain-EXPLAIN path and the statement is NOT executed
+    """(?is)\s*EXPLAIN\s+(?:\((?=[^)]*\bANALYZE\b(?!\s+(?:FALSE|OFF|0)\b))[^)]*\)|ANALYZE(?:\s+VERBOSE)?)\s+(.+)""".r
 
   /** PG's paren option form with ANALYZE absent or disabled: strip the
     * option list so Spark's parser sees plain EXPLAIN — no execution, as PG.

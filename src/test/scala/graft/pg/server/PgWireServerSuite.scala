@@ -105,6 +105,16 @@ class PgWireServerSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(psql("EXPLAIN SELECT 1").contains("== Physical Plan =="))
     // the option form works too
     assert(psql("EXPLAIN (ANALYZE, VERBOSE) SELECT 5").contains("Execution Time:"))
+    // PG accepts options in ANY order: ANALYZE after another option still
+    // executes (it used to fall to the plain-EXPLAIN path and silently
+    // skip execution)
+    assert(psql("EXPLAIN (VERBOSE, ANALYZE) SELECT 5").contains("Execution Time:"))
+    psql("EXPLAIN (VERBOSE, ANALYZE) SELECT set_config('graft.ea_probe2', 'ran2', false); " +
+      "SELECT current_setting('graft.ea_probe2')") match {
+      case s => assert(s.linesIterator.toSeq.last === "ran2", s)
+    }
+    // ...but a disabled ANALYZE anywhere in the list must NOT execute
+    assert(!psql("EXPLAIN (VERBOSE, ANALYZE FALSE) SELECT 5").contains("Execution Time:"))
   }
 
   test("psql: version-sniffing and monitoring probes answer PG-style") {
