@@ -26,7 +26,18 @@ final case class Prepared(
       * executed at Execute time with its plan+metrics streamed as the
       * one-column QUERY PLAN result.
       */
-    explainAnalyze: Boolean = false)
+    explainAnalyze: Boolean = false,
+    /** Parse-time resolved plan for the cacheable path (pure query, no
+      * params, no driver-folded session functions): consumed ONCE by the
+      * first Bind so that Parse→Bind→Execute costs a single analysis.
+      * One-shot on purpose — later Binds of a client-cached statement
+      * re-analyze, keeping today's per-execution freshness semantics.
+      */
+    cachedAnalyzed: Option[LogicalPlan] = None) {
+  private val freshAnalyzed =
+    new java.util.concurrent.atomic.AtomicReference[LogicalPlan](cachedAnalyzed.orNull)
+  def takeAnalyzed(): Option[LogicalPlan] = Option(freshAnalyzed.getAndSet(null))
+}
 
 /** A bound portal ('B'): statement + bound plan + result formats + the
   * cursor position across Execute calls (reference PortalState
@@ -38,6 +49,10 @@ final class Portal(
     val bound: LogicalPlan,
     val formats: Seq[Boolean]) {
   var schema: StructType = stmt.schema
+  /** Dataset built from the Parse-time resolved plan (cacheable path):
+    * Execute runs THIS instance instead of re-analyzing `bound`.
+    */
+  var df: org.apache.spark.sql.DataFrame = _
   var rows: Iterator[InternalRow] = _
   var rowCount: Long = 0L
   def started: Boolean = rows != null

@@ -866,6 +866,22 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     * pg_catalog snapshot): re-registered immediately before any statement
     * that references them.
     */
+  /** Statements whose per-phase re-analysis is semantically load-bearing:
+    * driver-folded session functions (set_config must fire its effect at
+    * the Execute re-analysis, current_setting/version/pg_backend_pid must
+    * re-read session state per execution) and the dynamic catalog views
+    * re-registered per statement. Detection is textual and conservative —
+    * any call site must spell the name in the SQL, so false negatives are
+    * impossible and a false positive only costs the analyze-per-phase path.
+    */
+  private val volatileTextRe =
+    ("(?is).*\\b(set_config|pg_notify|pg_cancel_backend|pg_terminate_backend|" +
+      "current_setting|pg_backend_pid|pg_postmaster_start_time|version\\s*\\(|" +
+      "pg_param|pg_stat_activity|pg_stat_statements|pg_settings)\\b.*").r
+
+  private def isVolatileText(sql: String): Boolean =
+    volatileTextRe.matches(sql)
+
   private def refreshDynamicViews(sql: String): Unit = {
     val lower = sql.toLowerCase
     if (lower.contains("pg_stat_activity")) {
@@ -1217,8 +1233,22 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
             .value.toString.toInt
       })
     }.flatten.distinct.sorted
+    // One-analysis path for the common case: a pure parameterless query
+    // free of session-volatile constructs is analyzed HERE once and the
+    // resolved plan handed to the first Bind→Execute lifecycle (PG likewise
+    // fixes the plan no later than Bind). Everything else — params, EXPLAIN
+    // ANALYZE, commands, session-volatile texts — keeps the
+    // analyze-per-phase flow whose re-analysis timing is load-bearing.
+    val cacheablePath = paramIds.isEmpty && !isExplainAnalyze &&
+      sql.trim.nonEmpty && !isVolatileText(sql)
+    var cachedAnalyzed: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None
     val innerSchema =
       if (sql.trim.isEmpty) new StructType()
+      else if (cacheablePath) {
+        val (s, analyzed) = Internals.analyzeForPrepare(session.spark, plan)
+        cachedAnalyzed = analyzed
+        s
+      }
       else try Internals.analyzedSchema(session.spark, plan)
       catch {
         case NonFatal(e) if paramIds.nonEmpty =>
@@ -1236,7 +1266,8 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     // EA validated the inner statement above; its RESULT is the plan text
     val schema = if (isExplainAnalyze) explainAnalyzeSchema else innerSchema
     session.statements(name) = Prepared(name, sql, plan, paramIds, schema,
-      declaredOids, explainAnalyze = isExplainAnalyze)
+      declaredOids, explainAnalyze = isExplainAnalyze,
+      cachedAnalyzed = cachedAnalyzed)
     parseComplete(out)
   }
 
@@ -1278,9 +1309,16 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       (i + 1) -> value
     }.toMap[Int, Any]
     val bound = PgDialect.bind(stmt.plan, litParams)
+    // cacheable path: reuse the Parse-time resolved plan (one-shot) — the
+    // Dataset built here is the instance Execute runs, so the whole
+    // lifecycle costs a single analysis
+    val cachedDf = if (litParams.isEmpty && !stmt.explainAnalyze) {
+      stmt.takeAnalyzed().map(a => Internals.ofRows(session.spark, a))
+    } else None
     val schema = if (stmt.sql.trim.isEmpty) new StructType()
       else if (stmt.explainAnalyze) explainAnalyzeSchema // result = plan text
-      else Internals.analyzedSchema(session.spark, bound)
+      else cachedDf.map(_.schema)
+        .getOrElse(Internals.analyzedSchema(session.spark, bound))
     val formats = schema.fields.zipWithIndex.map { case (f, i) =>
       val want = if (resFormats.isEmpty) 0
         else if (resFormats.length == 1) resFormats.head
@@ -1289,6 +1327,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     }.toSeq
     val portal = new Portal(portalName, stmt, bound, formats)
     portal.schema = schema
+    cachedDf.foreach(portal.df = _)
     session.portals(portalName) = portal
     bindComplete(out)
   }
@@ -1354,6 +1393,9 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         portal.rows =
           if (portal.stmt.explainAnalyze) {
             explainAnalyzeRows(explainAnalyzeLines(portal.bound))
+          } else if (portal.df != null) {
+            // cacheable path: run the Bind-time Dataset — no re-analysis
+            resultIterator(portal.df)
           } else {
             resultIterator(Internals.ofRows(session.spark, portal.bound))
           }

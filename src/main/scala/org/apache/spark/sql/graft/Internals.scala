@@ -72,6 +72,23 @@ object Internals {
   def analyzedSchema(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.types.StructType =
     analysisOnly { classic(spark).sessionState.executePlan(plan).analyzed.schema }
 
+  /** One-analysis prepare for the extended protocol's cacheable path: the
+    * caller guarantees the text is free of driver-folded session functions
+    * (no analysisOnly guard needed), so the resolved plan can be reused by
+    * Bind/Execute instead of re-analyzing per phase. Returns the analyzed
+    * plan only when it is a pure query — a Command would EXECUTE eagerly
+    * when a Dataset is later built from it, which must not happen before
+    * the Execute message.
+    */
+  def analyzeForPrepare(spark: SparkSession, plan: LogicalPlan)
+      : (org.apache.spark.sql.types.StructType, Option[LogicalPlan]) = {
+    val analyzed = classic(spark).sessionState.executePlan(plan).analyzed
+    val cacheable =
+      !analyzed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+        analyzed.schema.nonEmpty
+    (analyzed.schema, if (cacheable) Some(analyzed) else None)
+  }
+
   /** Make this session the thread's active one so SQLConf.get (used by the
     * parser and rules) sees its per-session settings — required when serving
     * many sessions from shared worker threads.
