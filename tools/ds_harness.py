@@ -19,7 +19,9 @@ PREFIX = """WITH date_dim AS (
            WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
            WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
            ELSE 'Saturday' END AS d_day_name,
-         CAST((EXTRACT(YEAR FROM d_date) - 1990) * 12 + EXTRACT(MONTH FROM d_date) - 1 AS INT) AS d_month_seq
+         CAST((EXTRACT(YEAR FROM d_date) - 1990) * 12 + EXTRACT(MONTH FROM d_date) - 1 AS INT) AS d_month_seq,
+         CAST((EXTRACT(YEAR FROM d_date) - 1990) * 60 + (EXTRACT(MONTH FROM d_date) - 1) * 5
+              + FLOOR((EXTRACT(DAY FROM d_date) - 1) / 7.0) AS INT) AS d_week_seq
   FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date FROM main.lineitem) dd
 ),
 item AS (
@@ -43,7 +45,15 @@ item AS (
          CASE CAST(p_partkey % 9 AS INT) WHEN 0 THEN 'slate' WHEN 1 THEN 'blanched'
            WHEN 2 THEN 'burnished' WHEN 3 THEN 'peach' WHEN 4 THEN 'khaki'
            WHEN 5 THEN 'orchid' WHEN 6 THEN 'salmon' WHEN 7 THEN 'sienna'
-           ELSE 'navajo' END AS i_color
+           ELSE 'navajo' END AS i_color,
+         CASE CAST(p_partkey % 6 AS INT) WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
+           WHEN 2 THEN 'large' WHEN 3 THEN 'extra large' WHEN 4 THEN 'economy'
+           ELSE 'N/A' END AS i_size,
+         CASE CAST(p_partkey % 8 AS INT) WHEN 0 THEN 'Ounce' WHEN 1 THEN 'Oz'
+           WHEN 2 THEN 'Bunch' WHEN 3 THEN 'Ton' WHEN 4 THEN 'N/A' WHEN 5 THEN 'Dozen'
+           WHEN 6 THEN 'Box' ELSE 'Pound' END AS i_units,
+         'Unknown' AS i_container,
+         p_name AS i_product_name
   FROM main.part
 ),
 customer AS (
@@ -58,7 +68,14 @@ customer AS (
          'LAST_' || CAST(CAST(c_custkey % 97 AS INT) AS VARCHAR(8)) AS c_last_name,
          CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
            WHEN 2 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
-         CASE CAST(c_custkey % 2 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
+         CASE CAST(c_custkey % 2 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+         CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+         CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN 'UNITED STATES' WHEN 1 THEN 'CANADA'
+           WHEN 2 THEN 'GERMANY' WHEN 3 THEN 'JAPAN' WHEN 4 THEN 'BRAZIL'
+           ELSE 'FRANCE' END AS c_birth_country,
+         'login_' || CAST(CAST(c_custkey % 50 AS INT) AS VARCHAR(8)) AS c_login,
+         c_name || '@example.com' AS c_email_address,
+         CAST(2452000 + c_custkey % 300 AS INT) AS c_last_review_date
   FROM main.customer
 ),
 customer_address AS (
@@ -91,7 +108,8 @@ household_demographics AS (
            WHEN 2 THEN '5001-10000' WHEN 3 THEN '1001-5000' WHEN 4 THEN '501-1000'
            ELSE '0-500' END AS hd_buy_potential,
          CAST(c_custkey % 10 AS INT) AS hd_dep_count,
-         CAST(c_custkey % 5 AS INT) AS hd_vehicle_count
+         CAST(c_custkey % 5 AS INT) AS hd_vehicle_count,
+         CAST(c_custkey % 20 AS INT) AS hd_income_band_sk
   FROM main.customer
 ),
 customer_demographics AS (
@@ -103,6 +121,8 @@ customer_demographics AS (
            WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree'
            WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status,
          CAST(c_custkey % 10 AS INT) AS cd_dep_count,
+         CAST(c_custkey % 7 AS INT) AS cd_dep_employed_count,
+         CAST(c_custkey % 5 AS INT) AS cd_dep_college_count,
          CAST((c_custkey % 20 + 1) * 500 AS INT) AS cd_purchase_estimate,
          CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
            WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating
@@ -123,7 +143,13 @@ store AS (
          CAST(CAST(10000 + s_suppkey % 90 AS INT) AS VARCHAR(8)) AS s_zip,
          CAST(200 + s_suppkey % 100 AS INT) AS s_number_employees,
          CASE CAST(s_suppkey % 2 AS INT) WHEN 0 THEN 'Unknown' ELSE 'Mid Atlantic' END AS s_company_name,
-         CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset
+         CAST(-5 - s_suppkey % 3 AS INT) AS s_gmt_offset,
+         CAST(s_suppkey % 7 AS INT) AS s_company_id,
+         CAST(CAST(100 + s_suppkey % 900 AS INT) AS VARCHAR(8)) AS s_street_number,
+         CASE CAST(s_suppkey % 5 AS INT) WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak'
+           WHEN 2 THEN 'Elm' WHEN 3 THEN 'Park' ELSE 'Lake' END AS s_street_name,
+         CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'St' WHEN 1 THEN 'Ave' ELSE 'Blvd' END AS s_street_type,
+         'Suite ' || CAST(CAST(s_suppkey % 20 AS INT) AS VARCHAR(8)) AS s_suite_number
   FROM main.supplier
 ),
 time_dim AS (
@@ -158,6 +184,8 @@ base_sales AS (
          CAST((l_orderkey * 17 + l_linenumber * 9) % 8000 AS BIGINT) AS discount_cents,
          CAST((l_orderkey * 11 + l_linenumber * 5) % 10000 AS BIGINT) AS tax_cents,
          CAST((l_orderkey * 13 + l_linenumber * 7) % 4 AS INT) AS channel,
+         CAST(l_shipdate AS DATE) + CAST((l_orderkey * 19 + l_linenumber * 11) % 14 AS INT) AS ship_date_sk,
+         CAST((o_custkey * 11 + l_orderkey * 3) % 25 AS INT) AS center_sk,
          l_returnflag AS returnflag
   FROM main.lineitem JOIN main.orders ON l_orderkey = o_orderkey
   CROSS JOIN (SELECT COUNT(*) AS c_cnt FROM main.customer) cc
@@ -179,6 +207,7 @@ store_sales AS (
          ext_cents - coupon_cents AS ss_net_paid,
          ext_cents - coupon_cents + tax_cents AS ss_net_paid_inc_tax,
          CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ss_ext_wholesale_cost,
+         CAST(FLOOR(ext_cents * 0.8 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS ss_wholesale_cost,
          ext_cents - coupon_cents - CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ss_net_profit
   FROM base_sales WHERE channel <= 1
 ),
@@ -194,6 +223,15 @@ catalog_sales AS (
          CAST(FLOOR(ext_cents * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS cs_sales_price,
          CAST(FLOOR((ext_cents + coupon_cents) * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS cs_list_price,
          coupon_cents AS cs_coupon_amt,
+         customer_sk AS cs_bill_hdemo_sk,
+         ticket_number AS cs_order_number,
+         ship_date_sk AS cs_ship_date_sk,
+         addr_sk AS cs_ship_addr_sk,
+         CAST(store_sk % 5 AS INT) AS cs_warehouse_sk,
+         center_sk AS cs_call_center_sk,
+         tax_cents AS cs_ext_ship_cost,
+         ext_cents + coupon_cents AS cs_ext_list_price,
+         CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_ext_wholesale_cost,
          ext_cents - coupon_cents - CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_net_profit
   FROM base_sales WHERE channel = 2
 ),
@@ -203,25 +241,88 @@ web_sales AS (
          ext_cents AS ws_ext_sales_price,
          sold_time_sk AS ws_sold_time_sk,
          discount_cents AS ws_ext_discount_amt,
-         CAST(FLOOR(ext_cents * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS ws_sales_price
+         CAST(FLOOR(ext_cents * 1.0 / CASE WHEN quantity = 0 THEN 1 ELSE quantity END) AS BIGINT) AS ws_sales_price,
+         quantity AS ws_quantity,
+         ext_cents - coupon_cents AS ws_net_paid,
+         ticket_number AS ws_order_number,
+         ship_date_sk AS ws_ship_date_sk,
+         addr_sk AS ws_ship_addr_sk,
+         CAST(store_sk % 5 AS INT) AS ws_warehouse_sk,
+         center_sk AS ws_web_site_sk,
+         tax_cents AS ws_ext_ship_cost,
+         ext_cents + coupon_cents AS ws_ext_list_price,
+         CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ws_ext_wholesale_cost,
+         ext_cents - coupon_cents - CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ws_net_profit
   FROM base_sales WHERE channel = 3
 ),
 catalog_returns AS (
   SELECT sold_date_sk AS cr_returned_date_sk, item_sk AS cr_item_sk,
          customer_sk AS cr_returning_customer_sk,
          addr_sk AS cr_returning_addr_sk,
-         ext_cents + tax_cents AS cr_return_amt_inc_tax
+         ext_cents + tax_cents AS cr_return_amt_inc_tax,
+         ticket_number AS cr_order_number
   FROM base_sales WHERE channel = 2 AND returnflag = 'R'
+),
+web_returns AS (
+  SELECT sold_date_sk AS wr_returned_date_sk, item_sk AS wr_item_sk,
+         customer_sk AS wr_returning_customer_sk,
+         addr_sk AS wr_returning_addr_sk,
+         ticket_number AS wr_order_number,
+         ext_cents AS wr_return_amt,
+         CAST(FLOOR(ext_cents * 0.5) AS BIGINT) AS wr_refunded_cash
+  FROM base_sales WHERE channel = 3 AND returnflag = 'R'
 ),
 store_returns AS (
   SELECT sold_date_sk AS sr_returned_date_sk, item_sk AS sr_item_sk,
          customer_sk AS sr_customer_sk, store_sk AS sr_store_sk,
          ticket_number AS sr_ticket_number,
+         customer_sk AS sr_cdemo_sk,
          CAST(ticket_number % 25 AS BIGINT) AS sr_reason_sk,
          quantity AS sr_return_quantity,
          ext_cents AS sr_return_amt,
          CAST(FLOOR(ext_cents * 0.3) AS BIGINT) AS sr_net_loss
   FROM base_sales WHERE returnflag = 'R'
+),
+warehouse AS (
+  SELECT CAST(r_regionkey AS INT) AS w_warehouse_sk,
+         r_name AS w_warehouse_name,
+         CAST(500000 + r_regionkey * 50000 AS INT) AS w_warehouse_sq_ft,
+         CASE CAST(r_regionkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
+           WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Bronx County'
+           ELSE 'Orange County' END AS w_county,
+         CASE CAST(r_regionkey % 3 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SD' ELSE 'AL' END AS w_state,
+         CASE CAST(r_regionkey % 5 AS INT) WHEN 0 THEN 'Midway' WHEN 1 THEN 'Fairview'
+           WHEN 2 THEN 'Oakland' WHEN 3 THEN 'Springfield' ELSE 'Georgetown' END AS w_city,
+         'United States' AS w_country
+  FROM main.region
+),
+call_center AS (
+  SELECT CAST(n_nationkey AS INT) AS cc_call_center_sk,
+         'CC_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS cc_name,
+         CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
+           WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Bronx County'
+           ELSE 'Orange County' END AS cc_county,
+         'MGR_' || CAST(CAST(n_nationkey % 7 AS INT) AS VARCHAR(8)) AS cc_manager
+  FROM main.nation
+),
+web_site AS (
+  SELECT CAST(n_nationkey AS INT) AS web_site_sk,
+         'SITE_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS web_name,
+         'pri' AS web_company_name
+  FROM main.nation
+),
+inventory AS (
+  SELECT CAST(l_shipdate AS DATE) AS inv_date_sk,
+         l_partkey AS inv_item_sk,
+         CAST(l_suppkey % 5 AS INT) AS inv_warehouse_sk,
+         CAST(l_quantity AS INT) AS inv_quantity_on_hand
+  FROM main.lineitem
+),
+income_band AS (
+  SELECT CAST(n_nationkey AS INT) AS ib_income_band_sk,
+         CAST(n_nationkey * 10000 AS INT) AS ib_lower_bound,
+         CAST((n_nationkey + 1) * 10000 AS INT) AS ib_upper_bound
+  FROM main.nation WHERE n_nationkey < 20
 ),
 reason AS (
   SELECT n_nationkey AS r_reason_sk,
@@ -868,6 +969,26 @@ ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST,
          i_item_id NULLS FIRST
 LIMIT 100"""
 
+Q['ds_q25'] = """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_net_profit) AS BIGINT) AS store_sales_profit,
+       CAST(SUM(sr_net_loss) AS BIGINT) AS store_returns_loss,
+       CAST(SUM(cs_net_profit) AS BIGINT) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year = 2001
+  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year = 2001
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""
+
 Q['ds_q45'] = """
 SELECT ca_zip, ca_city, CAST(SUM(ws_sales_price) AS BIGINT) AS sum_sales
 FROM web_sales, customer, customer_address, date_dim, item
@@ -948,25 +1069,6 @@ ORDER BY cd_gender, cd_marital_status, cd_education_status,
          cd_purchase_estimate, cd_credit_rating
 LIMIT 100"""
 
-Q['ds_q25'] = """
-SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
-       CAST(SUM(ss_net_profit) AS BIGINT) AS store_sales_profit,
-       CAST(SUM(sr_net_loss) AS BIGINT) AS store_returns_loss,
-       CAST(SUM(cs_net_profit) AS BIGINT) AS catalog_sales_profit
-FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
-     date_dim d3, store, item
-WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
-  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
-  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
-  AND ss_ticket_number = sr_ticket_number
-  AND sr_returned_date_sk = d2.d_date_sk
-  AND d2.d_year = 2001
-  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
-  AND cs_sold_date_sk = d3.d_date_sk
-  AND d3.d_year = 2001
-GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
-ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
-LIMIT 100"""
 
 Q['ds_q9'] = """
 SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10) > 10000
@@ -1078,6 +1180,732 @@ WHERE i_manufact_id = 35
                                AND d_date_sk = ws_sold_date_sk)
 ORDER BY excess_discount_amount
 LIMIT 100"""
+
+Q['ds_q12'] = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       CAST(SUM(ws_ext_sales_price) AS BIGINT) AS itemrevenue,
+       CAST(SUM(ws_ext_sales_price) AS DOUBLE) * 100 / SUM(SUM(ws_ext_sales_price))
+         OVER (PARTITION BY i_class) AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""
+
+Q['ds_q20'] = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       CAST(SUM(cs_ext_sales_price) AS BIGINT) AS itemrevenue,
+       CAST(SUM(cs_ext_sales_price) AS DOUBLE) * 100 / SUM(SUM(cs_ext_sales_price))
+         OVER (PARTITION BY i_class) AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""
+
+Q['ds_q86'] = """
+SELECT CAST(SUM(ws_net_paid) AS BIGINT) AS total_sum, i_category, i_class,
+       CAST(GROUPING(i_category) + GROUPING(i_class) AS INT) AS lochierarchy,
+       CAST(RANK() OVER (PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+         CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         ORDER BY SUM(ws_net_paid) DESC) AS BIGINT) AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 108 AND 108 + 11
+  AND d1.d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN CAST(GROUPING(i_category) + GROUPING(i_class) AS INT) = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100"""
+
+Q['ds_q63'] = """
+SELECT * FROM
+  (SELECT i_manager_id,
+          CAST(SUM(ss_sales_price) AS BIGINT) AS sum_sales,
+          AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+   FROM item, store_sales, date_dim, store
+   WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (108, 108 + 1, 108 + 2, 108 + 3, 108 + 4, 108 + 5,
+                         108 + 6, 108 + 7, 108 + 8, 108 + 9, 108 + 10, 108 + 11)
+     AND ((i_category IN ('Books', 'Children', 'Electronics')
+           AND i_class IN ('computers', 'stereo', 'football'))
+       OR (i_category IN ('Women', 'Music', 'Men')
+           AND i_class IN ('shirts', 'dresses', 'computers')))
+   GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+        THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100"""
+
+Q['ds_q38'] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM store_sales, date_dim, customer
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 60 AND 60 + 83
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM catalog_sales, date_dim, customer
+  WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+    AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 60 AND 60 + 83
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM web_sales, date_dim, customer
+  WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+    AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 60 AND 60 + 83
+) hot_cust
+LIMIT 100"""
+
+Q['ds_q87'] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_cool FROM (
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 108 AND 108 + 11)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 108 AND 108 + 11)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 108 AND 108 + 11)
+) cool_cust"""
+
+Q['ds_q35'] = """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       COUNT(*) AS cnt1, AVG(cd_dep_count) AS avg1,
+       MAX(cd_dep_count) AS max1, CAST(SUM(cd_dep_count) AS BIGINT) AS sum1,
+       cd_dep_employed_count,
+       COUNT(*) AS cnt2, AVG(cd_dep_employed_count) AS avg2,
+       MAX(cd_dep_employed_count) AS max2, CAST(SUM(cd_dep_employed_count) AS BIGINT) AS sum2,
+       cd_dep_college_count,
+       COUNT(*) AS cnt3, AVG(cd_dep_college_count) AS avg3,
+       MAX(cd_dep_college_count) AS max3, CAST(SUM(cd_dep_college_count) AS BIGINT) AS sum3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_qoy < 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""
+
+Q['ds_q10'] = """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2,
+       cd_credit_rating, COUNT(*) AS cnt3,
+       cd_dep_count, COUNT(*) AS cnt4,
+       cd_dep_employed_count, COUNT(*) AS cnt5,
+       cd_dep_college_count, COUNT(*) AS cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Williamson County', 'Franklin Parish', 'Bronx County')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 1 AND 1 + 3)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy BETWEEN 1 AND 1 + 3)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy BETWEEN 1 AND 1 + 3))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""
+
+Q['ds_q41'] = """
+SELECT DISTINCT(i_product_name)
+FROM item i1
+WHERE i_manufact_id BETWEEN 10 AND 10 + 40
+  AND (SELECT COUNT(*) AS item_cnt
+       FROM item
+       WHERE (i_manufact = i1.i_manufact
+              AND ((i_category = 'Women'
+                    AND (i_color = 'slate' OR i_color = 'khaki')
+                    AND (i_units = 'Ounce' OR i_units = 'Oz')
+                    AND (i_size = 'medium' OR i_size = 'extra large'))
+                OR (i_category = 'Women'
+                    AND (i_color = 'peach' OR i_color = 'orchid')
+                    AND (i_units = 'Bunch' OR i_units = 'Ton')
+                    AND (i_size = 'economy' OR i_size = 'small'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'salmon' OR i_color = 'navajo')
+                    AND (i_units = 'Box' OR i_units = 'Pound')
+                    AND (i_size = 'large' OR i_size = 'N/A'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'sienna' OR i_color = 'burnished')
+                    AND (i_units = 'Dozen' OR i_units = 'N/A')
+                    AND (i_size = 'medium' OR i_size = 'extra large'))))
+          OR (i_manufact = i1.i_manufact
+              AND ((i_category = 'Women'
+                    AND (i_color = 'blanched' OR i_color = 'navajo')
+                    AND (i_units = 'Oz' OR i_units = 'Dozen')
+                    AND (i_size = 'medium' OR i_size = 'extra large'))
+                OR (i_category = 'Women'
+                    AND (i_color = 'khaki' OR i_color = 'sienna')
+                    AND (i_units = 'Pound' OR i_units = 'Box')
+                    AND (i_size = 'economy' OR i_size = 'small'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'slate' OR i_color = 'peach')
+                    AND (i_units = 'Ounce' OR i_units = 'Bunch')
+                    AND (i_size = 'large' OR i_size = 'N/A'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'orchid' OR i_color = 'salmon')
+                    AND (i_units = 'Ton' OR i_units = 'Oz')
+                    AND (i_size = 'medium' OR i_size = 'extra large'))))) > 0
+ORDER BY i_product_name
+LIMIT 100"""
+
+Q['ds_q28'] = """
+SELECT * FROM
+  (SELECT AVG(ss_list_price) AS b1_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b1_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b1_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 0 AND 5
+     AND (ss_list_price BETWEEN 100000 AND 100000 + 100000
+       OR ss_coupon_amt BETWEEN 1000 AND 1000 + 2000
+       OR ss_wholesale_cost BETWEEN 50000 AND 50000 + 80000)) b1,
+  (SELECT AVG(ss_list_price) AS b2_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b2_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b2_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 6 AND 10
+     AND (ss_list_price BETWEEN 50000 AND 50000 + 100000
+       OR ss_coupon_amt BETWEEN 2000 AND 2000 + 2000
+       OR ss_wholesale_cost BETWEEN 20000 AND 20000 + 80000)) b2,
+  (SELECT AVG(ss_list_price) AS b3_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b3_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b3_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 11 AND 15
+     AND (ss_list_price BETWEEN 30000 AND 30000 + 100000
+       OR ss_coupon_amt BETWEEN 500 AND 500 + 2000
+       OR ss_wholesale_cost BETWEEN 10000 AND 10000 + 80000)) b3,
+  (SELECT AVG(ss_list_price) AS b4_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b4_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b4_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 16 AND 20
+     AND (ss_list_price BETWEEN 20000 AND 20000 + 100000
+       OR ss_coupon_amt BETWEEN 3000 AND 3000 + 2000
+       OR ss_wholesale_cost BETWEEN 5000 AND 5000 + 80000)) b4,
+  (SELECT AVG(ss_list_price) AS b5_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b5_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b5_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 21 AND 25
+     AND (ss_list_price BETWEEN 10000 AND 10000 + 100000
+       OR ss_coupon_amt BETWEEN 1500 AND 1500 + 2000
+       OR ss_wholesale_cost BETWEEN 30000 AND 30000 + 80000)) b5,
+  (SELECT AVG(ss_list_price) AS b6_lp, CAST(COUNT(ss_list_price) AS BIGINT) AS b6_cnt,
+          CAST(COUNT(DISTINCT ss_list_price) AS BIGINT) AS b6_cntd
+   FROM store_sales
+   WHERE ss_quantity BETWEEN 26 AND 30
+     AND (ss_list_price BETWEEN 40000 AND 40000 + 100000
+       OR ss_coupon_amt BETWEEN 2500 AND 2500 + 2000
+       OR ss_wholesale_cost BETWEEN 40000 AND 40000 + 80000)) b6
+LIMIT 100"""
+
+Q['ds_q50'] = """
+SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+       s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk <= ss_sold_date_sk + 30) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_30,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk > ss_sold_date_sk + 30)
+                      AND (sr_returned_date_sk <= ss_sold_date_sk + 60) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_31_60,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk > ss_sold_date_sk + 60)
+                      AND (sr_returned_date_sk <= ss_sold_date_sk + 90) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_61_90,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk > ss_sold_date_sk + 90)
+                      AND (sr_returned_date_sk <= ss_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_91_120,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk > ss_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_more_120
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 2000 AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100"""
+
+Q['ds_q8'] = """
+SELECT s_store_name, CAST(SUM(ss_net_profit) AS BIGINT) AS total_profit
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip FROM (
+        (SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip FROM customer_address
+         WHERE SUBSTR(ca_zip, 1, 5) IN ('10000', '10003', '10006', '10009',
+           '10012', '10015', '10018', '10021', '10024', '10027', '10030',
+           '10033', '10036', '10039', '10042', '10045', '10048', '10051',
+           '10054', '10057', '10060', '10063', '10066', '10069', '10072',
+           '10075', '10078', '10081', '10084', '10087'))
+        INTERSECT
+        (SELECT ca_zip FROM
+           (SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
+            FROM customer_address, customer
+            WHERE ca_address_sk = c_current_addr_sk AND c_preferred_cust_flag = 'Y'
+            GROUP BY ca_zip HAVING COUNT(*) > 1) a1)) a2) v1
+WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND SUBSTR(s_zip, 1, 2) = SUBSTR(v1.ca_zip, 1, 2)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100"""
+
+Q['ds_q31'] = """,
+ss AS (
+  SELECT ca_county, d_qoy, d_year, CAST(SUM(ss_ext_sales_price) AS BIGINT) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+ws AS (
+  SELECT ca_county, d_qoy, d_year, CAST(SUM(ws_ext_sales_price) AS BIGINT) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales AS web_q1_q2_increase,
+       CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales AS store_q1_q2_increase,
+       CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales AS web_q2_q3_increase,
+       CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 1997 AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 1997 AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 1997
+  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 1997
+  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 1997
+  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 1997
+  AND CASE WHEN ws1.web_sales > 0 THEN CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales ELSE NULL END
+    > CASE WHEN ss1.store_sales > 0 THEN CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0 THEN CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales ELSE NULL END
+    > CASE WHEN ss2.store_sales > 0 THEN CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales ELSE NULL END
+ORDER BY ss1.ca_county, ss1.d_year"""
+
+Q['ds_q84'] = """
+SELECT c_customer_id AS customer_id,
+       COALESCE(c_last_name, '') || ', ' || COALESCE(c_first_name, '') AS customername
+FROM customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'Springfield'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000 AND ib_upper_bound <= 30000 + 50000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = sr_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+ORDER BY c_customer_id
+LIMIT 100"""
+
+
+Q['ds_q2'] = """,
+wscs AS (
+  SELECT sold_date_sk, sales_price FROM
+    (SELECT ws_sold_date_sk AS sold_date_sk, ws_ext_sales_price AS sales_price FROM web_sales
+     UNION ALL
+     SELECT cs_sold_date_sk AS sold_date_sk, cs_ext_sales_price AS sales_price FROM catalog_sales) t),
+wswscs AS (
+  SELECT d_week_seq,
+         CAST(SUM(CASE WHEN (d_day_name = 'Sunday') THEN sales_price ELSE NULL END) AS BIGINT) AS sun_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Monday') THEN sales_price ELSE NULL END) AS BIGINT) AS mon_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Tuesday') THEN sales_price ELSE NULL END) AS BIGINT) AS tue_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Wednesday') THEN sales_price ELSE NULL END) AS BIGINT) AS wed_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Thursday') THEN sales_price ELSE NULL END) AS BIGINT) AS thu_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Friday') THEN sales_price ELSE NULL END) AS BIGINT) AS fri_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Saturday') THEN sales_price ELSE NULL END) AS BIGINT) AS sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       ROUND(CAST(sun_sales1 AS DOUBLE) / sun_sales2, 2) AS sun_ratio,
+       ROUND(CAST(mon_sales1 AS DOUBLE) / mon_sales2, 2) AS mon_ratio,
+       ROUND(CAST(tue_sales1 AS DOUBLE) / tue_sales2, 2) AS tue_ratio,
+       ROUND(CAST(wed_sales1 AS DOUBLE) / wed_sales2, 2) AS wed_ratio,
+       ROUND(CAST(thu_sales1 AS DOUBLE) / thu_sales2, 2) AS thu_ratio,
+       ROUND(CAST(fri_sales1 AS DOUBLE) / fri_sales2, 2) AS fri_ratio,
+       ROUND(CAST(sat_sales1 AS DOUBLE) / sat_sales2, 2) AS sat_ratio
+FROM (SELECT wswscs.d_week_seq AS d_week_seq1, sun_sales AS sun_sales1,
+             mon_sales AS mon_sales1, tue_sales AS tue_sales1, wed_sales AS wed_sales1,
+             thu_sales AS thu_sales1, fri_sales AS fri_sales1, sat_sales AS sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000) y,
+     (SELECT wswscs.d_week_seq AS d_week_seq2, sun_sales AS sun_sales2,
+             mon_sales AS mon_sales2, tue_sales AS tue_sales2, wed_sales AS wed_sales2,
+             thu_sales AS thu_sales2, fri_sales AS fri_sales2, sat_sales AS sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 60
+ORDER BY d_week_seq1"""
+
+Q['ds_q59'] = """,
+wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         CAST(SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS sun_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS mon_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS tue_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS wed_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS thu_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS fri_sales,
+         CAST(SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) AS BIGINT) AS sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       CAST(sun_sales1 AS DOUBLE) / sun_sales2 AS sun_ratio,
+       CAST(mon_sales1 AS DOUBLE) / mon_sales2 AS mon_ratio,
+       CAST(tue_sales1 AS DOUBLE) / tue_sales2 AS tue_ratio,
+       CAST(wed_sales1 AS DOUBLE) / wed_sales2 AS wed_ratio,
+       CAST(thu_sales1 AS DOUBLE) / thu_sales2 AS thu_ratio,
+       CAST(fri_sales1 AS DOUBLE) / fri_sales2 AS fri_ratio,
+       CAST(sat_sales1 AS DOUBLE) / sat_sales2 AS sat_ratio
+FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1, sun_sales AS sun_sales1, mon_sales AS mon_sales1,
+             tue_sales AS tue_sales1, wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+             fri_sales AS fri_sales1, sat_sales AS sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 108 AND 108 + 11) y,
+     (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+             s_store_id AS s_store_id2, sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+             tue_sales AS tue_sales2, wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+             fri_sales AS fri_sales2, sat_sales AS sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 108 + 12 AND 108 + 23) x
+WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 60
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100"""
+
+Q['ds_q21'] = """
+SELECT * FROM
+  (SELECT w_warehouse_name, i_item_id,
+          CAST(SUM(CASE WHEN CAST(d_date AS DATE) < DATE '2000-03-11'
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+          CAST(SUM(CASE WHEN CAST(d_date AS DATE) >= DATE '2000-03-11'
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
+   FROM inventory, warehouse, item, date_dim
+   WHERE i_current_price BETWEEN 90099 AND 90099 + 1500
+     AND i_item_sk = inv_item_sk
+     AND inv_warehouse_sk = w_warehouse_sk
+     AND inv_date_sk = d_date_sk
+     AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+   GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0 THEN CAST(inv_after AS DOUBLE) / inv_before ELSE NULL END)
+      BETWEEN CAST(2.0 AS DOUBLE) / 3.0 AND CAST(3.0 AS DOUBLE) / 2.0
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100"""
+
+Q['ds_q22'] = """
+SELECT i_product_name, i_brand, i_class, i_category,
+       AVG(inv_quantity_on_hand) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 108 AND 108 + 11
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100"""
+
+Q['ds_q72'] = """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+       CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+       COUNT(*) AS total_cnt
+FROM catalog_sales
+JOIN inventory ON (cs_item_sk = inv_item_sk)
+JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5
+  AND hd_buy_potential = '5001-10000'
+  AND d1.d_year = 1999
+  AND cd_marital_status = 'W'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq
+LIMIT 100"""
+
+Q['ds_q16'] = """
+SELECT CAST(COUNT(DISTINCT cs_order_number) AS BIGINT) AS order_count,
+       CAST(SUM(cs_ext_ship_cost) AS BIGINT) AS total_shipping_cost,
+       CAST(SUM(cs_net_profit) AS BIGINT) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-02'
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('Williamson County', 'Franklin Parish', 'Bronx County')
+  AND EXISTS (SELECT * FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY order_count
+LIMIT 100"""
+
+Q['ds_q94'] = """
+SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS BIGINT) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS BIGINT) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS (SELECT * FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY order_count
+LIMIT 100"""
+
+Q['ds_q95'] = """,
+ws_wh AS (
+  SELECT ws1.ws_order_number, ws1.ws_warehouse_sk AS wh1, ws2.ws_warehouse_sk AS wh2
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT CAST(COUNT(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS BIGINT) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS BIGINT) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY order_count
+LIMIT 100"""
+
+Q['ds_q30'] = """,
+customer_total_return AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         CAST(SUM(wr_return_amt) AS BIGINT) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, c_login, c_email_address, c_last_review_date,
+       ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT AVG(ctr_total_return) * 1.2
+                               FROM customer_total_return ctr2
+                               WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+         c_birth_country, c_login, c_email_address, c_last_review_date,
+         ctr_total_return
+LIMIT 100"""
+
+Q['ds_q74'] = """,
+year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS year1,
+         CAST(SUM(ss_net_paid) AS BIGINT) AS year_total, 's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (1999, 1999 + 1)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS year1,
+         CAST(SUM(ws_net_paid) AS BIGINT) AS year_total, 'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (1999, 1999 + 1)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year1 = 1999 AND t_s_secyear.year1 = 1999 + 1
+  AND t_w_firstyear.year1 = 1999 AND t_w_secyear.year1 = 1999 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+        THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
+        ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+        THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
+        ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100"""
+
+Q['ds_q11'] = """,
+year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login, c_email_address AS customer_email_address,
+         d_year AS dyear,
+         CAST(SUM(ss_ext_list_price - ss_ext_discount_amt) AS BIGINT) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login, c_email_address AS customer_email_address,
+         d_year AS dyear,
+         CAST(SUM(ws_ext_list_price - ws_ext_discount_amt) AS BIGINT) AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 1999 + 1
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 1999 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+        THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
+        ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+        THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
+        ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+LIMIT 100"""
+
+Q['ds_q4'] = """,
+year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login, c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM(((ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt) + ss_ext_sales_price) / 2) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login, c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM(((cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt) + cs_ext_sales_price) / 2) AS year_total,
+         'c' AS sale_type
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login, c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM(((ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt) + ws_ext_sales_price) / 2) AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 1999 + 1
+  AND t_c_firstyear.dyear = 1999 AND t_c_secyear.dyear = 1999 + 1
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 1999 + 1
+  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+        THEN t_c_secyear.year_total / t_c_firstyear.year_total ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+        THEN t_s_secyear.year_total / t_s_firstyear.year_total ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+        THEN t_c_secyear.year_total / t_c_firstyear.year_total ELSE NULL END
+    > CASE WHEN t_w_firstyear.year_total > 0
+        THEN t_w_secyear.year_total / t_w_firstyear.year_total ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
+LIMIT 100"""
+
 
 if __name__ == '__main__':
     names = sys.argv[1:] or sorted(Q)
