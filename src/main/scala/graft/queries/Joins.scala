@@ -189,13 +189,19 @@ object Joins {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    // LEFT ANTI join (NOT EXISTS shape).
+    // LEFT ANTI join (NOT EXISTS shape). The anti side is the filtered
+    // orders set (no big order), not all orders: every gate-SF customer
+    // has SOME order, so the unfiltered anti join returned 0 rows and the
+    // gate was vacuously green (round-9 verdict note) — the filter makes
+    // the gate prove rows actually survive the anti join.
     QE("q15_join_anti", Some("""
       SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       ORDER BY c_custkey"""),
       (s, d) => t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 

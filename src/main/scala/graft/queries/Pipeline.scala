@@ -609,16 +609,36 @@ object Pipeline {
     // same threshold; candidate generation must therefore not miss any
     // qualifying pair (multi-table hyperplane union). See PipelineSpec for
     // the recall property at a permissive threshold.
+    //
+    // The corpus is augmented with ONE planted exact duplicate of the
+    // lowest vec_id (vec_id 10^9): the driver embeddings are near-random
+    // at the gate SFs (max off-diagonal cosine ~0.51), so the entry used
+    // to return 0 rows and an always-empty implementation would also have
+    // passed (round-9 verdict note). An identical vector hashes into the
+    // same bucket in EVERY table — recall of the planted pair is
+    // guaranteed, not probabilistic — so the gate now proves the bucket
+    // join, rerank, and threshold actually emit.
     QE("p15_embedding_neardup", Some(s"""
-      WITH p AS (
+      WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT 1000000000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+      p AS (
         SELECT a.vec_id AS va, b.vec_id AS vb,
           ${oDot("a.embedding", "b.embedding")} /
           (sqrt(${oDot("a.embedding", "a.embedding")}) *
            sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
       SELECT va, vb, cos FROM p WHERE cos >= ${EmbDupThreshold}
       ORDER BY va, vb"""),
-      (s, d) => embeddingNearDupPairs(s, d, EmbDupThreshold)),
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e.orderBy("vec_id").limit(1)
+          .withColumn("vec_id", lit(1000000000L))
+        embeddingNearDupPairsAt(s, e.unionByName(planted),
+          lshPlanesFor(corpusRows(e, s"$d/embeddings")), EmbDupThreshold)
+      }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata, decode
     // stubbed as a deterministic byte-level feature (real decode would swap

@@ -126,25 +126,30 @@ object SetsSorts {
           .orderBy("k")
       }),
 
-    // EXCEPT (distinct) and EXCEPT ALL.
+    // EXCEPT (distinct) and EXCEPT ALL. Both right sides are FILTERED so a
+    // known non-empty difference survives at every SF — at the gate SF the
+    // unfiltered sets coincided and both entries returned 0 rows, which an
+    // always-empty EXCEPT would also have "passed" (round-9 verdict note).
     QE("q54_except", Some("""
       SELECT c_nationkey AS nk FROM customer
       EXCEPT
-      SELECT s_nationkey AS nk FROM supplier
+      SELECT s_nationkey AS nk FROM supplier WHERE s_nationkey < 20
       ORDER BY nk"""),
       (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .except(t(s, d, "supplier").filter(col("s_nationkey") < 20)
+          .select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
     QE("q55_except_all", Some("""
       SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
       EXCEPT ALL
-      SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09
+      SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.09 AND l_quantity > 40
       ORDER BY k"""),
       (s, d) => {
         val l = t(s, d, "lineitem")
         l.filter(col("l_quantity") > 49).select(col("l_suppkey").as("k"))
-          .exceptAll(l.filter(col("l_discount") > 0.09).select(col("l_suppkey").as("k")))
+          .exceptAll(l.filter(col("l_discount") > 0.09 && col("l_quantity") > 40)
+            .select(col("l_suppkey").as("k")))
           .orderBy("k")
       }))
 }
