@@ -49,7 +49,7 @@ object BenchWire {
     val byName = SparkEntry.all.map(e => e.name -> e).toMap
     val tpch = TpchOfficial.map(n => byName.getOrElse(n,
       sys.error(s"official entry $n missing from SparkEntry")))
-    val ds = SparkEntry.all.filter(_.name.matches("q2(4[89]|[5-7][0-9]|8[0-8])_ds_q\\d+"))
+    val ds = SparkEntry.all.filter(_.name.matches("q\\d+_ds_q\\d+"))
     tpch ++ ds
   }
 

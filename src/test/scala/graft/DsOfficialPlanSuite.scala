@@ -65,4 +65,40 @@ class DsOfficialPlanSuite extends AnyFunSuite {
     assert(countOf(p, "HashAggregate") >= 2,
       s"itemrevenue aggregates partially before the window shuffle:\n$p")
   }
+
+  // ---- round-10 tranches: inventory/warehouse, week_seq, YoY self-joins ----
+
+  test("q305_ds_q21: inventory star broadcasts warehouse/item/date dims") {
+    val p = finalPlan("q305_ds_q21")
+    assert(countOf(p, "BroadcastExchange") >= 2,
+      s"inventory star must broadcast its dims:\n$p")
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"before/after sums aggregate partially first:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q307_ds_q72: ten-table chain stays cartesian-free with broadcast dims") {
+    val p = finalPlan("q307_ds_q72")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // demographics, warehouse, item, promotion, three date_dims are all
+    // broadcast-sized; the only shuffling joins may be the fact-fact ones
+    assert(countOf(p, "BroadcastExchange") >= 4,
+      s"dims must broadcast in the q72 chain:\n$p")
+  }
+
+  test("q303_ds_q2: channel union aggregates partially under the week pivot") {
+    val p = finalPlan("q303_ds_q2")
+    assert(p.contains("Union"), s"ws+cs union must plan a Union:\n$p")
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"weekly pivot aggregates partially before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q314_ds_q4: three-channel year_total self-join is cartesian-free " +
+    "with partial aggs") {
+    val p = finalPlan("q314_ds_q4")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(countOf(p, "HashAggregate") >= 2,
+      s"year_total aggregates partially per channel:\n$p")
+  }
 }
