@@ -56,9 +56,10 @@ object BenchWire {
   /** Minimal blocking PG V3 client in pgjdbc's cursor-mode choreography.
     * First round batches Parse+Bind+Describe+Execute+Sync in one write
     * (exactly pgjdbc's QueryExecutorImpl flow); follow-up rounds are
-    * Execute+Sync against the still-open named portal.
+    * Execute+Sync against the still-open named portal. Shared with the
+    * concurrency bench (BenchWireConc).
     */
-  private final class WireClient(port: Int) {
+  private[graft] final class WireClient(port: Int) {
     private val sock = new Socket("127.0.0.1", port)
     sock.setTcpNoDelay(true)
     private val in = new DataInputStream(
@@ -217,13 +218,21 @@ object BenchWire {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // temp views for the direct path + main.* catalog views for the CTE
-    // shadow texts; bare-name CATALOG views so the server's per-connection
-    // newSession() clones (shared external catalog, isolated temp views)
-    // resolve the same tables a metastore-registered deployment would
-    Tables.views(spark, sfDir)
+    // shadow texts; bare-name catalog TABLES (not views) so the server's
+    // per-connection newSession() clones (shared external catalog,
+    // isolated temp views) resolve the same tables a metastore-registered
+    // deployment would. TABLE matters: a catalog VIEW re-expands to
+    // parquet.`path` on every analysis — file re-listing + footer schema
+    // re-inference per referenced table per query, ~0.8s of pure fixed
+    // cost on an 8-table TPC-H text — while a catalog table's resolved
+    // relation lands in the session's relation cache after first use.
     Tables.all.foreach { n =>
-      spark.sql(s"CREATE OR REPLACE VIEW $n AS SELECT * FROM parquet.`$sfDir/$n.parquet`")
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      spark.sql(s"CREATE TABLE $n USING parquet LOCATION '$sfDir/$n.parquet'")
     }
+    // temp views registered AFTER the tables: DROP TABLE resolves (and
+    // would drop) a same-named temp view first
+    Tables.views(spark, sfDir)
 
     val server = new PgWireServer(spark, port = 0)
     server.start()

@@ -4,10 +4,10 @@ import graft.{QE, Tables}
 
 import org.apache.spark.sql.SparkSession
 
-/** Official-text TPC-DS battery: 41 verbatim TPC-DS query texts (Q1, Q3,
-  * Q6, Q7, Q9, Q13, Q15, Q18, Q19, Q25, Q26, Q27, Q32, Q33, Q34, Q36,
-  * Q42, Q43, Q45, Q46, Q48, Q52, Q53, Q55, Q56, Q60, Q61, Q65, Q68, Q69,
-  * Q71, Q73, Q79, Q81, Q88, Q89, Q92, Q93, Q96, Q97, Q98) running over a
+/** Official-text TPC-DS battery: 67 verbatim TPC-DS query texts (Q1-Q4,
+  * Q6-Q13, Q15, Q16, Q18-Q22, Q25-Q28, Q30-Q36, Q38, Q41-Q43, Q45, Q46,
+  * Q48, Q50, Q52, Q53, Q55, Q56, Q59-Q61, Q63, Q65, Q68, Q69, Q71-Q74,
+  * Q79, Q81, Q84, Q86-Q89, Q92-Q98) running over a
   * spec-SHAPED star schema derived deterministically from the driver
   * tables inside a shared CTE prefix. The reference's own benchmark
   * harness runs the full official battery
@@ -63,6 +63,30 @@ import org.apache.spark.sql.SparkSession
   * are empty at the smoke SF), Q98's `+ 30 days` -> a date literal, and
   * aliases on bare aggregate outputs (incl. Q32/Q92's quoted "excess
   * discount amount") so both engines name result columns identically.
+  *
+  * Round-10 tranche notes:
+  *  - d_week_seq is synthesized as 5 fixed slots per month (60/year) —
+  *    there is no portable cross-engine week-of-year — so Q2/Q59's
+  *    last-year offsets (53/52 weeks) become 60; the "same week one year
+  *    ago" semantics is preserved exactly.
+  *  - inventory is derived one row per lineitem (item, supplier-derived
+  *    warehouse, shipdate, quantity) rather than a dense weekly item x
+  *    warehouse snapshot, which would be SF x 410-weeks rows re-derived
+  *    per query in both engines; warehouse <- region, call_center /
+  *    web_site <- nation, income_band <- nation (20 bands).
+  *  - ship-window predicates (Q16/Q72/Q94/Q95) read cs/ws_ship_date_sk =
+  *    sold date + a deterministic 0-13 day offset; Q50's bucket
+  *    arithmetic `sr_returned_date_sk - ss_sold_date_sk <= N` is respelled
+  *    `sr_returned_date_sk <= ss_sold_date_sk + N` because the sks are
+  *    DATE-typed here and DATE-DATE types differently across engines
+  *    (DATE + INT does not).
+  *  - Q4's per-row /2 stays order-insensitively exact: the numerator is an
+  *    integer cents expression, so every addend is a half-integer double
+  *    and their sums are exactly representable at any partition order.
+  *  - Q21's 1.2x inventory bar -> 1.003x and Q8's HAVING 10 -> 1 (gate-SF
+  *    domains: <2% price spread, 150 customers); Q31's year and Q72's
+  *    demographic pair are chosen so the growth/week coincidences the
+  *    queries look for actually occur at every SF.
   *
   * Scale posture: the fact derivation is one orderkey-equi-join (shuffle
   * on the join key, no skew — orderkey is the fact's own key) plus a
@@ -2112,4 +2136,80 @@ LIMIT 100"""
     entry("q312_ds_q74", Q74),
     entry("q313_ds_q11", Q11),
     entry("q314_ds_q4", Q4))
+
+  /** The shared star-schema derivation prefix (exposed for the
+    * materialized-star bench, which writes each CTE once as parquet and
+    * re-points the body-only texts at the materialization).
+    */
+  def prefixSql: String = Prefix
+
+  /** entry name -> official body text (what follows the shared prefix). */
+  def bodies: Seq[(String, String)] = Seq(
+    "q248_ds_q1" -> Q1,
+    "q249_ds_q3" -> Q3,
+    "q250_ds_q6" -> Q6,
+    "q251_ds_q7" -> Q7,
+    "q252_ds_q19" -> Q19,
+    "q253_ds_q27" -> Q27,
+    "q254_ds_q33" -> Q33,
+    "q255_ds_q36" -> Q36,
+    "q256_ds_q42" -> Q42,
+    "q257_ds_q52" -> Q52,
+    "q258_ds_q55" -> Q55,
+    "q259_ds_q56" -> Q56,
+    "q260_ds_q60" -> Q60,
+    "q261_ds_q68" -> Q68,
+    "q262_ds_q73" -> Q73,
+    "q263_ds_q79" -> Q79,
+    "q264_ds_q89" -> Q89,
+    "q265_ds_q96" -> Q96,
+    "q266_ds_q98" -> Q98,
+    "q267_ds_q34" -> Q34,
+    "q268_ds_q43" -> Q43,
+    "q269_ds_q46" -> Q46,
+    "q270_ds_q48" -> Q48,
+    "q271_ds_q53" -> Q53,
+    "q272_ds_q88" -> Q88,
+    "q273_ds_q93" -> Q93,
+    "q274_ds_q97" -> Q97,
+    "q275_ds_q13" -> Q13,
+    "q276_ds_q15" -> Q15,
+    "q277_ds_q18" -> Q18,
+    "q278_ds_q25" -> Q25,
+    "q279_ds_q45" -> Q45,
+    "q280_ds_q61" -> Q61,
+    "q281_ds_q65" -> Q65,
+    "q282_ds_q69" -> Q69,
+    "q283_ds_q9" -> Q9,
+    "q284_ds_q26" -> Q26,
+    "q285_ds_q32" -> Q32,
+    "q286_ds_q71" -> Q71,
+    "q287_ds_q81" -> Q81,
+    "q288_ds_q92" -> Q92,
+    "q289_ds_q12" -> Q12,
+    "q290_ds_q20" -> Q20,
+    "q291_ds_q86" -> Q86,
+    "q292_ds_q63" -> Q63,
+    "q293_ds_q38" -> Q38,
+    "q294_ds_q87" -> Q87,
+    "q295_ds_q35" -> Q35,
+    "q296_ds_q10" -> Q10,
+    "q297_ds_q41" -> Q41,
+    "q298_ds_q28" -> Q28,
+    "q299_ds_q50" -> Q50,
+    "q300_ds_q8" -> Q8,
+    "q301_ds_q31" -> Q31,
+    "q302_ds_q84" -> Q84,
+    "q303_ds_q2" -> Q2,
+    "q304_ds_q59" -> Q59,
+    "q305_ds_q21" -> Q21,
+    "q306_ds_q22" -> Q22,
+    "q307_ds_q72" -> Q72,
+    "q308_ds_q16" -> Q16,
+    "q309_ds_q94" -> Q94,
+    "q310_ds_q95" -> Q95,
+    "q311_ds_q30" -> Q30,
+    "q312_ds_q74" -> Q74,
+    "q313_ds_q11" -> Q11,
+    "q314_ds_q4" -> Q4)
 }

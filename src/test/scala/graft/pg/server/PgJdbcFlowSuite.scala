@@ -65,14 +65,15 @@ class PgJdbcFlowSuite extends AnyFunSuite with BeforeAndAfterAll {
       * sends for a 9.0+ server (user, database, client_encoding, DateStyle,
       * TimeZone, extra_float_digits, application_name).
       */
-    def connect(): Seq[(Char, Array[Byte])] = {
+    def connect(extraFloatDigits: String = "2"): Seq[(Char, Array[Byte])] = {
       val body =
         cstr("user") ++ cstr("graft") ++
           cstr("database") ++ cstr("default") ++
           cstr("client_encoding") ++ cstr("UTF8") ++
           cstr("DateStyle") ++ cstr("ISO") ++
           cstr("TimeZone") ++ cstr("America/New_York") ++
-          cstr("extra_float_digits") ++ cstr("2") ++
+          // 42.2 sends 2; 42.7 raised its 9.0+ default to 3
+          cstr("extra_float_digits") ++ cstr(extraFloatDigits) ++
           cstr("application_name") ++ cstr("PostgreSQL JDBC Driver") :+ 0.toByte
       os.writeInt(8 + body.length)
       os.writeInt(196608)
@@ -606,5 +607,85 @@ class PgJdbcFlowSuite extends AnyFunSuite with BeforeAndAfterAll {
       assert(c.rows(r2) === Seq(Seq("t", "b", "_int4")), "array types report is_array")
       c.closeStatement("S_t"); c.sync()
     }
+  }
+
+  // ---- pgjdbc 42.7.x choreography deltas (scripted — the real jar is
+  // absent from the offline cache, see VERDICT round-9 item 1). Two flows
+  // changed materially between 42.2 and 42.7: the describeOnly round that
+  // PgPreparedStatement.getMetaData() issues before any execution, and
+  // binary transfer of date/timestamp once the driver has described the
+  // statement (42.7 enables binaryTransfer for those oids by default). ----
+
+  test("42.7 describeOnly: Parse+Describe(S)+Sync yields metadata, no rows") {
+    withClient { c =>
+      c.parse("S_d7", "SELECT CAST('2021-02-03' AS DATE) AS d, " +
+        "CAST('2021-02-03 04:05:06' AS TIMESTAMP) AS ts, 42 AS n")
+      c.describeStatement("S_d7")
+      val r = c.sync()
+      assert(r.exists(_._1 == 't'), "ParameterDescription must answer describeOnly")
+      assert(r.exists(_._1 == 'T'), "RowDescription must answer describeOnly")
+      assert(!r.exists(_._1 == 'D'), "describeOnly must NOT execute")
+      assert(!r.exists(_._1 == 'C'), "describeOnly must NOT complete a command")
+      // the driver then executes the SAME prepared statement in a second
+      // round — the statement must have survived the Sync
+      c.bind("", "S_d7")
+      c.execute("", 0)
+      val r2 = c.sync()
+      assert(c.rows(r2) === Seq(Seq("2021-02-03", "2021-02-03 04:05:06", "42")))
+      c.closeStatement("S_d7"); c.sync()
+    }
+  }
+
+  test("42.7 binary dates: second-execution binary result formats decode " +
+    "to the first execution's text values") {
+    withClient { c =>
+      val sql = "SELECT CAST('1999-12-31' AS DATE) AS d, " +
+        "CAST('2004-10-19 10:23:54' AS TIMESTAMP) AS ts"
+      c.parse("S_b7", sql)
+      c.describeStatement("S_b7")
+      // first execution: all-text (pgjdbc's behavior before it has seen
+      // the row description)
+      c.bind("", "S_b7")
+      c.execute("", 0)
+      val text = c.rows(c.sync()).head
+      assert(text === Seq("1999-12-31", "2004-10-19 10:23:54"))
+      // second execution: 42.7 marks date/timestamp oids binary-capable
+      // and sends per-column result format 1
+      c.bind("", "S_b7", Nil, resultFormats = Seq(1, 1))
+      c.execute("", 0)
+      val r = c.sync()
+      val row = r.find(_._1 == 'D').map(_._2).getOrElse(fail("no DataRow"))
+      val b = java.nio.ByteBuffer.wrap(row)
+      assert(b.getShort === 2)
+      // binary DATE: int32 days since 2000-01-01 (PG epoch)
+      assert(b.getInt === 4)
+      val days = b.getInt
+      assert(java.time.LocalDate.of(2000, 1, 1).plusDays(days.toLong)
+        === java.time.LocalDate.parse("1999-12-31"), s"binary date days=$days")
+      // binary TIMESTAMP: int64 micros since 2000-01-01 00:00:00
+      assert(b.getInt === 8)
+      val micros = b.getLong
+      val ts = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+        .plusNanos(micros * 1000L)
+      assert(ts === java.time.LocalDateTime.parse("2004-10-19T10:23:54"),
+        s"binary timestamp micros=$micros")
+      c.closeStatement("S_b7"); c.sync()
+    }
+  }
+
+  test("42.7 startup: extra_float_digits=3 parameter set is accepted") {
+    // 42.7 raised its default extra_float_digits from 2 to 3 for 9.0+
+    // servers; the startup GUC must seed without error and the session
+    // must answer queries normally afterwards
+    val c = new Jdbc42Client
+    val msgs = c.connect(extraFloatDigits = "3")
+    try {
+      assert(msgs.exists(_._1 == 'Z'), "startup must reach ReadyForQuery")
+      assert(!msgs.exists(_._1 == 'E'), "startup must not error")
+      c.parse("", "SELECT 1 AS one")
+      c.bind("", "")
+      c.execute("", 0)
+      assert(c.rows(c.sync()) === Seq(Seq("1")))
+    } finally c.close()
   }
 }

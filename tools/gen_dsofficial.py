@@ -41,6 +41,18 @@ for i, (key, body) in enumerate(pairs):
     out.append('\n  private val %s: String =\n    """%s"""\n' % (qn, body))
 out.append('\n  def entries: Seq[QE] = Seq(\n')
 out.append(',\n'.join('    entry("%s", %s)' % (n, q) for n, q in names))
+out.append(')\n')
+out.append('''
+  /** The shared star-schema derivation prefix (exposed for the
+    * materialized-star bench, which writes each CTE once as parquet and
+    * re-points the body-only texts at the materialization).
+    */
+  def prefixSql: String = Prefix
+
+  /** entry name -> official body text (what follows the shared prefix). */
+  def bodies: Seq[(String, String)] = Seq(
+''')
+out.append(',\n'.join('    "%s" -> %s' % (n, q) for n, q in names))
 out.append(')\n}\n')
 open(S, 'w').write(''.join(out))
 print(f'wrote {S}: {len(pairs)} queries, entries {names[0][0]}..{names[-1][0]}')
