@@ -280,6 +280,7 @@ base_sales AS (
          CAST((l_orderkey * 13 + l_linenumber * 7) % 4 AS INT) AS channel,
          CAST(l_shipdate AS DATE) + CAST((l_orderkey * 19 + l_linenumber * 11) % 14 AS INT) AS ship_date_sk,
          CAST((o_custkey * 11 + l_orderkey * 3) % 25 AS INT) AS center_sk,
+         CAST((l_orderkey * 23 + l_linenumber * 13) % 25 AS INT) AS mode_sk,
          l_returnflag AS returnflag
   FROM main.lineitem JOIN main.orders ON l_orderkey = o_orderkey
   CROSS JOIN (SELECT COUNT(*) AS c_cnt FROM main.customer) cc
@@ -322,7 +323,9 @@ catalog_sales AS (
          ship_date_sk AS cs_ship_date_sk,
          addr_sk AS cs_ship_addr_sk,
          CAST(store_sk % 5 AS INT) AS cs_warehouse_sk,
-         center_sk AS cs_call_center_sk,
+         CAST(center_sk % 5 AS INT) AS cs_call_center_sk,
+         mode_sk AS cs_ship_mode_sk,
+         center_sk AS cs_catalog_page_sk,
          tax_cents AS cs_ext_ship_cost,
          ext_cents + coupon_cents AS cs_ext_list_price,
          CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_ext_wholesale_cost,
@@ -343,6 +346,9 @@ web_sales AS (
          addr_sk AS ws_ship_addr_sk,
          CAST(store_sk % 5 AS INT) AS ws_warehouse_sk,
          center_sk AS ws_web_site_sk,
+         mode_sk AS ws_ship_mode_sk,
+         CAST(customer_sk % 25 AS INT) AS ws_web_page_sk,
+         customer_sk AS ws_ship_hdemo_sk,
          tax_cents AS ws_ext_ship_cost,
          ext_cents + coupon_cents AS ws_ext_list_price,
          CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ws_ext_wholesale_cost,
@@ -354,7 +360,13 @@ catalog_returns AS (
          customer_sk AS cr_returning_customer_sk,
          addr_sk AS cr_returning_addr_sk,
          ext_cents + tax_cents AS cr_return_amt_inc_tax,
-         ticket_number AS cr_order_number
+         ticket_number AS cr_order_number,
+         CAST(center_sk % 5 AS INT) AS cr_call_center_sk,
+         CAST(FLOOR(ext_cents * 0.3) AS BIGINT) AS cr_net_loss,
+         CAST(FLOOR(ext_cents * 0.5) AS BIGINT) AS cr_refunded_cash,
+         quantity AS cr_return_quantity,
+         ext_cents AS cr_return_amount,
+         CAST(ticket_number % 25 AS BIGINT) AS cr_reason_sk
   FROM base_sales WHERE channel = 2 AND returnflag = 'R'
 ),
 web_returns AS (
@@ -363,7 +375,12 @@ web_returns AS (
          addr_sk AS wr_returning_addr_sk,
          ticket_number AS wr_order_number,
          ext_cents AS wr_return_amt,
-         CAST(FLOOR(ext_cents * 0.5) AS BIGINT) AS wr_refunded_cash
+         CAST(FLOOR(ext_cents * 0.5) AS BIGINT) AS wr_refunded_cash,
+         CAST(ticket_number % 25 AS BIGINT) AS wr_reason_sk,
+         CAST(FLOOR(ext_cents * 0.02) AS BIGINT) AS wr_fee,
+         CAST(FLOOR(ext_cents * 0.3) AS BIGINT) AS wr_net_loss,
+         quantity AS wr_return_quantity,
+         CAST(item_sk % 25 AS INT) AS wr_web_page_sk
   FROM base_sales WHERE channel = 3 AND returnflag = 'R'
 ),
 store_returns AS (
@@ -392,11 +409,28 @@ warehouse AS (
 ),
 call_center AS (
   SELECT CAST(n_nationkey AS INT) AS cc_call_center_sk,
+         'CCID_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS cc_call_center_id,
          'CC_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS cc_name,
          CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'Williamson County'
            WHEN 1 THEN 'Franklin Parish' WHEN 2 THEN 'Bronx County'
            ELSE 'Orange County' END AS cc_county,
          'MGR_' || CAST(CAST(n_nationkey % 7 AS INT) AS VARCHAR(8)) AS cc_manager
+  FROM main.nation
+),
+ship_mode AS (
+  SELECT CAST(n_nationkey AS INT) AS sm_ship_mode_sk,
+         CASE CAST(n_nationkey % 5 AS INT) WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
+           WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY' ELSE 'LIBRARY' END AS sm_type,
+         CASE CAST(n_nationkey % 7 AS INT) WHEN 0 THEN 'UPS' WHEN 1 THEN 'FEDEX'
+           WHEN 2 THEN 'AIRBORNE' WHEN 3 THEN 'USPS' WHEN 4 THEN 'DHL'
+           WHEN 5 THEN 'TBS' ELSE 'ZOUROS' END AS sm_carrier,
+         CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN 'AIR' WHEN 1 THEN 'SURFACE'
+           WHEN 2 THEN 'SEA' ELSE 'SPACE' END AS sm_code
+  FROM main.nation
+),
+web_page AS (
+  SELECT CAST(n_nationkey AS INT) AS wp_web_page_sk,
+         CAST(2500 + n_nationkey * 100 AS INT) AS wp_char_count
   FROM main.nation
 ),
 web_site AS (
@@ -2068,6 +2102,499 @@ ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
          t_s_secyear.customer_last_name, t_s_secyear.customer_preferred_cust_flag
 LIMIT 100"""
 
+  private val Q29: String =
+    """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(SUM(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_year = 1999 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk AND d2.d_year = 1999
+  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (1999, 1999 + 1, 1999 + 2)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""
+
+  private val Q37: String =
+    """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 90099 AND 90099 + 3000
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND i_manufact_id IN (10, 13, 17, 19)
+  AND inv_quantity_on_hand BETWEEN 10 AND 50
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""
+
+  private val Q82: String =
+    """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 90099 AND 90099 + 3000
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND i_manufact_id IN (11, 14, 23, 29)
+  AND inv_quantity_on_hand BETWEEN 10 AND 50
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""
+
+  private val Q40: String =
+    """
+SELECT w_state, i_item_id,
+       CAST(SUM(CASE WHEN CAST(d_date AS DATE) < DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0) ELSE 0 END) AS BIGINT)
+         AS sales_before,
+       CAST(SUM(CASE WHEN CAST(d_date AS DATE) >= DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0) ELSE 0 END) AS BIGINT)
+         AS sales_after
+FROM catalog_sales
+LEFT OUTER JOIN catalog_returns
+  ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+  warehouse, item, date_dim
+WHERE i_current_price BETWEEN 90099 AND 90099 + 1500
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100"""
+
+  private val Q58: String =
+    """,
+ss_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(ss_ext_sales_price) AS BIGINT) AS ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-01-03'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(cs_ext_sales_price) AS BIGINT) AS cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-01-03'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(ws_ext_sales_price) AS BIGINT) AS ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-01-03'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT ss_items.item_id, ss_item_rev,
+       CAST(ss_item_rev AS DOUBLE) / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 AS ss_dev,
+       cs_item_rev,
+       CAST(cs_item_rev AS DOUBLE) / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 AS cs_dev,
+       ws_item_rev,
+       CAST(ws_item_rev AS DOUBLE) / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 AS ws_dev,
+       (ss_item_rev + cs_item_rev + ws_item_rev) / 3 AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev * 10 BETWEEN 4 * cs_item_rev AND 25 * cs_item_rev
+  AND ss_item_rev * 10 BETWEEN 4 * ws_item_rev AND 25 * ws_item_rev
+  AND cs_item_rev * 10 BETWEEN 4 * ss_item_rev AND 25 * ss_item_rev
+  AND cs_item_rev * 10 BETWEEN 4 * ws_item_rev AND 25 * ws_item_rev
+  AND ws_item_rev * 10 BETWEEN 4 * ss_item_rev AND 25 * ss_item_rev
+  AND ws_item_rev * 10 BETWEEN 4 * cs_item_rev AND 25 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100"""
+
+  private val Q62: String =
+    """
+SELECT SUBSTR(w_warehouse_name, 1, 20) AS wname, sm_type, web_name,
+       CAST(SUM(CASE WHEN (ws_ship_date_sk <= ws_sold_date_sk + 30) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_30,
+       CAST(SUM(CASE WHEN (ws_ship_date_sk > ws_sold_date_sk + 30)
+                      AND (ws_ship_date_sk <= ws_sold_date_sk + 60) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_31_60,
+       CAST(SUM(CASE WHEN (ws_ship_date_sk > ws_sold_date_sk + 60)
+                      AND (ws_ship_date_sk <= ws_sold_date_sk + 90) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_61_90,
+       CAST(SUM(CASE WHEN (ws_ship_date_sk > ws_sold_date_sk + 90)
+                      AND (ws_ship_date_sk <= ws_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_91_120,
+       CAST(SUM(CASE WHEN (ws_ship_date_sk > ws_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_more_120
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 108 AND 108 + 11
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY wname, sm_type, web_name
+LIMIT 100"""
+
+  private val Q99: String =
+    """
+SELECT SUBSTR(w_warehouse_name, 1, 20) AS wname, sm_type, cc_name,
+       CAST(SUM(CASE WHEN (cs_ship_date_sk <= cs_sold_date_sk + 30) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_30,
+       CAST(SUM(CASE WHEN (cs_ship_date_sk > cs_sold_date_sk + 30)
+                      AND (cs_ship_date_sk <= cs_sold_date_sk + 60) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_31_60,
+       CAST(SUM(CASE WHEN (cs_ship_date_sk > cs_sold_date_sk + 60)
+                      AND (cs_ship_date_sk <= cs_sold_date_sk + 90) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_61_90,
+       CAST(SUM(CASE WHEN (cs_ship_date_sk > cs_sold_date_sk + 90)
+                      AND (cs_ship_date_sk <= cs_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_91_120,
+       CAST(SUM(CASE WHEN (cs_ship_date_sk > cs_sold_date_sk + 120) THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_more_120
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 108 AND 108 + 11
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY wname, sm_type, cc_name
+LIMIT 100"""
+
+  private val Q83: String =
+    """,
+sr_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(sr_return_quantity) AS BIGINT) AS sr_item_qty
+  FROM store_returns, item, date_dim
+  WHERE sr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq IN (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30', DATE '2000-09-27', DATE '2000-11-17')))
+    AND sr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cr_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(cr_return_quantity) AS BIGINT) AS cr_item_qty
+  FROM catalog_returns, item, date_dim
+  WHERE cr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq IN (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30', DATE '2000-09-27', DATE '2000-11-17')))
+    AND cr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+wr_items AS (
+  SELECT i_item_id AS item_id, CAST(SUM(wr_return_quantity) AS BIGINT) AS wr_item_qty
+  FROM web_returns, item, date_dim
+  WHERE wr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq IN (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30', DATE '2000-09-27', DATE '2000-11-17')))
+    AND wr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT sr_items.item_id, sr_item_qty,
+       CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS sr_dev,
+       cr_item_qty,
+       CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS cr_dev,
+       wr_item_qty,
+       CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS wr_dev,
+       (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100"""
+
+  private val Q90: String =
+    """
+SELECT CAST(amc AS DOUBLE) / pmc AS am_pm_ratio
+FROM (SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 2500 AND 5200) at1,
+     (SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 2500 AND 5200) pt1
+ORDER BY am_pm_ratio
+LIMIT 100"""
+
+  private val Q91: String =
+    """
+SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+       cc_manager AS manager,
+       CAST(SUM(cr_net_loss) AS BIGINT) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer, customer_address,
+     customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998
+  AND ((cd_marital_status = 'S' AND cd_education_status = 'College')
+    OR (cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -6
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+ORDER BY returns_loss DESC, cc_call_center_id, cd_marital_status,
+         cd_education_status
+LIMIT 100"""
+
+  private val Q47: String =
+    """,
+v1 AS (
+  SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+         CAST(SUM(ss_sales_price) AS BIGINT) AS sum_sales,
+         AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_category, i_brand,
+           s_store_name, s_company_name, d_year) AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY i_category, i_brand, s_store_name,
+           s_company_name ORDER BY d_year, d_moy) AS rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND (d_year = 1999 OR (d_year = 1999 - 1 AND d_moy = 12)
+      OR (d_year = 1999 + 1 AND d_moy = 1))
+  GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+         v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.s_company_name = v1_lag.s_company_name
+    AND v1.s_company_name = v1_lead.s_company_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT * FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+        THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category, i_brand,
+         s_company_name, d_year, d_moy
+LIMIT 100"""
+
+  private val Q57: String =
+    """,
+v1 AS (
+  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         CAST(SUM(cs_sales_price) AS BIGINT) AS sum_sales,
+         AVG(SUM(cs_sales_price)) OVER (PARTITION BY i_category, i_brand,
+           cc_name, d_year) AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+           ORDER BY d_year, d_moy) AS rn
+  FROM item, catalog_sales, date_dim, call_center
+  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND cc_call_center_sk = cs_call_center_sk
+    AND (d_year = 1999 OR (d_year = 1999 - 1 AND d_moy = 12)
+      OR (d_year = 1999 + 1 AND d_moy = 1))
+  GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT * FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+        THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, cc_name, i_category, i_brand,
+         d_year, d_moy
+LIMIT 100"""
+
+  private val Q70: String =
+    """
+SELECT CAST(SUM(ss_net_profit) AS BIGINT) AS total_sum, s_state, s_county,
+       CAST(GROUPING(s_state) + GROUPING(s_county) AS INT) AS lochierarchy,
+       CAST(RANK() OVER (PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+         CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+         ORDER BY SUM(ss_net_profit) DESC) AS BIGINT) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 108 AND 108 + 11
+  AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state
+                  FROM (SELECT s_state,
+                               RANK() OVER (PARTITION BY s_state
+                                 ORDER BY SUM(ss_net_profit) DESC) AS ranking
+                        FROM store_sales, store, date_dim
+                        WHERE d_month_seq BETWEEN 108 AND 108 + 11
+                          AND d_date_sk = ss_sold_date_sk
+                          AND s_store_sk = ss_store_sk
+                        GROUP BY s_state) tmp1
+                  WHERE ranking <= 5)
+GROUP BY ROLLUP(s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN CAST(GROUPING(s_state) + GROUPING(s_county) AS INT) = 0
+           THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100"""
+
+  private val Q67: String =
+    """
+SELECT * FROM
+  (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+          d_moy, s_store_id, sumsales,
+          CAST(RANK() OVER (PARTITION BY i_category
+            ORDER BY sumsales DESC) AS BIGINT) AS rk
+   FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                d_qoy, d_moy, s_store_id,
+                CAST(SUM(COALESCE(ss_sales_price * ss_quantity, 0)) AS BIGINT) AS sumsales
+         FROM store_sales, date_dim, store, item
+         WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+           AND ss_store_sk = s_store_sk
+           AND d_month_seq BETWEEN 108 AND 108 + 11
+         GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                         d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
+LIMIT 100"""
+
+  private val Q66: String =
+    """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year1,
+       CAST(SUM(jan_sales) AS BIGINT) AS jan_sales,
+       CAST(SUM(feb_sales) AS BIGINT) AS feb_sales,
+       CAST(SUM(mar_sales) AS BIGINT) AS mar_sales,
+       CAST(SUM(apr_sales) AS BIGINT) AS apr_sales,
+       CAST(SUM(may_sales) AS BIGINT) AS may_sales,
+       CAST(SUM(jun_sales) AS BIGINT) AS jun_sales,
+       CAST(SUM(jul_sales) AS BIGINT) AS jul_sales,
+       CAST(SUM(aug_sales) AS BIGINT) AS aug_sales,
+       CAST(SUM(sep_sales) AS BIGINT) AS sep_sales,
+       CAST(SUM(oct_sales) AS BIGINT) AS oct_sales,
+       CAST(SUM(nov_sales) AS BIGINT) AS nov_sales,
+       CAST(SUM(dec_sales) AS BIGINT) AS dec_sales,
+       CAST(SUM(jan_sales) AS DOUBLE) / w_warehouse_sq_ft AS jan_sales_per_sq_foot,
+       CAST(SUM(feb_sales) AS DOUBLE) / w_warehouse_sq_ft AS feb_sales_per_sq_foot,
+       CAST(SUM(mar_sales) AS DOUBLE) / w_warehouse_sq_ft AS mar_sales_per_sq_foot,
+       CAST(SUM(apr_sales) AS DOUBLE) / w_warehouse_sq_ft AS apr_sales_per_sq_foot,
+       CAST(SUM(may_sales) AS DOUBLE) / w_warehouse_sq_ft AS may_sales_per_sq_foot,
+       CAST(SUM(jun_sales) AS DOUBLE) / w_warehouse_sq_ft AS jun_sales_per_sq_foot,
+       CAST(SUM(jul_sales) AS DOUBLE) / w_warehouse_sq_ft AS jul_sales_per_sq_foot,
+       CAST(SUM(aug_sales) AS DOUBLE) / w_warehouse_sq_ft AS aug_sales_per_sq_foot,
+       CAST(SUM(sep_sales) AS DOUBLE) / w_warehouse_sq_ft AS sep_sales_per_sq_foot,
+       CAST(SUM(oct_sales) AS DOUBLE) / w_warehouse_sq_ft AS oct_sales_per_sq_foot,
+       CAST(SUM(nov_sales) AS DOUBLE) / w_warehouse_sq_ft AS nov_sales_per_sq_foot,
+       CAST(SUM(dec_sales) AS DOUBLE) / w_warehouse_sq_ft AS dec_sales_per_sq_foot,
+       CAST(SUM(jan_net) AS BIGINT) AS jan_net,
+       CAST(SUM(feb_net) AS BIGINT) AS feb_net,
+       CAST(SUM(mar_net) AS BIGINT) AS mar_net,
+       CAST(SUM(apr_net) AS BIGINT) AS apr_net,
+       CAST(SUM(may_net) AS BIGINT) AS may_net,
+       CAST(SUM(jun_net) AS BIGINT) AS jun_net,
+       CAST(SUM(jul_net) AS BIGINT) AS jul_net,
+       CAST(SUM(aug_net) AS BIGINT) AS aug_net,
+       CAST(SUM(sep_net) AS BIGINT) AS sep_net,
+       CAST(SUM(oct_net) AS BIGINT) AS oct_net,
+       CAST(SUM(nov_net) AS BIGINT) AS nov_net,
+       CAST(SUM(dec_net) AS BIGINT) AS dec_net
+FROM (
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, 'DHL,UPS' AS ship_carriers, d_year AS year1,
+         SUM(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+  FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+    AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1999 AND t_hour BETWEEN 8 AND 16
+    AND sm_carrier IN ('DHL', 'UPS')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year
+  UNION ALL
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, 'DHL,UPS' AS ship_carriers, d_year AS year1,
+         SUM(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN cs_net_profit * cs_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN cs_net_profit * cs_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN cs_net_profit * cs_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN cs_net_profit * cs_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN cs_net_profit * cs_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN cs_net_profit * cs_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN cs_net_profit * cs_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN cs_net_profit * cs_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN cs_net_profit * cs_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN cs_net_profit * cs_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN cs_net_profit * cs_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN cs_net_profit * cs_quantity ELSE 0 END) AS dec_net
+  FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+    AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1999 AND t_hour BETWEEN 8 AND 16
+    AND sm_carrier IN ('DHL', 'UPS')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year1
+ORDER BY w_warehouse_name
+LIMIT 100"""
+
   def entries: Seq[QE] = Seq(
     entry("q248_ds_q1", Q1),
     entry("q249_ds_q3", Q3),
@@ -2135,7 +2662,22 @@ LIMIT 100"""
     entry("q311_ds_q30", Q30),
     entry("q312_ds_q74", Q74),
     entry("q313_ds_q11", Q11),
-    entry("q314_ds_q4", Q4))
+    entry("q314_ds_q4", Q4),
+    entry("q315_ds_q29", Q29),
+    entry("q316_ds_q37", Q37),
+    entry("q317_ds_q82", Q82),
+    entry("q318_ds_q40", Q40),
+    entry("q319_ds_q58", Q58),
+    entry("q320_ds_q62", Q62),
+    entry("q321_ds_q99", Q99),
+    entry("q322_ds_q83", Q83),
+    entry("q323_ds_q90", Q90),
+    entry("q324_ds_q91", Q91),
+    entry("q325_ds_q47", Q47),
+    entry("q326_ds_q57", Q57),
+    entry("q327_ds_q70", Q70),
+    entry("q328_ds_q67", Q67),
+    entry("q329_ds_q66", Q66))
 
   /** The shared star-schema derivation prefix (exposed for the
     * materialized-star bench, which writes each CTE once as parquet and
@@ -2211,5 +2753,20 @@ LIMIT 100"""
     "q311_ds_q30" -> Q30,
     "q312_ds_q74" -> Q74,
     "q313_ds_q11" -> Q11,
-    "q314_ds_q4" -> Q4)
+    "q314_ds_q4" -> Q4,
+    "q315_ds_q29" -> Q29,
+    "q316_ds_q37" -> Q37,
+    "q317_ds_q82" -> Q82,
+    "q318_ds_q40" -> Q40,
+    "q319_ds_q58" -> Q58,
+    "q320_ds_q62" -> Q62,
+    "q321_ds_q99" -> Q99,
+    "q322_ds_q83" -> Q83,
+    "q323_ds_q90" -> Q90,
+    "q324_ds_q91" -> Q91,
+    "q325_ds_q47" -> Q47,
+    "q326_ds_q57" -> Q57,
+    "q327_ds_q70" -> Q70,
+    "q328_ds_q67" -> Q67,
+    "q329_ds_q66" -> Q66)
 }
