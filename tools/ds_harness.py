@@ -1971,7 +1971,7 @@ WHERE i_current_price BETWEEN 90099 AND 90099 + 3000
   AND inv_quantity_on_hand BETWEEN 10 AND 50
   AND cs_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_current_price
-ORDER BY i_item_id
+ORDER BY i_item_id, i_item_desc, i_current_price
 LIMIT 100"""
 
 Q['ds_q82'] = """
@@ -1985,7 +1985,7 @@ WHERE i_current_price BETWEEN 90099 AND 90099 + 3000
   AND inv_quantity_on_hand BETWEEN 10 AND 50
   AND ss_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_current_price
-ORDER BY i_item_id
+ORDER BY i_item_id, i_item_desc, i_current_price
 LIMIT 100"""
 
 Q['ds_q40'] = """
@@ -2140,7 +2140,7 @@ SELECT sr_items.item_id, sr_item_qty,
        CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS cr_dev,
        wr_item_qty,
        CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS wr_dev,
-       (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 AS average
+       CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3 AS average
 FROM sr_items, cr_items, wr_items
 WHERE sr_items.item_id = cr_items.item_id
   AND sr_items.item_id = wr_items.item_id
