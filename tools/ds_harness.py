@@ -37,6 +37,7 @@ item AS (
            WHEN 8 THEN 'Children' ELSE 'Women' END AS i_category,
          CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'computers' WHEN 1 THEN 'stereo'
            WHEN 2 THEN 'football' WHEN 3 THEN 'shirts' ELSE 'dresses' END AS i_class,
+         CAST(p_partkey % 5 AS INT) AS i_class_id,
          CAST(p_partkey % 50 AS INT) AS i_manufact_id,
          'mfg#' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR(8)) AS i_manufact,
          CAST(p_partkey % 10 AS INT) AS i_manager_id,
@@ -233,6 +234,7 @@ catalog_sales AS (
          mode_sk AS cs_ship_mode_sk,
          center_sk AS cs_catalog_page_sk,
          tax_cents AS cs_ext_ship_cost,
+         ext_cents - coupon_cents AS cs_net_paid,
          ext_cents + coupon_cents AS cs_ext_list_price,
          CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_ext_wholesale_cost,
          ext_cents - coupon_cents - CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS cs_net_profit
@@ -255,6 +257,7 @@ web_sales AS (
          mode_sk AS ws_ship_mode_sk,
          CAST(customer_sk % 25 AS INT) AS ws_web_page_sk,
          customer_sk AS ws_ship_hdemo_sk,
+         item_sk AS ws_promo_sk,
          tax_cents AS ws_ext_ship_cost,
          ext_cents + coupon_cents AS ws_ext_list_price,
          CAST(FLOOR(ext_cents * 0.8) AS BIGINT) AS ws_ext_wholesale_cost,
@@ -272,7 +275,8 @@ catalog_returns AS (
          CAST(FLOOR(ext_cents * 0.5) AS BIGINT) AS cr_refunded_cash,
          quantity AS cr_return_quantity,
          ext_cents AS cr_return_amount,
-         CAST(ticket_number % 25 AS BIGINT) AS cr_reason_sk
+         CAST(ticket_number % 25 AS BIGINT) AS cr_reason_sk,
+         center_sk AS cr_catalog_page_sk
   FROM base_sales WHERE channel = 2 AND returnflag = 'R'
 ),
 web_returns AS (
@@ -286,7 +290,10 @@ web_returns AS (
          CAST(FLOOR(ext_cents * 0.02) AS BIGINT) AS wr_fee,
          CAST(FLOOR(ext_cents * 0.3) AS BIGINT) AS wr_net_loss,
          quantity AS wr_return_quantity,
-         CAST(item_sk % 25 AS INT) AS wr_web_page_sk
+         CAST(item_sk % 25 AS INT) AS wr_web_page_sk,
+         customer_sk AS wr_refunded_cdemo_sk,
+         customer_sk AS wr_returning_cdemo_sk,
+         addr_sk AS wr_refunded_addr_sk
   FROM base_sales WHERE channel = 3 AND returnflag = 'R'
 ),
 store_returns AS (
@@ -342,7 +349,13 @@ web_page AS (
 web_site AS (
   SELECT CAST(n_nationkey AS INT) AS web_site_sk,
          'SITE_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS web_name,
+         'SITEID_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS web_site_id,
          'pri' AS web_company_name
+  FROM main.nation
+),
+catalog_page AS (
+  SELECT CAST(n_nationkey AS INT) AS cp_catalog_page_sk,
+         'CPID_' || CAST(CAST(n_nationkey AS INT) AS VARCHAR(8)) AS cp_catalog_page_id
   FROM main.nation
 ),
 inventory AS (
@@ -2418,6 +2431,346 @@ FROM (
 GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
          w_country, ship_carriers, year1
 ORDER BY w_warehouse_name
+LIMIT 100"""
+
+
+Q['ds_q49'] = """
+SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
+  SELECT 'web' AS channel, web.item, web.return_ratio, web.return_rank,
+         web.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               CAST(RANK() OVER (ORDER BY return_ratio, item) AS BIGINT) AS return_rank,
+               CAST(RANK() OVER (ORDER BY currency_ratio, item) AS BIGINT) AS currency_rank
+        FROM (SELECT ws.ws_item_sk AS item,
+                     CAST(SUM(COALESCE(wr.wr_return_quantity, 0)) AS DOUBLE) /
+                       SUM(COALESCE(ws.ws_quantity, 0)) AS return_ratio,
+                     CAST(SUM(COALESCE(wr.wr_return_amt, 0)) AS DOUBLE) /
+                       SUM(COALESCE(ws.ws_ext_sales_price, 0)) AS currency_ratio
+              FROM web_sales ws
+              LEFT OUTER JOIN web_returns wr
+                ON (ws.ws_order_number = wr.wr_order_number
+                    AND ws.ws_item_sk = wr.wr_item_sk), date_dim
+              WHERE wr.wr_return_amt > 10000
+                AND ws.ws_net_profit > 1 AND ws.ws_net_paid > 0
+                AND ws.ws_quantity > 0 AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2000
+              GROUP BY ws.ws_item_sk) in_web) web
+  WHERE web.return_rank <= 10 OR web.currency_rank <= 10
+  UNION
+  SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+         catalog.return_rank, catalog.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               CAST(RANK() OVER (ORDER BY return_ratio, item) AS BIGINT) AS return_rank,
+               CAST(RANK() OVER (ORDER BY currency_ratio, item) AS BIGINT) AS currency_rank
+        FROM (SELECT cs.cs_item_sk AS item,
+                     CAST(SUM(COALESCE(cr.cr_return_quantity, 0)) AS DOUBLE) /
+                       SUM(COALESCE(cs.cs_quantity, 0)) AS return_ratio,
+                     CAST(SUM(COALESCE(cr.cr_return_amount, 0)) AS DOUBLE) /
+                       SUM(COALESCE(cs.cs_ext_sales_price, 0)) AS currency_ratio
+              FROM catalog_sales cs
+              LEFT OUTER JOIN catalog_returns cr
+                ON (cs.cs_order_number = cr.cr_order_number
+                    AND cs.cs_item_sk = cr.cr_item_sk), date_dim
+              WHERE cr.cr_return_amount > 10000
+                AND cs.cs_net_profit > 1 AND cs.cs_net_paid > 0
+                AND cs.cs_quantity > 0 AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2000
+              GROUP BY cs.cs_item_sk) in_cat) catalog
+  WHERE catalog.return_rank <= 10 OR catalog.currency_rank <= 10
+  UNION
+  SELECT 'store' AS channel, store.item, store.return_ratio,
+         store.return_rank, store.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               CAST(RANK() OVER (ORDER BY return_ratio, item) AS BIGINT) AS return_rank,
+               CAST(RANK() OVER (ORDER BY currency_ratio, item) AS BIGINT) AS currency_rank
+        FROM (SELECT sts.ss_item_sk AS item,
+                     CAST(SUM(COALESCE(sr.sr_return_quantity, 0)) AS DOUBLE) /
+                       SUM(COALESCE(sts.ss_quantity, 0)) AS return_ratio,
+                     CAST(SUM(COALESCE(sr.sr_return_amt, 0)) AS DOUBLE) /
+                       SUM(COALESCE(sts.ss_ext_sales_price, 0)) AS currency_ratio
+              FROM store_sales sts
+              LEFT OUTER JOIN store_returns sr
+                ON (sts.ss_ticket_number = sr.sr_ticket_number
+                    AND sts.ss_item_sk = sr.sr_item_sk), date_dim
+              WHERE sr.sr_return_amt > 10000
+                AND sts.ss_net_profit > 1 AND sts.ss_net_paid > 0
+                AND sts.ss_quantity > 0 AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000
+              GROUP BY sts.ss_item_sk) in_store) store
+  WHERE store.return_rank <= 10 OR store.currency_rank <= 10) sq1
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100"""
+
+Q['ds_q51'] = """,
+web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         SUM(CAST(SUM(ws_sales_price) AS BIGINT))
+           OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         SUM(CAST(SUM(ss_sales_price) AS BIGINT))
+           OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)
+SELECT * FROM
+  (SELECT item_sk, d_date, web_sales, store_sales,
+          MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+          MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+   FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                     ELSE store.item_sk END AS item_sk,
+                CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                     ELSE store.d_date END AS d_date,
+                web.cume_sales AS web_sales,
+                store.cume_sales AS store_sales
+         FROM web_v1 web FULL OUTER JOIN store_v1 store
+           ON (web.item_sk = store.item_sk AND web.d_date = store.d_date)) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100"""
+
+Q['ds_q75'] = """,
+all_sales AS (
+  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,
+         CAST(SUM(sales_amt) AS BIGINT) AS sales_amt
+  FROM (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+               cs_ext_sales_price - COALESCE(cr_return_amount, 0) AS sales_amt
+        FROM catalog_sales
+        JOIN item ON i_item_sk = cs_item_sk
+        JOIN date_dim ON d_date_sk = cs_sold_date_sk
+        LEFT JOIN catalog_returns
+          ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk)
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+               ss_ext_sales_price - COALESCE(sr_return_amt, 0) AS sales_amt
+        FROM store_sales
+        JOIN item ON i_item_sk = ss_item_sk
+        JOIN date_dim ON d_date_sk = ss_sold_date_sk
+        LEFT JOIN store_returns
+          ON (ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk)
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+               ws_ext_sales_price - COALESCE(wr_return_amt, 0) AS sales_amt
+        FROM web_sales
+        JOIN item ON i_item_sk = ws_item_sk
+        JOIN date_dim ON d_date_sk = ws_sold_date_sk
+        LEFT JOIN web_returns
+          ON (ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk)
+        WHERE i_category = 'Books') sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year1,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id, prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2000 AND prev_yr.d_year = 2000 - 1
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / prev_yr.sales_cnt < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
+         curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id
+LIMIT 100"""
+
+Q['ds_q80'] = """,
+ssr AS (
+  SELECT s_store_id AS store_id,
+         SUM(ss_ext_sales_price) AS sales,
+         SUM(COALESCE(sr_return_amt, 0)) AS returns_amt,
+         SUM(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+  FROM store_sales
+  LEFT OUTER JOIN store_returns
+    ON (ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number),
+    date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+    AND i_current_price > 90050
+    AND ss_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id AS catalog_page_id,
+         SUM(cs_ext_sales_price) AS sales,
+         SUM(COALESCE(cr_return_amount, 0)) AS returns_amt,
+         SUM(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+  FROM catalog_sales
+  LEFT OUTER JOIN catalog_returns
+    ON (cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number),
+    date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND cs_catalog_page_sk = cp_catalog_page_sk AND cs_item_sk = i_item_sk
+    AND i_current_price > 90050
+    AND cs_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         SUM(ws_ext_sales_price) AS sales,
+         SUM(COALESCE(wr_return_amt, 0)) AS returns_amt,
+         SUM(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+  FROM web_sales
+  LEFT OUTER JOIN web_returns
+    ON (ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number),
+    date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+    AND i_current_price > 90050
+    AND ws_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id, CAST(SUM(sales) AS BIGINT) AS sales,
+       CAST(SUM(returns_amt) AS BIGINT) AS returns_amt,
+       CAST(SUM(profit) AS BIGINT) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+             sales, returns_amt, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel, 'catalog_page' || catalog_page_id AS id,
+             sales, returns_amt, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit
+      FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales, returns_amt, profit
+LIMIT 100"""
+
+Q['ds_q85'] = """
+SELECT SUBSTR(r_reason_desc, 1, 20) AS reason_prefix,
+       AVG(ws_quantity) AS avg_quantity,
+       AVG(wr_refunded_cash) AS avg_refunded_cash,
+       AVG(wr_fee) AS avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Secondary'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 2000 AND 11000000)
+    OR (cd1.cd_marital_status = 'S'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = '2 yr Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 3000 AND 10000000)
+    OR (cd1.cd_marital_status = 'U'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'College'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 2500 AND 10500000))
+  AND ((ca_country = 'United States' AND ca_state IN ('TN', 'SD', 'AL')
+        AND ws_net_profit BETWEEN 14000 AND 2100000)
+    OR (ca_country = 'United States' AND ca_state IN ('GA', 'MI', 'NJ')
+        AND ws_net_profit BETWEEN 15000 AND 1900000)
+    OR (ca_country = 'United States' AND ca_state IN ('TX', 'VA')
+        AND ws_net_profit BETWEEN 14000 AND 2000000))
+GROUP BY r_reason_desc
+ORDER BY reason_prefix, avg_quantity, avg_refunded_cash, avg_fee
+LIMIT 100"""
+
+Q['ds_q5'] = """,
+ssr AS (
+  SELECT s_store_id,
+         SUM(sales_price) AS sales,
+         SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt,
+         SUM(net_loss) AS profit_loss
+  FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+               ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+               CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+        FROM store_sales
+        UNION ALL
+        SELECT sr_store_sk AS store_sk, sr_returned_date_sk AS date_sk,
+               CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+               sr_return_amt AS return_amt, sr_net_loss AS net_loss
+        FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id,
+         SUM(sales_price) AS sales,
+         SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt,
+         SUM(net_loss) AS profit_loss
+  FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+               cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+               CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+        FROM catalog_sales
+        UNION ALL
+        SELECT cr_catalog_page_sk AS page_sk, cr_returned_date_sk AS date_sk,
+               CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+               cr_return_amount AS return_amt, cr_net_loss AS net_loss
+        FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         SUM(sales_price) AS sales,
+         SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt,
+         SUM(net_loss) AS profit_loss
+  FROM (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+               ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+               CAST(0 AS BIGINT) AS return_amt, CAST(0 AS BIGINT) AS net_loss
+        FROM web_sales
+        UNION ALL
+        SELECT ws_web_site_sk AS wsr_web_site_sk, wr_returned_date_sk AS date_sk,
+               CAST(0 AS BIGINT) AS sales_price, CAST(0 AS BIGINT) AS profit,
+               wr_return_amt AS return_amt, wr_net_loss AS net_loss
+        FROM web_returns
+        LEFT OUTER JOIN web_sales
+          ON (wr_item_sk = ws_item_sk AND wr_order_number = ws_order_number)) salesreturns,
+       date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)
+SELECT channel, id, CAST(SUM(sales) AS BIGINT) AS sales,
+       CAST(SUM(returns_amt) AS BIGINT) AS returns_amt,
+       CAST(SUM(profit) AS BIGINT) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel,
+             'catalog_page' || cp_catalog_page_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales, returns_amt, profit
 LIMIT 100"""
 
 
