@@ -2680,23 +2680,24 @@ LIMIT 100"""
     """,
 web_v1 AS (
   SELECT ws_item_sk AS item_sk, d_date,
-         SUM(CAST(SUM(ws_sales_price) AS BIGINT))
+         CAST(SUM(CAST(SUM(ws_sales_price) AS BIGINT))
            OVER (PARTITION BY ws_item_sk ORDER BY d_date
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_sales
   FROM web_sales, date_dim
   WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
     AND ws_item_sk IS NOT NULL
   GROUP BY ws_item_sk, d_date),
 store_v1 AS (
   SELECT ss_item_sk AS item_sk, d_date,
-         SUM(CAST(SUM(ss_sales_price) AS BIGINT))
+         CAST(SUM(CAST(SUM(ss_sales_price) AS BIGINT))
            OVER (PARTITION BY ss_item_sk ORDER BY d_date
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_sales
   FROM store_sales, date_dim
   WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 108 AND 108 + 11
     AND ss_item_sk IS NOT NULL
   GROUP BY ss_item_sk, d_date)
-SELECT * FROM
+SELECT item_sk, CAST(d_date AS TIMESTAMP) AS d_date, web_sales, store_sales,
+       web_cumulative, store_cumulative FROM
   (SELECT item_sk, d_date, web_sales, store_sales,
           MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
@@ -2762,7 +2763,7 @@ WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
   AND curr_yr.i_category_id = prev_yr.i_category_id
   AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
   AND curr_yr.d_year = 2000 AND prev_yr.d_year = 2000 - 1
-  AND CAST(curr_yr.sales_cnt AS DOUBLE) / prev_yr.sales_cnt < 0.9
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / NULLIF(prev_yr.sales_cnt, 0) < 0.9
 ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
          curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id
 LIMIT 100"""
