@@ -405,6 +405,48 @@ object EventStream {
     }
   }
 
+  /** The staged flush-sentinel parquet file, memoized per raw events schema.
+    * The sentinel is a CONSTANT synthetic row (its bytes depend only on the
+    * on-disk schema flavor, never on the data), but writing it through a
+    * Spark job cost ~0.3 s per streaming entry; the first request per
+    * schema writes it once, later requests copy the bytes.
+    *
+    * The sentinel row's ts must be written in the same raw type the real
+    * file uses, or the two parquet files' schemas diverge and the stream
+    * read fails (or worse, coerces).
+    */
+  private val sentinelFiles =
+    new java.util.concurrent.ConcurrentHashMap[StructType, java.nio.file.Path]()
+
+  private def rawSentinelFile(spark: SparkSession,
+      rawSchema: StructType): java.nio.file.Path =
+    sentinelFiles.computeIfAbsent(rawSchema, { _ =>
+      val flushTs: Any = rawSchema("ts").dataType match {
+        case LongType => FlushTsMicros * 1000L // epoch nanos
+        case TimestampNTZType =>
+          java.time.LocalDateTime.ofEpochSecond(FlushTsMicros / 1000000L, 0,
+            java.time.ZoneOffset.UTC)
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L))
+        case other => throw new IllegalStateException(
+          s"events.ts raw type $other unsupported — update EventStream.runStaged")
+      }
+      val sentinelVals = rawSchema.fields.map { f =>
+        f.name match {
+          case "ts" => flushTs
+          case "event_type" => FlushType
+          case "value" => 0.0
+          case _ if f.dataType == LongType => -1L
+          case _ => null
+        }
+      }
+      val sentinel = spark.createDataFrame(
+        java.util.List.of(Row(sentinelVals: _*)), rawSchema)
+      val out = Files.createTempDirectory("graft_sentinel_memo")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      firstParquet(out)
+    })
+
   private def runStagedQuery(spark: SparkSession, sfDir: String,
       rocksDbState: Boolean = false,
       drain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
@@ -430,33 +472,7 @@ object EventStream {
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>
       Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
-    // the sentinel row's ts must be written in the same raw type the real
-    // file uses, or the two parquet files' schemas diverge and the stream
-    // read fails (or worse, coerces)
-    val flushTs: Any = rawSchema("ts").dataType match {
-      case LongType => FlushTsMicros * 1000L // epoch nanos
-      case TimestampNTZType =>
-        java.time.LocalDateTime.ofEpochSecond(FlushTsMicros / 1000000L, 0,
-          java.time.ZoneOffset.UTC)
-      case TimestampType =>
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L))
-      case other => throw new IllegalStateException(
-        s"events.ts raw type $other unsupported — update EventStream.runStaged")
-    }
-    val sentinelVals = rawSchema.fields.map { f =>
-      f.name match {
-        case "ts" => flushTs
-        case "event_type" => FlushType
-        case "value" => 0.0
-        case _ if f.dataType == LongType => -1L
-        case _ => null
-      }
-    }
-    val sentinel = spark.createDataFrame(
-      java.util.List.of(Row(sentinelVals: _*)), rawSchema)
-    val sentinelOut = Files.createTempDirectory("graft_stream_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelOut.toString)
-    Files.move(firstParquet(sentinelOut), dir.resolve("sentinel.parquet"))
+    Files.copy(rawSentinelFile(spark, rawSchema), dir.resolve("sentinel.parquet"))
 
     val stream = agg(Tables.normalizeTs(spark.readStream
         .schema(rawSchema)
@@ -500,7 +516,7 @@ object EventStream {
       drain(q)
     } finally {
       q.stop()
-      Seq(dir, sentinelOut).foreach(rmTree)
+      rmTree(dir)
     }
     readResult()
   }
@@ -749,23 +765,30 @@ object EventStream {
     val dir = Files.createTempDirectory("graft_mb_stream")
     val tmp = Files.createTempDirectory("graft_mb_tmp")
     val spanMs = (hi - lo) / nSpans + 1
-    val staged = (0 until nSpans).map { i =>
-      val sLo = new java.sql.Timestamp(lo + i * spanMs)
-      val sHi = new java.sql.Timestamp(lo + (i + 1) * spanMs)
-      norm.filter(col("ts") >= lit(sLo) && col("ts") < lit(sHi))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/span$i")
-      Files.move(firstParquet(Paths.get(s"$tmp/span$i")),
-        dir.resolve(f"batch_$i%02d.parquet"))
-    } :+ {
-      val sentinel = spark.createDataFrame(
-        java.util.List.of(Row(-1L,
-          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
-          FlushType, 0.0)),
-        norm.schema)
-      sentinel.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sentinel")
-      Files.move(firstParquet(Paths.get(s"$tmp/sentinel")),
-        dir.resolve("batch_99_sentinel.parquet"))
-    }
+    // ONE partitioned write stages every span file plus the sentinel: the
+    // previous per-span `filter().coalesce(1).write` form re-scanned the
+    // events table once PER SPAN plus once for the sentinel (5 jobs,
+    // ~2.7 s of the entry's time at sf0.1); the span index is integral-ms
+    // floor division, identical to the old [sLo, sHi) filters.
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(Row(-1L,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+        FlushType, 0.0)),
+      norm.schema)
+    norm.withColumn("__span",
+        expr(s"(unix_millis(ts) - ${lo}L) div ${spanMs}L"))
+      .unionByName(sentinel.withColumn("__span", lit(99L)))
+      .repartition(col("__span"))
+      .write.mode("overwrite").partitionBy("__span").parquet(tmp.toString)
+    val staged = (0 until nSpans).flatMap { i =>
+      val part = tmp.resolve(s"__span=$i")
+      // an empty span writes no partition directory — equivalent to the old
+      // empty parquet file: a trigger with zero data rows
+      if (Files.isDirectory(part))
+        Some(Files.move(firstParquet(part), dir.resolve(f"batch_$i%02d.parquet")))
+      else None
+    } :+ Files.move(firstParquet(tmp.resolve("__span=99")),
+      dir.resolve("batch_99_sentinel.parquet"))
     // oldest-first processing order is by modification time: pin it
     staged.zipWithIndex.foreach { case (p, i) =>
       Files.setLastModifiedTime(p,
@@ -873,13 +896,17 @@ object EventStream {
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
           FlushType, 0.0)),
         norm.schema)
-      val parts = Seq(
-        ("batch_00.parquet", norm.filter(col("ts") >= lit(cutoff))),
-        ("batch_01_sentinel.parquet", sentinelDf),
-        ("batch_02_late.parquet", norm.filter(col("ts") < lit(cutoff))))
-      val staged = parts.map { case (name, df) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$name")
-        Files.move(firstParquet(Paths.get(s"$tmp/$name")), dir.resolve(name))
+      // one partitioned write stages on-time/sentinel/late (was 3 scan+write
+      // jobs); partition index preserves the staging order
+      norm.withColumn("__p",
+          when(col("ts") >= lit(cutoff), 0L).otherwise(2L))
+        .unionByName(sentinelDf.withColumn("__p", lit(1L)))
+        .repartition(col("__p"))
+        .write.mode("overwrite").partitionBy("__p").parquet(tmp.toString)
+      val parts = Seq("batch_00.parquet", "batch_01_sentinel.parquet",
+        "batch_02_late.parquet")
+      val staged = parts.zipWithIndex.map { case (name, i) =>
+        Files.move(firstParquet(tmp.resolve(s"__p=$i")), dir.resolve(name))
       }
       staged.zipWithIndex.foreach { case (p, i) =>
         Files.setLastModifiedTime(p,
@@ -956,11 +983,14 @@ object EventStream {
               // mode emits only CHANGED (day, type) aggregates, so the
               // overwrite must restate exactly those cells — partitioning
               // by day alone would wipe a day's unchanged sibling types
-              // the per-trigger update set is a few hundred aggregate rows;
-              // without coalesce each (day,type) dir gets one file PER
-              // in-memory partition — 4x the file-commit overhead for rows
-              // that fit one writer
-              batch.coalesce(1).write.mode("overwrite")
+              // the per-trigger update set is a few hundred aggregate rows
+              // spread over ~100+ (day,type) cells; repartitioning BY THE
+              // PARTITION KEYS keeps one file per cell (no per-in-memory-
+              // partition fanout) while spreading the per-file open/commit
+              // cost across writers — coalesce(1) made ONE task write every
+              // cell's file sequentially, ~2x the trigger latency
+              batch.repartition(col("day"), col("event_type"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("day", "event_type")
                 .parquet(target.toString)
@@ -999,19 +1029,27 @@ object EventStream {
   def unionTypedStreams(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = Tables.df(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // one partitioned write stages both feeds and both per-feed flush
+    // sentinels (was 4 scan+write jobs); each feed directory is complete
+    // before any stream starts, preserving the original ordering guarantee
+    val tmpU = Files.createTempDirectory("graft_union_tmp")
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(Row(-1L,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
+        FlushType, 0.0)),
+      norm.schema)
+    norm.filter(col("event_type").isin("click", "error"))
+      .withColumn("__part", concat(col("event_type"), lit("_data")))
+      .unionByName(sentinel.withColumn("__part", lit("click_sent")))
+      .unionByName(sentinel.withColumn("__part", lit("error_sent")))
+      .repartition(col("__part"))
+      .write.mode("overwrite").partitionBy("__part").parquet(tmpU.toString)
     val dirs = Seq("click", "error").map { t =>
       val dir = Files.createTempDirectory(s"graft_union_$t")
-      norm.filter(col("event_type") === t)
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-      // per-feed flush sentinel (filtered out below the aggregation by the
-      // shared ts guard); written AFTER the data so the directory is
-      // complete before the stream starts
-      val sentinel = spark.createDataFrame(
-        java.util.List.of(Row(-1L,
-          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(FlushTsMicros / 1000000L)),
-          FlushType, 0.0)),
-        norm.schema)
-      sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
+      Files.move(firstParquet(tmpU.resolve(s"__part=${t}_data")),
+        dir.resolve("data.parquet"))
+      Files.move(firstParquet(tmpU.resolve(s"__part=${t}_sent")),
+        dir.resolve("sentinel.parquet"))
       dir
     }
     try {
@@ -1036,7 +1074,7 @@ object EventStream {
       spark.catalog.dropTempView(sink)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
         .orderBy("win_start", "event_type")
-    } finally dirs.foreach(rmTree)
+    } finally (dirs :+ tmpU).foreach(rmTree)
   }
 
   /** Windowed aggregation delivered through foreachBatch to an
