@@ -60,18 +60,53 @@ object Tables {
   private val saneDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Memoized analyzed relations per (session, path). `spark.read.parquet`
+  // re-lists the path and re-infers the schema from footers on EVERY call
+  // (~85 ms each, a small Spark job): across a 383-entry bench/verify run
+  // reading the same ten immutable tables that was pure per-entry fixed
+  // cost. A DataFrame is an immutable plan, so handing the same one out is
+  // metadata reuse (exactly what a catalog table provides), never data or
+  // result caching. Weak session keys: long-lived servers create a session
+  // per connection — a strong map would pin every closed session's state.
+  private val dfCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def cached(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val m = dfCache.synchronized {
+      dfCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    // NOT computeIfAbsent: building the events entry re-enters this method
+    // for the raw-events key, and nested computeIfAbsent on one
+    // ConcurrentHashMap throws "Recursive update". A racy double build is
+    // harmless (both values are equivalent immutable plans; putIfAbsent
+    // keeps the first).
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      val norm = normalizeTs(rawEvents(spark, sfDir))
-      // one cheap max() scan per dir per JVM — the price of never again
-      // silently shipping a 1000x-dilated event-time family
-      if (saneDirs.add(path)) {
-        try assertSaneEventTime(norm)
-        catch { case e: Throwable => saneDirs.remove(path); throw e }
+      cached(spark, path) {
+        val norm = normalizeTs(rawEvents(spark, sfDir))
+        // one cheap max() scan per dir per JVM — the price of never again
+        // silently shipping a 1000x-dilated event-time family
+        if (saneDirs.add(path)) {
+          try assertSaneEventTime(norm)
+          catch { case e: Throwable => saneDirs.remove(path); throw e }
+        }
+        norm
       }
-      norm
-    } else spark.read.parquet(path)
+    } else cached(spark, path)(spark.read.parquet(path))
   }
 
   /** The events table as Spark reads it off disk, pre-normalization: nanos
@@ -79,12 +114,13 @@ object Tables {
     * files as TimestampNTZType. The streaming path reads with this schema so
     * both paths share one normalization and drift together.
     */
-  private[graft] def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // Deterministically opt into the long-nanos read rather than
-    // try/catch-ing (which would mask unrelated read failures).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-  }
+  private[graft] def rawEvents(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, s"raw:$sfDir/events.parquet") {
+      // Deterministically opt into the long-nanos read rather than
+      // try/catch-ing (which would mask unrelated read failures).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+    }
 
   // weak keys: long-lived servers create a session per connection — a
   // strong map would pin every closed session's state in memory forever
@@ -101,7 +137,7 @@ object Tables {
     // synchronized so a concurrent caller never returns before the winner
     // has finished creating every view
     dirs.synchronized {
-      if (dirs.add(sfDir)) {
+      if (dirs.add(sfDir)) try {
         all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
         // Schema-qualified aliases: a query whose CTE must SHADOW a base
         // table name (TPC-H Q12/Q22 derive the spec columns the driver data
@@ -132,6 +168,12 @@ object Tables {
                 "temp views remain registered")
             // scalastyle:on println
         }
+      } catch {
+        // a temp-view registration failure must not leave the dir marked
+        // registered — the next caller would then silently run with NO
+        // views (this turned one transient failure into 277 cascading
+        // TABLE_OR_VIEW_NOT_FOUND entries in a round-10 bench run)
+        case e: Throwable => dirs.remove(sfDir); throw e
       }
     }
   }

@@ -771,24 +771,20 @@ object Pipeline {
 
     // Repetition-based quality signals (Gopher-style): fraction of tokens
     // taken by the single most frequent token, and the duplicate-bigram
-    // fraction. Computed explode-then-aggregate: per-token counts are a
-    // partial-agg'd groupBy, NOT a per-row lambda over the distinct set —
-    // the lambda form is O(tokens x distinct) per document, which measured
-    // 11s at sf0.1 and would be quadratic-per-row on real 100k-token
-    // documents; the explode form is linear and distributes.
-    //
-    // Two independent explode branches, ON PURPOSE. Two single-pass
-    // "optimizations" were measured head-to-head at sf0.1 and both LOST to
-    // this form (A/B in one JVM, 3 iterations): a struct-tagged combined
-    // explode (5.6s vs 3.5s) and a string-concat explode exploiting that
-    // tokens never contain the space a bigram always does (5.6s vs 3.5s).
-    // The combined forms funnel tokens+bigrams through ONE (doc, gram)
-    // aggregation whose per-partition hash state is the union of both
-    // populations, while the branches pipeline independently with narrower
-    // keys — and the duplicated parquet scan they save is the cheapest part
-    // of the plan. The round-5 driver's 29s outlier for this entry was
-    // host degradation amplifying the suite's heaviest (but linear,
-    // correctly-shaped) entry, not plan cost.
+    // fraction. Both statistics are DOCUMENT-LOCAL, so they are computed in
+    // one linear per-row hash-count pass over the token array — one corpus
+    // scan, NO explode, NO shuffle (beyond the output sort both forms pay).
+    // History of this entry's forms, all A/B-measured at sf0.1:
+    //   * per-row HOF lambda over list_distinct: O(tokens x distinct) per
+    //     doc — 11 s, quadratic-per-row on real 100k-token docs; rejected.
+    //   * explode -> (doc, gram) groupBy -> per-doc aggregate (rounds 5-9):
+    //     linear but shuffles the whole token mass twice — 3.5 s (6.3 s in
+    //     the round-10 pass-1 baseline).
+    //   * this form (round 10): linear AND shuffle-free — the per-doc hash
+    //     map is bounded by doc length (same state the old aggregation
+    //     buffered per (doc, gram) key), 6.3 s -> ~0.8 s. At 100 TB the
+    //     explode form's two token-mass shuffles are the dominant cost;
+    //     this form shuffles only doc_id + two fractions for the sort.
     QE("p16_repetition_quality", Some(s"""
       WITH tok AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
       bg AS (SELECT doc_id, ts, ${oWordNgrams("ts", 2)} AS bgs FROM tok),
@@ -802,26 +798,29 @@ object Pipeline {
              (top_token_frac <= 0.20) AND coalesce(dup_bigram_frac <= 0.40, TRUE) AS keep
       FROM fr ORDER BY doc_id"""),
       (s, d) => {
-        val ts = toks(col("text"))
-        val bgs = wordNgrams(ts, 2)
-        // top token count: explode -> (doc, token) counts -> per-doc max
-        val topCnt = t(s, d, "documents")
-          .select(col("doc_id"), size(ts).as("nt"), explode(ts).as("tk"))
-          .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"), first(col("nt")).as("nt"))
-          .groupBy("doc_id").agg(max(col("c")).as("topc"), first(col("nt")).as("nt"))
-        // bigram distinct/total: explode -> (doc, bigram) counts -> per-doc.
-        // LEFT join below: a doc with <2 tokens yields no bigram rows at all
-        // (explode of an empty array emits nothing), and an inner join would
-        // silently drop the whole document; it survives with a NULL
-        // dup_bigram_frac instead — no repetition evidence, so `keep` treats
-        // the bigram test as passed (mirrored in the oracle's CASE/coalesce).
-        val bgCnt = t(s, d, "documents")
-          .select(col("doc_id"), explode(bgs).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(count(lit(1)).as("nbd"), sum(col("c")).as("nb"))
-        val topFrac = col("topc").cast(DoubleType) / col("nt")
-        val dupBg = lit(1.0) - col("nbd").cast(DoubleType) / col("nb")
-        topCnt.join(bgCnt, Seq("doc_id"), "left")
+        // (max token count, n tokens, distinct bigrams, n bigrams) — the
+        // integer sufficient statistics; the fractions below divide them in
+        // the same op order as the old aggregate form, so doubles are
+        // bit-identical to the oracle's.
+        val stats = udf((ts: Seq[String]) => {
+          val counts = new java.util.HashMap[String, Int](ts.length * 2)
+          ts.foreach(tk => counts.merge(tk, 1, Integer.sum _))
+          var mx = 0
+          val it = counts.values.iterator()
+          while (it.hasNext) { val v = it.next(); if (v > mx) mx = v }
+          val bigrams = new java.util.HashSet[String](ts.length * 2)
+          var i = 0
+          while (i + 1 < ts.length) { bigrams.add(ts(i) + " " + ts(i + 1)); i += 1 }
+          (mx, ts.length, bigrams.size, math.max(ts.length - 1, 0))
+        })
+        val topFrac = col("st._1").cast(DoubleType) / col("st._2")
+        // a doc with <2 tokens has no bigrams: NULL dup_bigram_frac — no
+        // repetition evidence, so `keep` treats the bigram test as passed
+        // (mirrored in the oracle's CASE/coalesce)
+        val dupBg = when(col("st._4") === 0, lit(null).cast(DoubleType))
+          .otherwise(lit(1.0) - col("st._3").cast(DoubleType) / col("st._4"))
+        t(s, d, "documents")
+          .select(col("doc_id"), stats(toks(col("text"))).as("st"))
           .select(col("doc_id"), topFrac.as("top_token_frac"), dupBg.as("dup_bigram_frac"),
             (topFrac <= 0.20 && coalesce(dupBg <= 0.40, lit(true))).as("keep"))
           .orderBy("doc_id")
