@@ -145,10 +145,15 @@ object Tables {
         // underlying data from inside that CTE — DuckDB rejects the bare
         // name as a circular CTE reference and resolves `main.<table>`
         // instead (its default schema). Registering the same qualifier here
-        // lets the IDENTICAL query text bind in both engines. Catalog views
-        // cannot reference temp views, so these go straight to the parquet
-        // path (events' ts-format normalization is temp-view-only — no
-        // main.* consumer may rely on events.ts).
+        // lets the IDENTICAL query text bind in both engines. Catalog
+        // objects cannot reference temp views, so these go straight to the
+        // parquet path (events' ts-format normalization is temp-view-only —
+        // no main.* consumer may rely on events.ts). EXTERNAL TABLES, not
+        // views: resolving a `parquet.<path>` view re-lists and re-infers
+        // the parquet schema on EVERY reference (~80 ms each — ~0.3 s of
+        // pure analysis per DS-battery query, which references 3-4 main.*
+        // tables), while catalog tables hit the session's relation cache
+        // (~5 ms warm). Same rows, same schema.
         // CREATE DATABASE mkdirs under spark.sql.warehouse.dir (the cwd by
         // default) — in a read-only cwd that throws, so degrade to
         // temp-view-only operation rather than failing EVERY entry: only
@@ -157,8 +162,15 @@ object Tables {
         try {
           spark.sql("CREATE DATABASE IF NOT EXISTS main")
           all.foreach { n =>
-            spark.sql(s"CREATE OR REPLACE VIEW main.$n AS " +
-              s"SELECT * FROM parquet.`$sfDir/$n.parquet`")
+            // re-registration repoints main.* at a NEW dir: drop first
+            // (CREATE TABLE has no OR REPLACE in the v1 catalog); the
+            // DROP VIEW fallback migrates any view left by older code
+            try spark.sql(s"DROP TABLE IF EXISTS main.$n")
+            catch { case _: Exception =>
+              spark.sql(s"DROP VIEW IF EXISTS main.$n")
+            }
+            spark.sql(s"CREATE TABLE main.$n USING parquet " +
+              s"LOCATION '$sfDir/$n.parquet'")
           }
         } catch {
           case e: Exception =>

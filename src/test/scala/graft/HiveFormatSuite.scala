@@ -155,12 +155,20 @@ class HiveFormatSuite extends AnyFunSuite {
     val out = s.sql("SELECT TRANSFORM(id) USING 'cat' AS (out STRING) FROM range(3)")
       .collect().map(_.getString(0)).sorted.toSeq
     assert(out === Seq("0", "1", "2"))
-    // the SERDE form requires hive support to even parse
-    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
-      s.sessionState.sqlParser.parsePlan(
-        """SELECT TRANSFORM(a) ROW FORMAT SERDE
-          'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
-          USING 'cat' AS (out STRING) FROM t""")
+    // the SERDE form requires hive support to even parse. The parser reads
+    // the catalog implementation through the SHARED SparkContext conf, and
+    // enableHiveSupport (any earlier hive.get use in this suite) writes
+    // "hive" there for the whole JVM — so the non-hive rejection is only
+    // observable before that. Running the suite alone exposed the order
+    // dependence; assert rejection only while the context is hive-free.
+    if (s.sparkContext.getConf
+        .get("spark.sql.catalogImplementation", "in-memory") != "hive") {
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s.sessionState.sqlParser.parsePlan(
+          """SELECT TRANSFORM(a) ROW FORMAT SERDE
+            'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+            USING 'cat' AS (out STRING) FROM t""")
+      }
     }
     assume(hive.isDefined, "hive support unavailable in this environment")
     // in hive mode the serde form gets PAST parsing (sql() sets the active
