@@ -102,17 +102,22 @@ object CtePrune {
 
   /** True iff `name` occurs in `text` as a standalone word not preceded by
     * `.` (qualified base-table reference like main.customer) or a word char.
+    * Case-insensitive, like SQL identifier resolution — a differently-cased
+    * reference must keep its CTE (dropping it could silently rebind the
+    * name to a base table).
     */
   private def referenced(text: String, name: String): Boolean = {
-    var from = text.indexOf(name)
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val needle = name.toLowerCase(java.util.Locale.ROOT)
+    var from = lower.indexOf(needle)
     while (from >= 0) {
-      val before = if (from == 0) ' ' else text(from - 1)
-      val afterIdx = from + name.length
-      val after = if (afterIdx >= text.length) ' ' else text(afterIdx)
+      val before = if (from == 0) ' ' else lower(from - 1)
+      val afterIdx = from + needle.length
+      val after = if (afterIdx >= lower.length) ' ' else lower(afterIdx)
       val beforeOk = !(before.isLetterOrDigit || before == '_' || before == '.')
       val afterOk = !(after.isLetterOrDigit || after == '_')
       if (beforeOk && afterOk) return true
-      from = text.indexOf(name, from + 1)
+      from = lower.indexOf(needle, from + 1)
     }
     false
   }

@@ -139,15 +139,27 @@ object DsShapes {
       ORDER BY lvl, r_name NULLS LAST, n_name NULLS LAST"""),
       (s, d) => {
         Tables.views(s, d)
+        // pre-aggregate to (r_name, n_name) BEFORE the grouping sets: the
+        // direct form runs Expand over every fact row (3x the joined fact
+        // mass feeds the aggregate); re-aggregating the ~|regions x
+        // nations| exact decimal partials under the grouping sets is
+        // value-identical (decimal addition is associative-exact; the
+        // single cast to DOUBLE happens at the same final point) and
+        // Expand now multiplies ~125 rows instead of the fact table. At
+        // 100 TB the Expand-input difference is the whole fact mass x2.
         s.sql(s"""
-          SELECT r_name, n_name,
-                 ${Q.oSumRev("l_extendedprice", "l_discount")} AS revenue,
+          WITH pre AS (
+            SELECT r_name, n_name,
+                   SUM(${Q.oRev("l_extendedprice", "l_discount")}) AS srev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name)
+          SELECT r_name, n_name, CAST(SUM(srev) AS DOUBLE) AS revenue,
                  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl
-          FROM lineitem
-          JOIN orders ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          JOIN nation ON c_nationkey = n_nationkey
-          JOIN region ON n_regionkey = r_regionkey
+          FROM pre
           GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
           ORDER BY lvl, r_name NULLS LAST, n_name NULLS LAST""")
       }),
@@ -506,10 +518,37 @@ object DsShapes {
       QE("q121_ds_rollup_rank", Some(rollupRankSql),
         // The rollup output feeding a window keyed on grouping columns trips
         // the DataFrame ambiguous-self-join guard (as with q115); the same
-        // text through the parser resolves cleanly and yields the identical
-        // plan: broadcast dim join -> one rollup aggregate -> window over
-        // the ~|types x brands| aggregate only, never over fact rows.
-        (s, d) => { Tables.views(s, d); s.sql(rollupRankSql) })
+        // shape through the parser resolves cleanly. The Spark side
+        // pre-aggregates to (p_type, p_brand) BEFORE the rollup so Expand
+        // multiplies ~|types x brands| partials instead of every joined
+        // fact row (3x the fact mass fed the aggregate; guide §2.3
+        // aggregate-before-you-expand). Decimal partial sums re-aggregate
+        // exactly and cast to DOUBLE at the same final point, so every
+        // ratio is bit-identical to the oracle text's.
+        (s, d) => {
+          Tables.views(s, d)
+          s.sql(s"""
+          WITH pre AS (
+            SELECT p_type, p_brand,
+                   SUM(${Q.oRev("l_extendedprice", "l_discount")}) AS srev,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sqty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type, p_brand),
+          g AS (
+            SELECT CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT) AS grp_level,
+                   p_type, p_brand,
+                   CAST(GROUPING(p_brand) AS INT) AS gb,
+                   CAST(SUM(srev) AS DOUBLE) AS revs,
+                   CAST(SUM(sqty) AS DOUBLE) AS qtys
+            FROM pre GROUP BY ROLLUP(p_type, p_brand))
+          SELECT grp_level, p_type, p_brand, revs / qtys AS ratio,
+                 CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT *, RANK() OVER (
+                  PARTITION BY grp_level, CASE WHEN gb = 0 THEN p_type END
+                  ORDER BY revs / qtys DESC) AS rnk FROM g)
+          WHERE rnk <= 3
+          ORDER BY grp_level, p_type NULLS FIRST, p_brand NULLS FIRST""")
+        })
     },
 
     // DS q64 shape: the multi-round-trip — (customer, part) pairs bought in

@@ -382,7 +382,8 @@ object EventStream {
     * volume; here it is scoped to the stream only (batch queries keep the
     * session setting).
     */
-  private val StreamShufflePartitions = "4"
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
   /** Memory-sink wrapper over [[runStagedQuery]]: collect the sink table to
     * a LOCAL frame and drop the named view (which would otherwise leak one

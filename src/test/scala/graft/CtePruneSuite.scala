@@ -46,6 +46,12 @@ SELECT s FROM a"""
     assert(!pruned.contains("b AS"))
   }
 
+  test("case-insensitive reference keeps its CTE") {
+    val sql = """WITH customer AS (SELECT 1 AS x)
+SELECT * FROM CUSTOMER"""
+    assert(CtePrune.prune(sql) eq sql)
+  }
+
   test("no WITH prefix returns input unchanged") {
     val sql = "SELECT 1 AS x"
     assert(CtePrune.prune(sql) eq sql)
