@@ -794,6 +794,17 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
 
   private def parser = new PgParserInterface(Internals.sessionParser(session.spark))
 
+  /** Parse with unused-CTE pruning (graft.queries.CtePrune): a pure
+    * compile-time identity transform that bails out verbatim on any text it
+    * cannot prove safe (comments, quoted identifiers, IDENTIFIER(), shape
+    * surprises). Spark analyzes EVERY definition in a WITH list before the
+    * optimizer discards unused ones, so large shared prefixes — the
+    * official TPC battery through the wire is the concrete case — pay ~1 s
+    * of analysis per statement for CTEs the query never references.
+    */
+  private def parseSql(text: String): LogicalPlan =
+    parser.parsePlan(graft.queries.CtePrune.prune(text))
+
   private def splitStatements(sql: String): Seq[String] =
     PgStatementSplitter.split(sql)
 
@@ -979,7 +990,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
       throw new PgStateException(s"""cursor "$name" already exists""", "42P03")
     }
     refreshDynamicViews(query)
-    val plan = parser.parsePlan(query)
+    val plan = parseSql(query)
     val schema = Internals.analyzedSchema(session.spark, plan)
     val formats = schema.fields.map(f =>
       binary && PgTypes.binaryCapable(f.dataType) && f.dataType != StringType).toSeq
@@ -1141,7 +1152,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
 
   private def runExplainAnalyze(inner: String): Unit = {
     refreshDynamicViews(inner)
-    val plan = parser.parsePlan(inner)
+    val plan = parseSql(inner)
     ServerStats.statementsRun.incrementAndGet()
     val lines = withOperation(inner.take(80)) { explainAnalyzeLines(plan) }
     rowDescription(currentOut, explainAnalyzeSchema, Seq(false))
@@ -1167,7 +1178,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
         commandComplete(currentOut, "SELECT 0")
         return
       }
-      val plan = parser.parsePlan(stmt)
+      val plan = parseSql(stmt)
       ServerStats.statementsRun.incrementAndGet()
       // Spark's EXPLAIN never executes the explained query, so statement
       // side effects resolving during its inner analysis (set_config,
@@ -1223,7 +1234,7 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     }
     val plan =
       if (sql.trim.isEmpty) org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()
-      else parser.parsePlan(effectiveSql)
+      else parseSql(effectiveSql)
     val paramIds = plan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case ParameterPlaceHolder(id) => id

@@ -32,6 +32,15 @@ object CtePrune {
     val trimmed = sql.dropWhile(_.isWhitespace)
     if (!trimmed.take(5).equalsIgnoreCase("WITH ") &&
         !trimmed.take(5).equalsIgnoreCase("WITH\n")) return sql
+    // Arbitrary-SQL safety (the wire server runs client text through this
+    // path): comments can hide parens from the depth scanner, quoted
+    // identifiers can embed parens, and IDENTIFIER() can reference a CTE
+    // dynamically — any of these could turn pruning into a WRONG transform,
+    // so their mere presence disables it (the machine-generated battery
+    // texts contain none of them).
+    if (sql.contains("--") || sql.contains("/*") || sql.contains("\"") ||
+        sql.contains("`") ||
+        sql.toLowerCase(java.util.Locale.ROOT).contains("identifier")) return sql
     parseTopLevel(trimmed.drop(5)) match {
       case None => sql
       case Some((defs, mainBody)) =>
