@@ -121,6 +121,12 @@ object PgDialect {
 
   /** Substitute bound `$n` parameters; unbound ones become analyzable
     * [[ParameterPlaceHolder]]s (reference ParamBinder.scala:31-47).
+    *
+    * CTE bodies need explicit recursion: a parsed WITH keeps its
+    * definitions in `UnresolvedWith.cteRelations`, which surface only as
+    * `innerChildren` — invisible to every `transform*`/`collect` walk — so
+    * a `$n` inside a CTE body would silently stay unbound (and vanish from
+    * ParameterDescription). Found by the round-11 hostile-text suite.
     */
   def bind(plan: LogicalPlan, params: Map[Int, Any]): LogicalPlan = {
     def lit(v: Any): Literal = v match {
@@ -128,10 +134,11 @@ object PgDialect {
       case null => Literal(null)
       case other => Literal(other)
     }
+    val withCtes = bindCtes(plan, params)
     // transformAllExpressionsWithSubqueries: `$n` inside IN/EXISTS/scalar
     // subqueries lives in nested plans that plain transformAllExpressions
     // would skip
-    plan.transformAllExpressionsWithSubqueries {
+    withCtes.transformAllExpressionsWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if u.nameParts.map(_.toLowerCase) == Seq("pg_param") =>
         u.arguments match {
@@ -143,6 +150,43 @@ object PgDialect {
       case p: ParameterPlaceHolder if params.contains(p.id) =>
         lit(params(p.id))
     }
+  }
+
+  /** Recurse [[bind]] into every `UnresolvedWith.cteRelations` body, at any
+    * depth (a CTE body may itself contain a nested WITH).
+    */
+  private def bindCtes(plan: LogicalPlan, params: Map[Int, Any]): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (name, rel, maxRec) =>
+          (name,
+            bind(rel, params)
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            maxRec)
+        })
+    }
+
+  /** Every `$n` / pg_param id in the plan, INCLUDING those inside CTE
+    * bodies (innerChildren, see [[bind]]) and subquery expressions.
+    */
+  def collectParamIds(plan: LogicalPlan): Seq[Int] = {
+    val direct = plan.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.flatMap {
+        case ParameterPlaceHolder(id) => Some(id)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if u.nameParts.map(_.toLowerCase) == Seq("pg_param") =>
+          u.arguments match {
+            case Seq(Literal(id, _)) => Some(id.toString.toInt)
+            case _ => None
+          }
+        case _ => None
+      })
+    }.flatten
+    val fromCtes = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.flatMap { case (_, rel, _) => collectParamIds(rel) }
+    }.flatten
+    (direct ++ fromCtes).distinct.sorted
   }
 
   /** Parse PG-dialect SQL without executing (prepared-statement analysis:

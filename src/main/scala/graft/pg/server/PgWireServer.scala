@@ -1235,15 +1235,10 @@ private class PgConnectionHandler(base: SparkSession, sslCtx: Option[SslContext]
     val plan =
       if (sql.trim.isEmpty) org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()
       else parseSql(effectiveSql)
-    val paramIds = plan.collect { case p =>
-      p.expressions.flatMap(_.collect {
-        case ParameterPlaceHolder(id) => id
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-            if u.nameParts.map(_.toLowerCase) == Seq("pg_param") =>
-          u.arguments.head.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-            .value.toString.toInt
-      })
-    }.flatten.distinct.sorted
+    // PgDialect.collectParamIds: also reaches `$n` inside CTE bodies
+    // (UnresolvedWith keeps them in innerChildren, invisible to a plain
+    // plan.collect) and inside subquery expressions
+    val paramIds = graft.pg.PgDialect.collectParamIds(plan)
     // One-analysis path for the common case: a pure parameterless query
     // free of session-volatile constructs is analyzed HERE once and the
     // resolved plan handed to the first Bind→Execute lifecycle (PG likewise

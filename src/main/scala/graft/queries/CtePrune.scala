@@ -38,9 +38,20 @@ object CtePrune {
     // dynamically — any of these could turn pruning into a WRONG transform,
     // so their mere presence disables it (the machine-generated battery
     // texts contain none of them).
+    //
+    // Round-11 hardening: a backslash inside a string literal ('a\'(b' under
+    // escapedStringLiterals / PG E'' rewriting) desyncs the single-quote
+    // scanner and can miscount paren depth into a balanced-but-WRONG split;
+    // '$' covers both PG dollar-quoting ($tag$...$tag$ hides quotes/parens)
+    // and $n bind parameters (a $n appearing only in an unused CTE would
+    // vanish from the pruned parse, so ParameterDescription would under-
+    // report the statement's parameters). A literal pg_param(n) call (the
+    // post-rewrite spelling a client could also type) is bailed for the
+    // same parameter-id reason.
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
     if (sql.contains("--") || sql.contains("/*") || sql.contains("\"") ||
-        sql.contains("`") ||
-        sql.toLowerCase(java.util.Locale.ROOT).contains("identifier")) return sql
+        sql.contains("`") || sql.contains("\\") || sql.contains("$") ||
+        lower.contains("identifier") || lower.contains("pg_param")) return sql
     parseTopLevel(trimmed.drop(5)) match {
       case None => sql
       case Some((defs, mainBody)) =>

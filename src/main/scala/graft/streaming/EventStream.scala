@@ -382,8 +382,17 @@ object EventStream {
     * volume; here it is scoped to the stream only (batch queries keep the
     * session setting).
     */
-  private val StreamShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+  private def StreamShufflePartitions =
+    sys.props.get("graft.stream.partitions") // probe override (ProfAb)
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS"))
+      .getOrElse("2")
+  // Default 2 after a same-JVM alternating A/B at sf0.1/32 (4 reps/variant,
+  // min/median): q92 4→2 = 2.60/2.79 → 2.39/2.53 s; q95 = 1.93/2.47 →
+  // 1.74/1.93 s; q181 (RocksDB) = 1.78/1.94 → 1.58/1.89 s; q224 is a wash
+  // (4.94/5.24 vs 4.82/5.39); 2→1 is a wash on q92 (2.32 vs 2.31) and
+  // loses all intra-stream parallelism. Per-partition state-store
+  // setup/commit is pure fixed cost at bench SF; deployments size UP via
+  // the env knob as state volume grows.
 
   /** Memory-sink wrapper over [[runStagedQuery]]: collect the sink table to
     * a LOCAL frame and drop the named view (which would otherwise leak one
@@ -979,23 +988,31 @@ object EventStream {
           .outputMode("update")
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              // partition granularity == update-key granularity: update
-              // mode emits only CHANGED (day, type) aggregates, so the
-              // overwrite must restate exactly those cells — partitioning
-              // by day alone would wipe a day's unchanged sibling types
-              // the per-trigger update set is a few hundred aggregate rows
-              // spread over ~100+ (day,type) cells; repartitioning BY THE
-              // PARTITION KEYS keeps one file per cell (no per-in-memory-
-              // partition fanout) while spreading the per-file open/commit
-              // cost across writers — coalesce(1) made ONE task write every
-              // cell's file sequentially, ~2x the trigger latency
-              batch.repartition(col("day"), col("event_type"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day", "event_type")
-                .parquet(target.toString)
-            }
+            // No isEmpty guard: a foreachBatch DataFrame re-runs the whole
+            // micro-batch plan (stateful agg included) on EVERY action, so
+            // the guard's take(1) doubled each data trigger's execution
+            // (probe: addBatch 0.7-1.9 s/trigger, ~half of it the guard).
+            // An empty batch under DYNAMIC overwrite touches no partitions
+            // (only partitions present in the data are restated), so the
+            // unconditional write is a cheap no-op job on the sentinel
+            // trigger and exactly one execution on data triggers.
+            //
+            // partition granularity == update-key granularity: update
+            // mode emits only CHANGED (day, type) aggregates, so the
+            // overwrite must restate exactly those cells — partitioning
+            // by day alone would wipe a day's unchanged sibling types.
+            // No repartition before the write: (day, event_type) IS the
+            // aggregation key, so each cell already lives in exactly one
+            // state partition — the direct write keeps one file per cell,
+            // writer parallelism = the state-partition knob that scales
+            // with deployment size, and each trigger saves a full exchange
+            // of the update set (same-JVM alternating A/B, 4 reps:
+            // min 5.35 s vs 6.11 s, median 5.79 vs 6.30 with the exchange)
+            batch
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("day", "event_type")
+              .parquet(target.toString)
             ()
           }
           .start()
