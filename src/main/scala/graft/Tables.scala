@@ -66,18 +66,53 @@ object Tables {
   // reading the same ten immutable tables that was pure per-entry fixed
   // cost. A DataFrame is an immutable plan, so handing the same one out is
   // metadata reuse (exactly what a catalog table provides), never data or
-  // result caching. Weak session keys: long-lived servers create a session
-  // per connection — a strong map would pin every closed session's state.
+  // result caching.
+  //
+  // Keyed by sessionUUID, NOT a weak session key: the cached DataFrames
+  // strongly reference their SparkSession (Dataset.sparkSession), so a
+  // WeakHashMap's keys could never be collected — the round-10 form pinned
+  // every per-connection session for the JVM's lifetime. Lifetime is now
+  // explicit instead: the wire server calls [[invalidate]] when it closes a
+  // per-connection session, and an LRU bound caps what any other
+  // session-churning caller can pin (eviction of a live session only costs
+  // a rebuild — this is a pure metadata memo).
+  private val MaxCachedSessions = 64
   private val dfCache =
+    new java.util.LinkedHashMap[String,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            java.util.concurrent.ConcurrentHashMap[String, DataFrame]]): Boolean =
+        size() > MaxCachedSessions
+    }
+
+  // Session identity WITHOUT pinning the session: values are plain strings
+  // (no back-reference to the key), so weak keys genuinely collect here.
+  private val sessionIds =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def idOf(spark: SparkSession): String = sessionIds.synchronized {
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+  }
+
+  /** Drop a closed session's memoized relations (wire server: one isolated
+    * session per connection — without this the memo would pin each one).
+    */
+  def invalidate(spark: SparkSession): Unit =
+    dfCache.synchronized { dfCache.remove(idOf(spark)); () }
 
   private def cached(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
     val m = dfCache.synchronized {
-      dfCache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      val id = idOf(spark)
+      var inner = dfCache.get(id)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        dfCache.put(id, inner)
+      }
+      inner
     }
     // NOT computeIfAbsent: building the events entry re-enters this method
     // for the raw-events key, and nested computeIfAbsent on one

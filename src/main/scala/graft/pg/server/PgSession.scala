@@ -62,7 +62,12 @@ final class Portal(
   * own temp views/conf — reference SparkSQLServiceManager.scala:112-117),
   * prepared statements, portals, and the cancel key.
   */
-final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
+final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession,
+    /** true when `spark` is this connection's own newSession() clone —
+      * close() then drops its Tables relation memo (in singleSession mode
+      * the shared base session outlives every connection, so its memo stays)
+      */
+    val isolated: Boolean = true) {
   val statements = mutable.Map.empty[String, Prepared]
   val portals = mutable.Map.empty[String, Portal]
   private val stmtCounter = new AtomicInteger(0)
@@ -96,6 +101,7 @@ final class PgSession(val pid: Int, val secret: Int, val spark: SparkSession) {
     statements.clear()
     portals.clear()
     PgNotify.unlistenAll(pid)
+    if (isolated) graft.Tables.invalidate(spark)
     SessionRegistry.unregister(pid)
   }
 }
@@ -113,7 +119,8 @@ object SessionRegistry {
     // views/conf visible to all, reference SparkSQLServiceManager.scala:
     // 107-133); multi-session isolates with newSession()
     val spark = if (singleSession) base else base.newSession()
-    val s = new PgSession(pids.incrementAndGet(), rnd.nextInt(), spark)
+    val s = new PgSession(pids.incrementAndGet(), rnd.nextInt(), spark,
+      isolated = !singleSession)
     // clients scan raw parquet incl. TIMESTAMP(NANOS) columns
     s.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.spark.conf.set("spark.sql.crossJoin.enabled", "true")

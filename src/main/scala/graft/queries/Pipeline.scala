@@ -803,6 +803,13 @@ object Pipeline {
         // the same op order as the old aggregate form, so doubles are
         // bit-identical to the oracle's.
         val stats = udf((ts: Seq[String]) => {
+          // NULL text -> split() yields NULL -> NULL stats struct, so the
+          // fractions and `keep` come out NULL — exactly what the oracle SQL
+          // computes for a NULL document (len(NULL) is NULL throughout).
+          // Without the guard a NULL row would NPE the whole entry. (An
+          // EMPTY array is unreachable: split() of "" is [""], length 1.)
+          if (ts == null) null
+          else {
           val counts = new java.util.HashMap[String, Int](ts.length * 2)
           ts.foreach(tk => counts.merge(tk, 1, Integer.sum _))
           var mx = 0
@@ -812,6 +819,7 @@ object Pipeline {
           var i = 0
           while (i + 1 < ts.length) { bigrams.add(ts(i) + " " + ts(i + 1)); i += 1 }
           (mx, ts.length, bigrams.size, math.max(ts.length - 1, 0))
+          }
         })
         val topFrac = col("st._1").cast(DoubleType) / col("st._2")
         // a doc with <2 tokens has no bigrams: NULL dup_bigram_frac — no

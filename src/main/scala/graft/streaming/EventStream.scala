@@ -825,6 +825,26 @@ object EventStream {
   private def firstParquet(dir: java.nio.file.Path): java.nio.file.Path =
     listDir(dir).find(_.getFileName.toString.endsWith(".parquet")).get
 
+  /** Move one staged-subset parquet file to `dest`. An EMPTY subset writes
+    * no partition directory at all (partitionBy emits only directories for
+    * values present in the data), so stagings whose subset can legitimately
+    * be empty — no late rows behind the cutoff, a feed with zero events of
+    * its type — fall back to writing a zero-row parquet file, preserving
+    * the pre-round-10 per-subset semantics (an empty file = a trigger with
+    * zero data rows) instead of crashing on firstParquet().get.
+    */
+  private def moveStagedOrEmpty(spark: SparkSession, schema: StructType,
+      part: java.nio.file.Path, dest: java.nio.file.Path): java.nio.file.Path =
+    if (Files.isDirectory(part)) Files.move(firstParquet(part), dest)
+    else {
+      val tmp = Files.createTempDirectory("graft_empty_part")
+      try {
+        spark.createDataFrame(java.util.List.of[Row](), schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        Files.move(firstParquet(tmp), dest)
+      } finally rmTree(tmp)
+    }
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     // NOFOLLOW is load-bearing: staged stream dirs contain a SYMLINK to the
     // source events.parquet, and when that source is a directory (any
@@ -916,7 +936,7 @@ object EventStream {
       val parts = Seq("batch_00.parquet", "batch_01_sentinel.parquet",
         "batch_02_late.parquet")
       val staged = parts.zipWithIndex.map { case (name, i) =>
-        Files.move(firstParquet(tmp.resolve(s"__p=$i")), dir.resolve(name))
+        moveStagedOrEmpty(spark, norm.schema, tmp.resolve(s"__p=$i"), dir.resolve(name))
       }
       staged.zipWithIndex.foreach { case (p, i) =>
         Files.setLastModifiedTime(p,
@@ -1064,7 +1084,7 @@ object EventStream {
       .write.mode("overwrite").partitionBy("__part").parquet(tmpU.toString)
     val dirs = Seq("click", "error").map { t =>
       val dir = Files.createTempDirectory(s"graft_union_$t")
-      Files.move(firstParquet(tmpU.resolve(s"__part=${t}_data")),
+      moveStagedOrEmpty(spark, norm.schema, tmpU.resolve(s"__part=${t}_data"),
         dir.resolve("data.parquet"))
       Files.move(firstParquet(tmpU.resolve(s"__part=${t}_sent")),
         dir.resolve("sentinel.parquet"))
