@@ -32,13 +32,24 @@ object PlanDump {
     val selected = SparkEntry.all
       .filterNot(q => Bench.isStreaming(q.name))
       .filter(q => prefixes.isEmpty || prefixes.exists(q.name.startsWith))
+    // SPARK_GRAFT_PLANDUMP_EXEC=1: noop-execute each entry first so the
+    // dump shows the FINAL adaptive plan (AQE's runtime join-strategy
+    // rewrites included) — the static plan's SortMergeJoins often become
+    // broadcast joins once real sizes are known, and the sweep's job is to
+    // prove what actually ran.
+    val exec = sys.env.get("SPARK_GRAFT_PLANDUMP_EXEC").contains("1")
     selected.foreach { q =>
       try {
         val df = q.fn(spark, sfDir)
+        // execute THIS QueryExecution (df.write would plan a separate one,
+        // leaving this plan un-finalized): toRdd computes the final
+        // adaptive plan and materializes every row, like the noop sink
+        if (exec) df.queryExecution.toRdd.foreachPartition(_ => ())
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(outDir, s"${q.name}_$suffix.txt"),
           txt.getBytes(UTF_8))
+        if (exec) spark.catalog.clearCache()
         System.err.println(s"[plandump] ${q.name} ok")
       } catch {
         case e: Throwable =>

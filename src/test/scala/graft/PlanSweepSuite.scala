@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 plan-sweep evidence gate (VERDICT r10 item 5): every entry that
+  * measured >= 1 s at the round-11 sf0.1/32 baseline must have a committed
+  * FINAL-adaptive-plan dump in plans/r11, and no dump may contain a
+  * cartesian product. SortMergeJoins are allowed — the sweep's 15 SMJs all
+  * join AGGREGATED sides that scale with customers x years (probe: raising
+  * autoBroadcastJoinThreshold to 64 MB converts only one of them, i.e. the
+  * runtime sizes genuinely exceed broadcast range even at bench SF —
+  * forcing them broadcast is a local-only tune that inverts at 100 TB).
+  *
+  * Regenerate dumps after changing any listed entry:
+  *   SPARK_GRAFT_PLANDUMP_EXEC=1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.PlanDump /root/testdata/sf0.1 plans/r11 sweep <names...>"
+  */
+class PlanSweepSuite extends AnyFunSuite {
+  /** Entries >= 1 s in the round-11 baseline bench (sf0.1, local[32],
+    * BENCH record /tmp-independent copy in OPTIMIZATION_r11.md §baseline);
+    * streaming entries excluded (their QE fn executes the stream — no
+    * static plan exists to dump).
+    */
+  private val sweepEntries = Seq(
+    "q304_ds_q59", "p05_ngram_jaccard", "q132_recursive_cte", "q293_ds_q38",
+    "q328_ds_q67", "q333_ds_q80", "q326_ds_q57", "q322_ds_q83",
+    "q286_ds_q71", "q314_ds_q4", "q334_ds_q85", "q204_xpath",
+    "q243_aqe_skew_join", "q327_ds_q70", "q272_ds_q88",
+    "q191_ds_laggard_items", "q222_jdbc_roundtrip", "q331_ds_q51",
+    "q332_ds_q75", "q150_tpch_q9", "p29_ann_ivfpq", "q29_percentiles",
+    "q161_ds_returns_adjust", "q157_tpch_q20", "q335_ds_q5", "q329_ds_q66",
+    "q26_approx_distinct", "q129_ds_repeat_purchase", "q319_ds_q58",
+    "q313_ds_q11", "q108_ds_market_share", "p22_ann_ivf",
+    "p24_bloom_decontaminate", "p28_ann_pq", "p15_embedding_neardup",
+    "q297_ds_q41", "p32_boilerplate_spans", "p43_contamination_score",
+    "p54_token_budget_select", "p19_neardup_purge")
+
+  private val dir = Paths.get("plans/r11")
+
+  test("every >=1s baseline entry has a committed plan dump") {
+    val missing = sweepEntries.filterNot(n =>
+      Files.exists(dir.resolve(s"${n}_sweep.txt")))
+    assert(missing.isEmpty, s"entries without a plans/r11 dump: $missing")
+  }
+
+  test("every sweep entry name resolves to a live SparkEntry query") {
+    val known = SparkEntry.all.map(_.name).toSet
+    val stale = sweepEntries.filterNot(known)
+    assert(stale.isEmpty, s"sweep manifest names unknown entries: $stale")
+  }
+
+  test("no sweep dump contains a cartesian product, all are final plans") {
+    val dumps = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith("_sweep.txt")).toSeq
+    assert(dumps.nonEmpty)
+    dumps.foreach { p =>
+      val txt = Files.readString(p)
+      assert(!txt.contains("CartesianProduct"),
+        s"$p contains a cartesian product")
+      assert(txt.contains("isFinalPlan=true") || !txt.contains("AdaptiveSparkPlan"),
+        s"$p is not an executed (final-adaptive) plan dump")
+    }
+  }
+}
