@@ -505,7 +505,11 @@ object EventStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
-    if (rocksDbState) {
+    // probe-only override (ProfAb): force the RocksDB provider on the
+    // HDFS-backed entries to A/B the store choice without a code edit
+    val useRocks = rocksDbState ||
+      sys.props.get("graft.stream.rocksdb").contains("true")
+    if (useRocks) {
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
@@ -513,7 +517,7 @@ object EventStream {
       try startSink(stream)
       finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        if (rocksDbState) {
+        if (useRocks) {
           prevProvider match {
             case Some(p) => spark.conf.set(providerKey, p)
             case None => spark.conf.unset(providerKey)
