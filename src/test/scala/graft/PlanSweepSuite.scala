@@ -9,11 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Round-11 plan-sweep evidence gate (VERDICT r10 item 5): every entry that
   * measured >= 1 s at the round-11 sf0.1/32 baseline must have a committed
   * FINAL-adaptive-plan dump in plans/r11, and no dump may contain a
-  * cartesian product. SortMergeJoins are allowed — the sweep's 15 SMJs all
-  * join AGGREGATED sides that scale with customers x years (probe: raising
-  * autoBroadcastJoinThreshold to 64 MB converts only one of them, i.e. the
-  * runtime sizes genuinely exceed broadcast range even at bench SF —
-  * forcing them broadcast is a local-only tune that inverts at 100 TB).
+  * cartesian product. SortMergeJoins are allowed — the baseline sweep's 15
+  * SMJs all join AGGREGATED sides that scale with customers x years (probe:
+  * raising autoBroadcastJoinThreshold to 64 MB converts only one of them,
+  * i.e. the runtime sizes genuinely exceed broadcast range even at bench SF
+  * — forcing them broadcast is a local-only tune that inverts at 100 TB);
+  * the borderline closing-run additions contribute semi/anti joins of
+  * customers against full fact-table key columns (q282/q330 EXISTS shapes —
+  * the probe side scales with the fact mass, unbroadcastable by
+  * construction) and q303's shifted weekly-aggregate self-join.
   *
   * Regenerate dumps after changing any listed entry:
   *   SPARK_GRAFT_PLANDUMP_EXEC=1 SPARK_GRAFT_CPUS=32 \
@@ -37,7 +41,11 @@ class PlanSweepSuite extends AnyFunSuite {
     "q313_ds_q11", "q108_ds_market_share", "p22_ann_ivf",
     "p24_bloom_decontaminate", "p28_ann_pq", "p15_embedding_neardup",
     "q297_ds_q41", "p32_boilerplate_spans", "p43_contamination_score",
-    "p54_token_budget_select", "p19_neardup_purge")
+    "p54_token_budget_select", "p19_neardup_purge",
+    // borderline entries that crossed 1 s in the round-11 CLOSING run
+    // (1.0-1.2 s; below 1 s at the baseline run that defined the list)
+    "q282_ds_q69", "q330_ds_q49", "q303_ds_q2", "q121_ds_rollup_rank",
+    "q01_pricing_summary", "q270_ds_q48")
 
   private val dir = Paths.get("plans/r11")
 
